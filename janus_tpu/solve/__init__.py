@@ -1,0 +1,69 @@
+"""Lockstep masked adaptive steppers (pure functions under lax.while_loop)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+from janus_tpu.solve.common import (
+    Solution,
+    RUNNING,
+    SUCCESS,
+    MAX_STEPS,
+    STEP_UNDERFLOW,
+    NEWTON_STALL,
+    EVENT_TERMINATED,
+)
+from janus_tpu.solve.options import Options
+
+
+def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
+              options: Optional[Options] = None, t_eval=None,
+              events=None, **opt_kw) -> Solution:
+    """Batched initial-value-problem solve.
+
+    f       : batched RHS ``f(t[M], y[M,D], args) -> [M,D]``
+    tspan   : (t0, tf); either may be scalar or [M] (reverse time = tf < t0)
+    y0      : [M, D] (or [D] for a single trajectory)
+    method  : 'dopri5' | 'dopri853' | 'radau' | 'bdf2' | 'seulex' | 'rodas'
+    options : Options(...); or pass rtol=…, atol=… etc. as keywords
+    t_eval  : optional shared output grid [T] (dense-output sampling)
+    events  : optional event functions (see solve.events)
+    """
+    if options is None:
+        options = Options(**opt_kw)
+    elif opt_kw:
+        options = options.replace(**opt_kw)
+    t0, tf = tspan
+
+    method = method.lower()
+    if method in ("dopri5", "rk45", "dopri853", "dop853"):
+        from janus_tpu.solve.dopri import TABLEAUS, solve_erk
+        name = "dopri5" if method in ("dopri5", "rk45") else "dopri853"
+        if events is not None:
+            from janus_tpu.solve.events import solve_erk_events
+            return solve_erk_events(TABLEAUS[name], f, t0, tf, y0, args,
+                                    options, t_eval, events)
+        return solve_erk(TABLEAUS[name], f, t0, tf, y0, args, options, t_eval)
+    if method in ("radau", "radau5", "radau13", "radau9"):
+        from janus_tpu.solve.radau import solve_radau
+        stages = {"radau": None, "radau5": 3, "radau9": 5, "radau13": 7}[method]
+        if stages is not None:
+            options = options.replace(min_stages=stages, max_stages=stages)
+        return solve_radau(f, t0, tf, y0, args, options, t_eval, events=events)
+    if method == "bdf2":
+        from janus_tpu.solve.bdf import solve_bdf2
+        return solve_bdf2(f, t0, tf, y0, args, options, t_eval)
+    if method == "seulex":
+        from janus_tpu.solve.seulex import solve_seulex
+        return solve_seulex(f, t0, tf, y0, args, options, t_eval)
+    if method in ("rodas", "ros4", "rosenbrock"):
+        from janus_tpu.solve.rosenbrock import solve_ros4
+        return solve_ros4(f, t0, tf, y0, args, options, t_eval)
+    raise ValueError(f"unknown method {method!r}")
+
+
+__all__ = [
+    "solve_ivp", "Solution", "Options",
+    "RUNNING", "SUCCESS", "MAX_STEPS", "STEP_UNDERFLOW", "NEWTON_STALL",
+    "EVENT_TERMINATED",
+]

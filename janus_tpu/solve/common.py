@@ -1,0 +1,128 @@
+"""Shared machinery for the lockstep masked solvers.
+
+The reference emulates per-trajectory continue/break with boolean masks and
+index_put_ (reference src/cpp/radaute_impl.hpp:549-560,704;
+src/python/seulexted.py:314-353). Here the whole batch advances under one
+``lax.while_loop`` and every per-trajectory decision is a ``jnp.where`` select —
+no host syncs, no scatter.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+
+# Status codes (per trajectory)
+RUNNING = 0
+SUCCESS = 1
+MAX_STEPS = 2
+STEP_UNDERFLOW = 3
+NEWTON_STALL = 4      # repeated Newton failure / singular iteration matrix
+EVENT_TERMINATED = 5
+
+
+@struct.dataclass
+class Solution:
+    """Batched solve result (a pytree; everything has leading batch axis M)."""
+
+    t: jnp.ndarray            # [M] final time reached
+    y: jnp.ndarray            # [M, D] final state
+    status: jnp.ndarray       # [M] int8, see codes above
+    stats: Dict[str, jnp.ndarray]   # per-trajectory int32 counters
+    ts: Optional[jnp.ndarray] = None    # [T] shared output grid (t_eval mode)
+    ys: Optional[jnp.ndarray] = None    # [M, T, D] dense-output samples
+    event_t: Optional[jnp.ndarray] = None   # [M] first-event time (events mode)
+    event_y: Optional[jnp.ndarray] = None   # [M, D] state at event
+    event_idx: Optional[jnp.ndarray] = None  # [M] which event fired (-1 = none)
+
+    @property
+    def success(self):
+        return self.status == SUCCESS
+
+
+def error_norm(err, y0, y1, rtol, atol):
+    """Scaled RMS norm per trajectory: Hairer's err measure
+    (reference Estrad, src/cpp/radaute_impl.hpp:1902-1986)."""
+    sc = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+    return jnp.sqrt(jnp.mean(jnp.square(err / sc), axis=-1))
+
+
+def rms_norm(v, scale):
+    return jnp.sqrt(jnp.mean(jnp.square(v / scale), axis=-1))
+
+
+def initial_step(f: Callable, t0, y0, f0, tf, order: int, rtol, atol,
+                 args: Any, max_step):
+    """Hairer's automatic initial step size (hinit), batched over M.
+
+    Returns a SIGNED h (negative for reverse-time integration — the reference's
+    PosNeg mechanism, src/cpp/radaute_impl.hpp:40,417, is a sign carried in h here).
+    """
+    direction = jnp.sign(tf - t0)
+    direction = jnp.where(direction == 0, 1.0, direction)
+    sc = atol + rtol * jnp.abs(y0)
+    d0 = rms_norm(y0, sc)
+    d1 = rms_norm(f0, sc)
+    small = (d0 < 1e-5) | (d1 < 1e-5)
+    h0 = jnp.where(small, 1e-6, 0.01 * d0 / jnp.where(d1 == 0, 1.0, d1))
+    h0 = jnp.minimum(h0, jnp.abs(tf - t0))
+    y1 = y0 + (h0 * direction)[..., None] * f0
+    f1 = f(t0 + h0 * direction, y1, args)
+    d2 = rms_norm(f1 - f0, sc) / h0
+    dm = jnp.maximum(d1, d2)
+    h1 = jnp.where(dm <= 1e-15,
+                   jnp.maximum(1e-6, h0 * 1e-3),
+                   (0.01 / dm) ** (1.0 / (order + 1.0)))
+    h = jnp.minimum(jnp.minimum(100.0 * h0, h1),
+                    jnp.minimum(jnp.abs(tf - t0), max_step))
+    return h * direction
+
+
+def zero_stats(m: int, names) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.zeros((m,), jnp.int32) for k in names}
+
+
+def bump(stats: Dict[str, jnp.ndarray], name: str, mask) -> Dict[str, jnp.ndarray]:
+    out = dict(stats)
+    out[name] = stats[name] + mask.astype(jnp.int32)
+    return out
+
+
+def masked_update(mask, new, old):
+    """tree-wide where(mask, new, old) with mask broadcast over trailing dims."""
+    def sel(n, o):
+        m = mask.reshape(mask.shape + (1,) * (n.ndim - mask.ndim))
+        return jnp.where(m, n, o)
+    return jax.tree_util.tree_map(sel, new, old)
+
+
+def broadcast_batch(t0, tf, y0, dtype=None):
+    """Normalize (t0, tf, y0) to batched [M]/[M]/[M,D] arrays."""
+    y0 = jnp.atleast_2d(jnp.asarray(y0, dtype))
+    m = y0.shape[0]
+    t0 = jnp.broadcast_to(jnp.asarray(t0, y0.dtype), (m,))
+    tf = jnp.broadcast_to(jnp.asarray(tf, y0.dtype), (m,))
+    return t0, tf, y0
+
+
+def collect_dense(out_ys, t_eval, t_old, h, accept, y_interp_fn):
+    """Scatter dense-output samples for every t_eval point inside (t_old, t_old+h].
+
+    ``y_interp_fn(theta)`` evaluates the step's continuous extension at
+    theta ∈ [0, 1], for theta of shape [M, T] → [M, T, D].
+    """
+    t_new = t_old + h
+    # direction-aware window membership
+    lo = jnp.minimum(t_old, t_new)[:, None]
+    hi = jnp.maximum(t_old, t_new)[:, None]
+    tg = t_eval[None, :]
+    inside = (tg > lo) & (tg <= hi) | ((tg >= lo) & (tg < hi) & (h < 0)[:, None]
+                                       & (tg == lo))
+    theta = (tg - t_old[:, None]) / h[:, None]
+    theta = jnp.clip(theta, 0.0, 1.0)
+    vals = y_interp_fn(theta)
+    mask = inside & accept[:, None]
+    return jnp.where(mask[..., None], vals, out_ys)

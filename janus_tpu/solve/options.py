@@ -1,0 +1,47 @@
+"""Solver options as pytree dataclasses.
+
+One serializable options object per solver family (the reference scatters knobs
+across OptionsTe/OptionsTeD structs, argparse, and the PETSc option DB —
+reference src/cpp/radaute.hpp:52-96; SURVEY §5 "Config"). Float fields are pytree
+leaves (retuning tolerances does not recompile); structural fields (capacities,
+flags) are static aux data.
+"""
+
+from __future__ import annotations
+
+import flax.struct as struct
+import jax.numpy as jnp
+
+
+def _static(default):
+    return struct.field(pytree_node=False, default=default)
+
+
+@struct.dataclass
+class Options:
+    """Common adaptive-control options (Hairer naming where the reference uses it).
+
+    Controller constants default to the reference's values
+    (reference src/cpp/radaute.hpp:84-95, src/python/odesolvers/simplified_newton.py:62-68).
+    """
+
+    rtol: float = 1e-6
+    atol: float = 1e-9
+    h0: float = 0.0          # 0 → automatic initial step (Hairer hinit)
+    max_step: float = jnp.inf
+    safety: float = 0.9      # Safe
+    min_factor: float = 0.2  # FacL: hnew >= FacL*h on reject
+    max_factor: float = 8.0  # FacR: hnew <= FacR*h
+    beta: float = 0.04       # PI stabilization (explicit controllers)
+    max_steps: int = _static(100000)   # per-trajectory step budget
+
+    # implicit-solver knobs (ignored by explicit methods)
+    newton_tol: float = 0.0      # 0 → derived from rtol (Hairer FNewt)
+    newton_max_iter: int = _static(7)    # Nit
+    jac_recompute: float = 1e-3  # Θ threshold to reuse the Jacobian (JacRecompute)
+    quot1: float = 1.0           # deadzone: keep h if quot1 < hnew/h < quot2
+    quot2: float = 1.2
+    gustafsson: bool = _static(True)     # predictive step controller
+    # variable order (Radau): min/max number of stages
+    min_stages: int = _static(3)
+    max_stages: int = _static(3)
