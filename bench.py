@@ -1,0 +1,122 @@
+"""Headline benchmark: stiff Van der Pol trajectories/sec/chip with forward
+sensitivities, vs a scipy-Radau CPU baseline at matched tolerances.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
+live: scipy Radau (the reference's own oracle, examples/python/radau_test.py)
+on the same problem/tolerances on this host's CPU, extrapolated to the batch.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _measure_scipy_baseline(mu, tf, rtol, atol, n_probe=4):
+    """CPU trajectories/sec: scipy Radau with analytic jac + FD sensitivities
+    (central differences per state dim → 1 + 2D solves per trajectory, the
+    reference's FD-resolve oracle pattern)."""
+    from scipy.integrate import solve_ivp
+
+    def run_one(y0):
+        return solve_ivp(
+            lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
+            (0.0, tf), y0, method="Radau", rtol=rtol, atol=atol,
+            jac=lambda t, y: [[0.0, 1.0],
+                              [-2 * mu * y[0] * y[1] - 1,
+                               mu * (1 - y[0] ** 2)]])
+
+    y0 = np.array([2.0, 0.0])
+    eps = 1e-5
+    t0 = time.perf_counter()
+    for _ in range(n_probe):
+        run_one(y0)                      # value
+        for j in range(2):               # FD sensitivity column pair
+            e = np.zeros(2)
+            e[j] = eps
+            run_one(y0 + e)
+            run_one(y0 - e)
+    dt = time.perf_counter() - t0
+    return n_probe / dt                  # trajectories(+sens)/sec on CPU
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from janus_tpu.solve import solve_ivp as jsolve, Options
+    from janus_tpu.models.problems import vdp_rhs, vdp_jac
+    from janus_tpu.solve.radau import solve_radau
+
+    mu, tf = 1000.0, 1.0
+    batch = 8192
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        dtype, rtol, atol = jnp.float32, 1e-4, 1e-7
+    else:
+        jax.config.update("jax_enable_x64", True)
+        dtype, rtol, atol = jnp.float64, 1e-6, 1e-9
+
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]], dtype), (batch, 1))
+    mus = jnp.full((batch,), mu, dtype)
+    opts = Options(rtol=rtol, atol=atol)
+
+    def final_state(y0, mus):
+        sol = solve_radau(vdp_rhs, 0.0, tf, y0, args=mus, options=opts,
+                          jac=vdp_jac)
+        return sol.y, sol.status
+
+    # forward sensitivities ∂y(T)/∂y0: vmapped jvp directions through the
+    # adaptive solve (ONE while_loop with a stacked tangent axis)
+    def with_sens(y0, mus):
+        seeds = jnp.stack([jnp.zeros_like(y0).at[:, j].set(1.0)
+                           for j in range(2)])
+
+        def one(s):
+            (yT, st), (dy, _) = jax.jvp(lambda z: final_state(z, mus),
+                                        (y0,), (s,))
+            return yT, st, dy
+
+        yts, sts, dys = jax.vmap(one)(seeds)
+        return yts[0], sts[0], dys
+
+    run = jax.jit(with_sens)
+    yT, status, sens = run(y0, mus)     # compile + first run
+    np.asarray(yT)
+
+    n_rep = 3
+    times = []
+    for i in range(n_rep):
+        # perturb inputs each rep; time via host transfer (block_until_ready
+        # can return early under the axon remote backend)
+        y0i = y0 + (i + 1) * 1e-6
+        t0 = time.perf_counter()
+        yT, status, sens = run(y0i, mus)
+        np.asarray(sens)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    ok = float(jnp.mean((status == 1).astype(jnp.float32)))
+    traj_per_sec = batch / dt
+
+    cpu_rate = _measure_scipy_baseline(mu, tf, max(rtol, 1e-6),
+                                       max(atol, 1e-9))
+    vs_baseline = traj_per_sec / cpu_rate
+
+    print(json.dumps({
+        "metric": "stiff VdP mu=1e3 trajectories/sec/chip (with fwd sens, "
+                  f"batch={batch}, rtol={rtol}, {np.dtype(np.float32).name if on_tpu else 'float64'})",
+        "value": round(traj_per_sec, 2),
+        "unit": "traj/s",
+        "vs_baseline": round(vs_baseline, 2),
+        "success_fraction": ok,
+        "seconds_per_solve": round(dt, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,503 @@
+"""Batched lockstep Radau IIA with simplified Newton — the flagship stiff path.
+
+Re-designs the reference's RadauTe/RadauTeD (src/cpp/radaute_impl.hpp:537-1341,
+radauted_impl.hpp:620-2929 — ~5.5k lines of mask algebra) as one
+``lax.while_loop`` whose body is a single step ATTEMPT for every active
+trajectory:
+
+- per-trajectory h, Newton convergence, accept/reject, Jacobian reuse and
+  factorization reuse are [M] boolean lanes combined with ``jnp.where``;
+- Jacobian evaluation and LU factorization are gated by ``lax.cond`` on
+  ``any(lane needs it)`` so the whole batch skips the expensive work when no
+  lane requests it (the reference's NeedNewJac/NeedNewQR flags,
+  radaute_impl.hpp:600-704);
+- the transformed Newton systems solve one real D×D and (s−1)/2 split-real
+  complex 2D×2D systems per iteration with the factorization REUSED across
+  iterations (janus-linear role — janus_tpu.linalg unrolled batched LU);
+- controller: Gustafsson predictive factor + Hairer safety scaled by Newton
+  effort, with the quot1/quot2 deadzone that keeps the step size (and hence the
+  LU factors) unchanged when the predicted change is small
+  (reference radaute.hpp:84-95 knobs).
+
+Algorithmic structure follows Hairer/Wanner (Solving ODEs II, Sec. IV.8) in the
+arrangement popularized by scipy's Radau; tables come from
+janus_tpu.solve.radau_tables (derived, any s ∈ {1,3,5,7}).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from janus_tpu.linalg.smalllu import lu_factor, lu_solve, lu_ok
+from janus_tpu.solve import common as cm
+from janus_tpu.solve.options import Options
+from janus_tpu.solve.radau_tables import radau_tableau
+
+
+def default_jacobian(f: Callable) -> Callable:
+    """Batched ∂f/∂y via D forward-mode JVP columns of the BATCHED rhs —
+    works for any args pytree, no per-sample closure needed."""
+
+    def jac(t, y, args):
+        dim = y.shape[-1]
+        cols = []
+        for j in range(dim):
+            tang = jnp.zeros_like(y).at[..., j].set(1.0)
+            _, col = jax.jvp(lambda yy: f(t, yy, args), (y,), (tang,))
+            cols.append(col)
+        return jnp.stack(cols, axis=-1)  # [M, D, D]
+
+    return jac
+
+
+@struct.dataclass
+class _NewtonState:
+    w: jnp.ndarray            # [M, s, D]
+    z: jnp.ndarray            # [M, s, D]
+    dw_norm_old: jnp.ndarray  # [M]
+    rate: jnp.ndarray         # [M]
+    k: jnp.ndarray            # scalar iteration counter
+    running: jnp.ndarray      # [M]
+    converged: jnp.ndarray    # [M]
+    niter: jnp.ndarray        # [M] iterations actually taken
+    nfev: jnp.ndarray         # [M] rhs evals consumed
+
+
+@struct.dataclass
+class _RadauState:
+    t: jnp.ndarray
+    y: jnp.ndarray
+    f0: jnp.ndarray
+    h: jnp.ndarray            # signed current step size
+    jac: jnp.ndarray          # [M, D, D]
+    lu_real: jnp.ndarray      # [M, D, D]
+    piv_real: jnp.ndarray     # [M, D]
+    lu_cplx: jnp.ndarray      # [M, P, 2D, 2D]
+    piv_cplx: jnp.ndarray     # [M, P, 2D]
+    h_fact: jnp.ndarray       # [M] signed h the factors were built with (0 = none)
+    current_jac: jnp.ndarray  # [M] Jacobian is fresh at (t, y)
+    need_jac: jnp.ndarray     # [M]
+    # step-size controller memory (Gustafsson two-step predictive)
+    h_old: jnp.ndarray        # [M] |h| of last accepted step (0 = none)
+    err_old: jnp.ndarray      # [M] error norm of last accepted step (0 = none)
+    rejected: jnp.ndarray     # [M] a rejection happened since last accept
+    nsing: jnp.ndarray        # [M] consecutive singular/Newton-fail count
+    # dense output / warm start (previous accepted step's collocation poly)
+    q_poly: jnp.ndarray       # [M, s, D]  (coeffs of θ¹..θˢ)
+    y_prev: jnp.ndarray       # [M, D]
+    h_prev: jnp.ndarray       # [M] signed h of previous accepted step
+    have_sol: jnp.ndarray     # [M]
+    active: jnp.ndarray
+    status: jnp.ndarray
+    stats: dict
+    out_ys: Any
+
+
+def _factorize(tab, h, jac, mass=None):
+    """Build and factor the real and split-complex iteration matrices."""
+    dim = jac.shape[-1]
+    eye = jnp.eye(dim, dtype=jac.dtype)
+    mm = eye if mass is None else mass
+    a_real = (float(tab.mu_real) / h)[..., None, None] * mm - jac
+    lu_r, piv_r = lu_factor(a_real)
+    ok = lu_ok(lu_r)
+    lus, pivs = [], []
+    for p in range((tab.s - 1) // 2):
+        mu = tab.mu_complex[p]
+        mur, mui = float(mu.real), float(mu.imag)       # weak-typed scalars
+        ar = (mur / h)[..., None, None] * mm - jac
+        ai = (mui / h)[..., None, None] * mm            # Im(mu) < 0
+        top = jnp.concatenate([ar, -ai], axis=-1)
+        bot = jnp.concatenate([ai, ar], axis=-1)
+        block = jnp.concatenate([top, bot], axis=-2)
+        lu_c, piv_c = lu_factor(block)
+        ok = ok & lu_ok(lu_c)
+        lus.append(lu_c)
+        pivs.append(piv_c)
+    if lus:
+        lu_c = jnp.stack(lus, axis=1)
+        piv_c = jnp.stack(pivs, axis=1)
+    else:
+        lu_c = jnp.zeros(jac.shape[:-2] + (0, 2 * dim, 2 * dim), jac.dtype)
+        piv_c = jnp.zeros(jac.shape[:-2] + (0, 2 * dim), jnp.int32)
+    return lu_r, piv_r, lu_c, piv_c, ok
+
+
+def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
+            run_mask, max_iter, args):
+    """Batched simplified Newton on the transformed collocation system."""
+    m, dim = y.shape
+    dtype = y.dtype
+    s = tab.s
+    t_mat = jnp.asarray(tab.t_mat, dtype)
+    ti_mat = jnp.asarray(tab.ti_mat, dtype)
+    c_nodes = jnp.asarray(tab.c, dtype)
+    npair = (s - 1) // 2
+
+    w0 = jnp.einsum("ij,mjd->mid", ti_mat, z0)
+    init = _NewtonState(
+        w=w0, z=z0,
+        dw_norm_old=jnp.zeros((m,), dtype),
+        rate=jnp.zeros((m,), dtype),
+        k=jnp.zeros((), jnp.int32),
+        running=run_mask, converged=jnp.zeros((m,), bool),
+        niter=jnp.zeros((m,), jnp.int32),
+        nfev=jnp.zeros((m,), jnp.int32),
+    )
+
+    def cond(ns):
+        return jnp.any(ns.running)
+
+    def body(ns):
+        # stage RHS evaluations
+        fs = []
+        for i in range(s):
+            fs.append(f(t + c_nodes[i] * h, y + ns.z[:, i, :], args))
+        fmat = jnp.stack(fs, axis=1)                    # [M, s, D]
+        finite = jnp.all(jnp.isfinite(fmat), axis=(1, 2))
+        fail_nan = ns.running & ~finite
+
+        # transformed residuals and solves
+        tif = jnp.einsum("ij,mjd->mid", ti_mat, fmat)   # [M, s, D]
+        rhs_r = tif[:, 0, :] - (float(tab.mu_real) / h)[:, None] * ns.w[:, 0, :]
+        dw_r = lu_solve(lu_r, piv_r, rhs_r)
+        dws = [dw_r]
+        for p in range(npair):
+            mu = tab.mu_complex[p]
+            mur, mui = float(mu.real), float(mu.imag)
+            w1 = ns.w[:, 1 + 2 * p, :]
+            w2 = ns.w[:, 2 + 2 * p, :]
+            # mu·(w1 + i·w2): real = Re·w1 − Im·w2, imag = Re·w2 + Im·w1
+            fr = tif[:, 1 + 2 * p, :] - (mur * w1 - mui * w2) / h[:, None]
+            fi = tif[:, 2 + 2 * p, :] - (mur * w2 + mui * w1) / h[:, None]
+            sol = lu_solve(lu_c[:, p], piv_c[:, p],
+                           jnp.concatenate([fr, fi], axis=-1))
+            dws.append(sol[:, :dim])
+            dws.append(sol[:, dim:])
+        dw = jnp.stack(dws, axis=1)                     # [M, s, D]
+
+        dw_norm = jnp.sqrt(jnp.mean(
+            jnp.square(dw / scale[:, None, :]), axis=(1, 2)))
+        have_rate = ns.k > 0
+        rate = jnp.where(have_rate & (ns.dw_norm_old > 0),
+                         dw_norm / jnp.where(ns.dw_norm_old == 0, 1.0,
+                                             ns.dw_norm_old),
+                         jnp.zeros_like(dw_norm))
+        # divergence / hopeless-convergence tests (Hairer Θ logic; cf.
+        # reference simplified_newton.py:113-135)
+        steps_left = (max_iter - ns.k).astype(dtype)
+        safe_rate = jnp.clip(rate, 1e-16, 1.0 - 1e-16)
+        diverged = have_rate & (
+            (rate >= 1.0)
+            | (safe_rate ** steps_left / (1.0 - safe_rate) * dw_norm > tol))
+        fail_now = ns.running & (fail_nan | diverged)
+
+        apply = ns.running & ~fail_now
+        w_new = jnp.where(apply[:, None, None], ns.w + dw, ns.w)
+        z_new = jnp.einsum("ij,mjd->mid", t_mat, w_new)
+        z_new = jnp.where(apply[:, None, None], z_new, ns.z)
+
+        conv_now = apply & (
+            (dw_norm == 0.0)
+            | (have_rate & (rate < 1.0)
+               & (safe_rate / (1.0 - safe_rate) * dw_norm < tol)))
+
+        k1 = ns.k + 1
+        niter = jnp.where(ns.running, k1, ns.niter)
+        running = ns.running & ~fail_now & ~conv_now & (k1 < max_iter)
+        return _NewtonState(
+            w=w_new, z=z_new,
+            dw_norm_old=jnp.where(apply, dw_norm, ns.dw_norm_old),
+            rate=jnp.where(ns.running, rate, ns.rate),
+            k=k1,
+            running=running,
+            converged=ns.converged | conv_now,
+            niter=niter,
+            nfev=ns.nfev + ns.running * s,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out
+
+
+def solve_radau(f: Callable, t0, tf, y0, args=None,
+                options: Optional[Options] = None, t_eval=None,
+                jac: Optional[Callable] = None, mass=None,
+                events=None) -> cm.Solution:
+    """Batched adaptive Radau IIA solve (fixed stage count = options.min_stages)."""
+    if events is not None:
+        from janus_tpu.solve.events import solve_implicit_events
+        return solve_implicit_events(solve_radau, f, t0, tf, y0, args, options,
+                                     t_eval, events, jac=jac, mass=mass)
+    opts = options if options is not None else Options()
+    s = opts.min_stages
+    tab = radau_tableau(s)
+    t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
+    m, dim = y0.shape
+    dtype = y0.dtype
+    npair = (s - 1) // 2
+
+    jac_fn = jac if jac is not None else default_jacobian(f)
+    newton_tol = opts.newton_tol if opts.newton_tol > 0 else max(
+        10 * float(jnp.finfo(dtype).eps) / opts.rtol,
+        min(0.03, opts.rtol ** 0.5))
+    max_iter = opts.newton_max_iter
+    p_mat = jnp.asarray(tab.p, dtype)
+    e_vec = jnp.asarray(tab.e, dtype)
+    c_nodes = jnp.asarray(tab.c, dtype)
+
+    f0 = f(t0, y0, args)
+    if opts.h0 == 0.0:
+        h = cm.initial_step(f, t0, y0, f0, tf, s, opts.rtol, opts.atol,
+                            args, opts.max_step)
+    else:
+        direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
+        h = jnp.broadcast_to(jnp.asarray(opts.h0, dtype), (m,)) * direction
+
+    use_dense = t_eval is not None
+    if use_dense:
+        t_eval = jnp.asarray(t_eval, dtype)
+        at_t0 = (t_eval[None, :] == t0[:, None])
+        out_ys = jnp.where(at_t0[..., None], y0[:, None, :], jnp.nan)
+    else:
+        out_ys = jnp.zeros((), dtype)
+
+    stats = cm.zero_stats(m, ("nfev", "njev", "nlu", "nsteps", "naccept",
+                              "nreject", "nnewton"))
+    stats["nfev"] = stats["nfev"] + 2
+    already_done = t0 == tf
+    state = _RadauState(
+        t=t0, y=y0, f0=f0, h=h,
+        jac=jnp.zeros((m, dim, dim), dtype),
+        lu_real=jnp.zeros((m, dim, dim), dtype),
+        piv_real=jnp.zeros((m, dim), jnp.int32),
+        lu_cplx=jnp.zeros((m, npair, 2 * dim, 2 * dim), dtype),
+        piv_cplx=jnp.zeros((m, npair, 2 * dim), jnp.int32),
+        h_fact=jnp.zeros((m,), dtype),
+        current_jac=jnp.zeros((m,), bool),
+        need_jac=jnp.ones((m,), bool),
+        h_old=jnp.zeros((m,), dtype),
+        err_old=jnp.zeros((m,), dtype),
+        rejected=jnp.zeros((m,), bool),
+        nsing=jnp.zeros((m,), jnp.int32),
+        q_poly=jnp.zeros((m, s, dim), dtype),
+        y_prev=y0,
+        h_prev=jnp.ones((m,), dtype),
+        have_sol=jnp.zeros((m,), bool),
+        active=~already_done,
+        status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
+        stats=stats, out_ys=out_ys,
+    )
+
+    eps = jnp.finfo(dtype).eps
+
+    def cond(st):
+        return jnp.any(st.active)
+
+    def body(st):
+        # ---- step-size clamp to the boundary -----------------------------
+        remaining = tf - st.t
+        last = jnp.abs(st.h) >= jnp.abs(remaining)
+        h = jnp.where(last, remaining, st.h)
+        h = jnp.where(h == 0.0, eps, h)
+
+        # ---- Jacobian refresh (gated: skip when no lane needs it) --------
+        needj = st.need_jac & st.active
+
+        def do_jac(_):
+            jnew = jac_fn(st.t, st.y, args)
+            return jnp.where(needj[:, None, None], jnew, st.jac)
+
+        jmat = jax.lax.cond(jnp.any(needj), do_jac, lambda _: st.jac,
+                            operand=None)
+        current_jac = st.current_jac | needj
+
+        # ---- factorization (gated) ---------------------------------------
+        needf = st.active & (needj | (h != st.h_fact))
+
+        def do_fact(_):
+            lr, pr, lc, pc, ok = _factorize(tab, h, jmat, mass)
+            sel = needf
+            return (
+                jnp.where(sel[:, None, None], lr, st.lu_real),
+                jnp.where(sel[:, None], pr, st.piv_real),
+                jnp.where(sel[:, None, None, None], lc, st.lu_cplx),
+                jnp.where(sel[:, None, None], pc, st.piv_cplx),
+                jnp.where(sel, ok, jnp.ones_like(ok)),
+                jnp.where(sel, h, st.h_fact),
+            )
+
+        def keep_fact(_):
+            return (st.lu_real, st.piv_real, st.lu_cplx, st.piv_cplx,
+                    jnp.ones((m,), bool), st.h_fact)
+
+        lu_r, piv_r, lu_c, piv_c, fact_ok, h_fact = jax.lax.cond(
+            jnp.any(needf), do_fact, keep_fact, operand=None)
+
+        singular = st.active & ~fact_ok
+
+        # ---- Newton warm start from previous collocation polynomial ------
+        theta_ws = 1.0 + c_nodes[None, :] * (h / st.h_prev)[:, None]  # [M,s]
+        powers = jnp.stack([theta_ws ** (q + 1) for q in range(s)], axis=-1)
+        poly_at = jnp.einsum("msq,mqd->msd", powers, st.q_poly)
+        poly_at_1 = jnp.sum(st.q_poly, axis=1)          # poly(1) = Σ_q Q_q
+        z0 = jnp.where(st.have_sol[:, None, None],
+                       poly_at - poly_at_1[:, None, :],
+                       jnp.zeros((m, s, dim), dtype))
+
+        # ---- simplified Newton -------------------------------------------
+        scale_n = opts.atol + opts.rtol * jnp.abs(st.y)
+        run_newton = st.active & fact_ok
+        ns = _newton(tab, f, st.t, st.y, h, z0, scale_n, newton_tol,
+                     lu_r, piv_r, lu_c, piv_c, run_newton, max_iter, args)
+        conv = run_newton & ns.converged
+        newton_fail = run_newton & ~ns.converged
+
+        # stale-Jacobian failures retry at the same h with a fresh Jacobian;
+        # fresh-Jacobian failures halve h (reference/Hairer policy)
+        nf_stale = newton_fail & ~current_jac
+        nf_fresh = (newton_fail & current_jac) | singular
+
+        # ---- error estimate ----------------------------------------------
+        y_new = st.y + ns.z[:, -1, :]
+        ze = jnp.einsum("s,msd->md", e_vec, ns.z) / h[:, None]
+        err1 = lu_solve(lu_r, piv_r, st.f0 + ze)
+        scale_e = opts.atol + opts.rtol * jnp.maximum(jnp.abs(st.y),
+                                                      jnp.abs(y_new))
+        enorm1 = jnp.sqrt(jnp.mean(jnp.square(err1 / scale_e), axis=-1))
+        enorm1 = jnp.where(jnp.isfinite(enorm1), enorm1, 1e10)
+
+        refine = conv & st.rejected & (enorm1 > 1.0)
+
+        def do_refine(_):
+            fe = f(st.t, st.y + err1, args)
+            err2 = lu_solve(lu_r, piv_r, fe + ze)
+            en2 = jnp.sqrt(jnp.mean(jnp.square(err2 / scale_e), axis=-1))
+            return jnp.where(refine, jnp.where(jnp.isfinite(en2), en2, 1e10),
+                             enorm1)
+
+        enorm = jax.lax.cond(jnp.any(refine), do_refine, lambda _: enorm1,
+                             operand=None)
+
+        accept = conv & (enorm <= 1.0)
+        reject_err = conv & (enorm > 1.0)
+
+        # ---- controller ---------------------------------------------------
+        h_abs = jnp.abs(h)
+        niter_f = jnp.maximum(ns.niter, 1).astype(dtype)
+        safety = opts.safety * (2 * max_iter + 1) / (2 * max_iter + niter_f)
+        have_old = (st.h_old > 0) & (st.err_old > 0) & (enorm > 0)
+        mult = jnp.where(have_old,
+                         h_abs / jnp.where(st.h_old == 0, 1.0, st.h_old)
+                         * (st.err_old / jnp.where(enorm == 0, 1.0, enorm))
+                         ** 0.25,
+                         1.0)
+        enorm_safe = jnp.maximum(enorm, 1e-16)
+        base_factor = jnp.minimum(1.0, mult) * enorm_safe ** -0.25
+
+        # reject path: shrink
+        fac_rej = jnp.maximum(opts.min_factor, safety * base_factor)
+        # accept path: grow bounded, deadzone keeps factors
+        fac_acc = jnp.minimum(opts.max_factor, safety * base_factor)
+        recompute_jac = accept & (ns.niter > 2) & (ns.rate > opts.jac_recompute)
+        deadzone = accept & ~recompute_jac & (fac_acc >= opts.quot1) & \
+            (fac_acc < opts.quot2)
+        fac_acc = jnp.where(deadzone, 1.0, fac_acc)
+
+        # ---- new f at accepted points (gated on any accept) ---------------
+        t_new = st.t + h
+
+        def do_fnew(_):
+            fn = f(t_new, y_new, args)
+            return jnp.where(accept[:, None], fn, st.f0)
+
+        f_new = jax.lax.cond(jnp.any(accept), do_fnew, lambda _: st.f0,
+                             operand=None)
+
+        # ---- dense output & warm-start polynomial -------------------------
+        q_new = jnp.einsum("msd,sq->mqd", ns.z, p_mat)  # [M, θ-power q, D]
+        q_poly = jnp.where(accept[:, None, None], q_new, st.q_poly)
+
+        out_ys = st.out_ys
+        if use_dense:
+            def interp(theta):                          # [M,T] -> [M,T,D]
+                tp = jnp.stack([theta ** (q + 1) for q in range(s)], axis=-1)
+                return st.y[:, None, :] + jnp.einsum("mtq,mqd->mtd", tp, q_new)
+            out_ys = cm.collect_dense(out_ys, t_eval, st.t, h, accept, interp)
+
+        # ---- state update -------------------------------------------------
+        h_next_abs = jnp.where(accept, h_abs * fac_acc,
+                               jnp.where(reject_err, h_abs * fac_rej,
+                                         jnp.where(nf_fresh, h_abs * 0.5,
+                                                   h_abs)))
+        h_next_abs = jnp.minimum(h_next_abs, opts.max_step)
+        sign = jnp.sign(h)
+        h_next = jnp.where(st.active, h_next_abs * sign, st.h)
+
+        done = accept & last
+
+        stats = dict(st.stats)
+        stats["nfev"] = stats["nfev"] + ns.nfev + accept + refine
+        stats["njev"] = stats["njev"] + needj
+        stats["nlu"] = stats["nlu"] + needf * (1 + npair)
+        stats["nsteps"] = stats["nsteps"] + (run_newton | singular)
+        stats["naccept"] = stats["naccept"] + accept
+        stats["nreject"] = stats["nreject"] + (reject_err | newton_fail
+                                               | singular)
+        stats["nnewton"] = stats["nnewton"] + ns.niter
+
+        nsing = jnp.where(singular | newton_fail, st.nsing + 1,
+                          jnp.where(accept, 0, st.nsing))
+        stall = st.active & (nsing >= 7)
+
+        exceeded = st.active & (stats["nsteps"] >= opts.max_steps) & ~done
+        hmin = 16.0 * eps * jnp.maximum(jnp.abs(t_new), 1.0)
+        underflow = st.active & (h_next_abs < hmin) & ~done
+
+        status = st.status
+        status = jnp.where(done, cm.SUCCESS, status).astype(jnp.int8)
+        status = jnp.where(exceeded, cm.MAX_STEPS, status).astype(jnp.int8)
+        status = jnp.where(underflow, cm.STEP_UNDERFLOW, status).astype(jnp.int8)
+        status = jnp.where(stall, cm.NEWTON_STALL, status).astype(jnp.int8)
+        active = st.active & ~done & ~exceeded & ~underflow & ~stall
+
+        return _RadauState(
+            t=jnp.where(accept, t_new, st.t),
+            y=jnp.where(accept[:, None], y_new, st.y),
+            f0=f_new,
+            h=h_next,
+            jac=jmat,
+            lu_real=lu_r, piv_real=piv_r, lu_cplx=lu_c, piv_cplx=piv_c,
+            # deadzone lanes keep factors; everyone else refactors next time
+            h_fact=jnp.where(accept & ~deadzone, 0.0,
+                             jnp.where(reject_err | nf_fresh, 0.0, h_fact)),
+            # the Jacobian refers to the pre-step point: stale after an accept
+            current_jac=jnp.where(accept, False, current_jac),
+            need_jac=jnp.where(accept, recompute_jac,
+                               jnp.where(nf_stale, True,
+                                         jnp.where(needj, False,
+                                                   st.need_jac))),
+            h_old=jnp.where(accept, h_abs, st.h_old),
+            err_old=jnp.where(accept, jnp.maximum(enorm, 1e-16), st.err_old),
+            rejected=jnp.where(accept, False,
+                               st.rejected | reject_err | newton_fail
+                               | singular),
+            nsing=nsing,
+            q_poly=q_poly,
+            y_prev=jnp.where(accept[:, None], st.y, st.y_prev),
+            h_prev=jnp.where(accept, h, st.h_prev),
+            have_sol=st.have_sol | accept,
+            active=active, status=status, stats=stats, out_ys=out_ys,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return cm.Solution(
+        t=final.t, y=final.y, status=final.status, stats=final.stats,
+        ts=t_eval if use_dense else None,
+        ys=final.out_ys if use_dense else None,
+    )
