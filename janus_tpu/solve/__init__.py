@@ -39,11 +39,8 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
     if method in ("dopri5", "rk45", "dopri853", "dop853"):
         from janus_tpu.solve.dopri import TABLEAUS, solve_erk
         name = "dopri5" if method in ("dopri5", "rk45") else "dopri853"
-        if events is not None:
-            from janus_tpu.solve.events import solve_erk_events
-            return solve_erk_events(TABLEAUS[name], f, t0, tf, y0, args,
-                                    options, t_eval, events)
-        return solve_erk(TABLEAUS[name], f, t0, tf, y0, args, options, t_eval)
+        return solve_erk(TABLEAUS[name], f, t0, tf, y0, args, options, t_eval,
+                         events=events)
     if method in ("radau", "radau5", "radau13", "radau9"):
         from janus_tpu.solve.radau import solve_radau
         stages = {"radau": None, "radau5": 3, "radau9": 5, "radau13": 7}[method]

@@ -18,9 +18,14 @@ from typing import Any, Callable, Optional
 import flax.struct as struct
 import jax
 import jax.numpy as jnp
+
+# f32 einsums must not be demoted to bf16 MXU passes on TPU
+_EINSUM_PRECISION = jax.lax.Precision.HIGHEST
 import numpy as np
 
 from janus_tpu.solve import common as cm
+from janus_tpu.solve.events import (eval_events, handle_events,
+                                    init_event_state, normalize_events)
 from janus_tpu.solve.options import Options
 
 
@@ -80,6 +85,7 @@ class _ERKState:
     status: jnp.ndarray
     stats: dict
     out_ys: Any              # [M,T,D] or 0 (disabled)
+    ev: Any                  # event-detection state dict
 
 
 def _stages(tab: ERKTableau, f, t, y, h, f0, args):
@@ -134,13 +140,13 @@ def _err_norm(tab: ERKTableau, ks, h, y, y1, rtol, atol):
 
 def _dense_eval_rk45(tab, ks, y, h):
     k = jnp.stack(ks, axis=1)                       # [M, 7, D]
-    q = jnp.einsum("msd,sq->mqd", k, jnp.asarray(tab.p, k.dtype))
+    q = jnp.einsum("msd,sq->mqd", k, jnp.asarray(tab.p, k.dtype), precision=_EINSUM_PRECISION)
 
     def interp(theta):                               # [M, T] -> [M, T, D]
         npow = tab.p.shape[1]
         tp = jnp.stack([theta ** (i + 1) for i in range(npow)], axis=-1)
         return y[:, None, :] + h[:, None, None] * jnp.einsum(
-            "mtq,mqd->mtd", tp, q)
+            "mtq,mqd->mtd", tp, q, precision=_EINSUM_PRECISION)
 
     return interp
 
@@ -162,7 +168,7 @@ def _dense_eval_dop853(tab, f, t, y, y1, f_new, h, ks, args):
     fpoly = [delta,
              h[:, None] * f_old - delta,
              2.0 * delta - h[:, None] * (f_new + f_old)]
-    rest = jnp.einsum("qs,msd->mqd", jnp.asarray(tab.d, kmat.dtype), kmat)
+    rest = jnp.einsum("qs,msd->mqd", jnp.asarray(tab.d, kmat.dtype), kmat, precision=_EINSUM_PRECISION)
     fstack = jnp.stack(fpoly, axis=1)
     fall = jnp.concatenate([fstack, h[:, None, None] * rest], axis=1)  # [M,7,D]
 
@@ -180,9 +186,11 @@ def _dense_eval_dop853(tab, f, t, y, y1, f_new, h, ks, args):
 
 
 def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
-              options: Optional[Options] = None, t_eval=None) -> cm.Solution:
+              options: Optional[Options] = None, t_eval=None,
+              events=None) -> cm.Solution:
     """Integrate a batch with an explicit RK method under one lax.while_loop."""
     opts = options if options is not None else Options()
+    specs = normalize_events(events)
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
     m, dim = y0.shape
     dtype = y0.dtype
@@ -220,6 +228,7 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         active=~already_done,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
         stats=stats, out_ys=out_ys,
+        ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
     )
 
     eps = jnp.finfo(dtype).eps
@@ -254,16 +263,22 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         done = upd & last
 
         out_ys = s.out_ys
-        if use_dense:
+        interp = None
+        if use_dense or specs:
             if tab.dense == "rk45P":
                 interp = _dense_eval_rk45(tab, ks, s.y, h)
             else:
                 interp = _dense_eval_dop853(tab, f, s.t, s.y, y1, f_new, h,
                                             ks, args)
+        if use_dense:
             out_ys = cm.collect_dense(out_ys, t_eval, s.t, h, upd, interp)
 
-        t_n = jnp.where(upd, s.t + h, s.t)
-        y_n = jnp.where(upd[:, None], y1, s.y)
+        ev, terminate, t_ev, y_ev = handle_events(
+            specs, s.ev, s.t, h, s.y, s.t + h, y1, interp, upd, args)
+
+        t_n = jnp.where(upd, jnp.where(terminate, t_ev, s.t + h), s.t)
+        y_n = jnp.where(upd[:, None],
+                        jnp.where(terminate[:, None], y_ev, y1), s.y)
         f0_n = jnp.where(upd[:, None], f_new, s.f0)
         facold_n = jnp.where(upd, jnp.maximum(enorm, 1e-4), s.facold)
         h_n = jnp.where(s.active, hnew, s.h)
@@ -284,15 +299,19 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         status = jnp.where(done, cm.SUCCESS, status).astype(jnp.int8)
         status = jnp.where(exceeded, cm.MAX_STEPS, status).astype(jnp.int8)
         status = jnp.where(underflow, cm.STEP_UNDERFLOW, status).astype(jnp.int8)
-        active = s.active & ~done & ~exceeded & ~underflow
+        status = jnp.where(terminate, cm.EVENT_TERMINATED, status).astype(jnp.int8)
+        active = s.active & ~done & ~exceeded & ~underflow & ~terminate
 
         return _ERKState(t=t_n, y=y_n, f0=f0_n, h=h_n, facold=facold_n,
                          active=active, status=status, stats=stats,
-                         out_ys=out_ys)
+                         out_ys=out_ys, ev=ev)
 
     final = jax.lax.while_loop(cond, body, state)
     return cm.Solution(
         t=final.t, y=final.y, status=final.status, stats=final.stats,
         ts=t_eval if use_dense else None,
         ys=final.out_ys if use_dense else None,
+        event_t=final.ev["event_t"] if specs else None,
+        event_y=final.ev["event_y"] if specs else None,
+        event_idx=final.ev["event_idx"] if specs else None,
     )

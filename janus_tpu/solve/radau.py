@@ -31,10 +31,15 @@ from typing import Any, Callable, Optional
 import flax.struct as struct
 import jax
 import jax.numpy as jnp
+
+# f32 einsums must not be demoted to bf16 MXU passes on TPU
+_EINSUM_PRECISION = jax.lax.Precision.HIGHEST
 import numpy as np
 
 from janus_tpu.linalg.smalllu import lu_factor, lu_solve, lu_ok
 from janus_tpu.solve import common as cm
+from janus_tpu.solve.events import (handle_events, init_event_state,
+                                    normalize_events)
 from janus_tpu.solve.options import Options
 from janus_tpu.solve.radau_tables import radau_tableau
 
@@ -96,6 +101,7 @@ class _RadauState:
     status: jnp.ndarray
     stats: dict
     out_ys: Any
+    ev: Any
 
 
 def _factorize(tab, h, jac, mass=None):
@@ -139,7 +145,7 @@ def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
     c_nodes = jnp.asarray(tab.c, dtype)
     npair = (s - 1) // 2
 
-    w0 = jnp.einsum("ij,mjd->mid", ti_mat, z0)
+    w0 = jnp.einsum("ij,mjd->mid", ti_mat, z0, precision=_EINSUM_PRECISION)
     init = _NewtonState(
         w=w0, z=z0,
         dw_norm_old=jnp.zeros((m,), dtype),
@@ -163,7 +169,7 @@ def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
         fail_nan = ns.running & ~finite
 
         # transformed residuals and solves
-        tif = jnp.einsum("ij,mjd->mid", ti_mat, fmat)   # [M, s, D]
+        tif = jnp.einsum("ij,mjd->mid", ti_mat, fmat, precision=_EINSUM_PRECISION)   # [M, s, D]
         rhs_r = tif[:, 0, :] - (float(tab.mu_real) / h)[:, None] * ns.w[:, 0, :]
         dw_r = lu_solve(lu_r, piv_r, rhs_r)
         dws = [dw_r]
@@ -199,7 +205,7 @@ def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
 
         apply = ns.running & ~fail_now
         w_new = jnp.where(apply[:, None, None], ns.w + dw, ns.w)
-        z_new = jnp.einsum("ij,mjd->mid", t_mat, w_new)
+        z_new = jnp.einsum("ij,mjd->mid", t_mat, w_new, precision=_EINSUM_PRECISION)
         z_new = jnp.where(apply[:, None, None], z_new, ns.z)
 
         conv_now = apply & (
@@ -230,11 +236,8 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                 jac: Optional[Callable] = None, mass=None,
                 events=None) -> cm.Solution:
     """Batched adaptive Radau IIA solve (fixed stage count = options.min_stages)."""
-    if events is not None:
-        from janus_tpu.solve.events import solve_implicit_events
-        return solve_implicit_events(solve_radau, f, t0, tf, y0, args, options,
-                                     t_eval, events, jac=jac, mass=mass)
     opts = options if options is not None else Options()
+    specs = normalize_events(events)
     s = opts.min_stages
     tab = radau_tableau(s)
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
@@ -292,6 +295,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         active=~already_done,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
         stats=stats, out_ys=out_ys,
+        ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
     )
 
     eps = jnp.finfo(dtype).eps
@@ -344,7 +348,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         # ---- Newton warm start from previous collocation polynomial ------
         theta_ws = 1.0 + c_nodes[None, :] * (h / st.h_prev)[:, None]  # [M,s]
         powers = jnp.stack([theta_ws ** (q + 1) for q in range(s)], axis=-1)
-        poly_at = jnp.einsum("msq,mqd->msd", powers, st.q_poly)
+        poly_at = jnp.einsum("msq,mqd->msd", powers, st.q_poly, precision=_EINSUM_PRECISION)
         poly_at_1 = jnp.sum(st.q_poly, axis=1)          # poly(1) = Σ_q Q_q
         z0 = jnp.where(st.have_sol[:, None, None],
                        poly_at - poly_at_1[:, None, :],
@@ -365,7 +369,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
 
         # ---- error estimate ----------------------------------------------
         y_new = st.y + ns.z[:, -1, :]
-        ze = jnp.einsum("s,msd->md", e_vec, ns.z) / h[:, None]
+        ze = jnp.einsum("s,msd->md", e_vec, ns.z, precision=_EINSUM_PRECISION) / h[:, None]
         err1 = lu_solve(lu_r, piv_r, st.f0 + ze)
         scale_e = opts.atol + opts.rtol * jnp.maximum(jnp.abs(st.y),
                                                       jnp.abs(y_new))
@@ -420,15 +424,20 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                              operand=None)
 
         # ---- dense output & warm-start polynomial -------------------------
-        q_new = jnp.einsum("msd,sq->mqd", ns.z, p_mat)  # [M, θ-power q, D]
+        q_new = jnp.einsum("msd,sq->mqd", ns.z, p_mat, precision=_EINSUM_PRECISION)  # [M, θ-power q, D]
         q_poly = jnp.where(accept[:, None, None], q_new, st.q_poly)
 
         out_ys = st.out_ys
-        if use_dense:
+        interp = None
+        if use_dense or specs:
             def interp(theta):                          # [M,T] -> [M,T,D]
                 tp = jnp.stack([theta ** (q + 1) for q in range(s)], axis=-1)
-                return st.y[:, None, :] + jnp.einsum("mtq,mqd->mtd", tp, q_new)
+                return st.y[:, None, :] + jnp.einsum("mtq,mqd->mtd", tp, q_new, precision=_EINSUM_PRECISION)
+        if use_dense:
             out_ys = cm.collect_dense(out_ys, t_eval, st.t, h, accept, interp)
+
+        ev, terminate, t_ev, y_ev = handle_events(
+            specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
 
         # ---- state update -------------------------------------------------
         h_next_abs = jnp.where(accept, h_abs * fac_acc,
@@ -464,11 +473,13 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         status = jnp.where(exceeded, cm.MAX_STEPS, status).astype(jnp.int8)
         status = jnp.where(underflow, cm.STEP_UNDERFLOW, status).astype(jnp.int8)
         status = jnp.where(stall, cm.NEWTON_STALL, status).astype(jnp.int8)
-        active = st.active & ~done & ~exceeded & ~underflow & ~stall
+        status = jnp.where(terminate, cm.EVENT_TERMINATED, status).astype(jnp.int8)
+        active = st.active & ~done & ~exceeded & ~underflow & ~stall & ~terminate
 
         return _RadauState(
-            t=jnp.where(accept, t_new, st.t),
-            y=jnp.where(accept[:, None], y_new, st.y),
+            t=jnp.where(accept, jnp.where(terminate, t_ev, t_new), st.t),
+            y=jnp.where(accept[:, None],
+                        jnp.where(terminate[:, None], y_ev, y_new), st.y),
             f0=f_new,
             h=h_next,
             jac=jmat,
@@ -493,6 +504,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             h_prev=jnp.where(accept, h, st.h_prev),
             have_sol=st.have_sol | accept,
             active=active, status=status, stats=stats, out_ys=out_ys,
+            ev=ev,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -500,4 +512,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         t=final.t, y=final.y, status=final.status, stats=final.stats,
         ts=t_eval if use_dense else None,
         ys=final.out_ys if use_dense else None,
+        event_t=final.ev["event_t"] if specs else None,
+        event_y=final.ev["event_y"] if specs else None,
+        event_idx=final.ev["event_idx"] if specs else None,
     )
