@@ -1,0 +1,46 @@
+"""Fixed-capacity per-step playback buffers (the DynTe role)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+DYN_FIELDS = ("t", "h", "err", "niter", "accepted")
+
+
+def init_dyn(m: int, capacity: int, dtype):
+    """Ring buffers [M, K]; NaN-padded (reference pads inactive with NaN)."""
+    if capacity <= 0:
+        return None
+    return {
+        "t": jnp.full((m, capacity), jnp.nan, dtype),
+        "h": jnp.full((m, capacity), jnp.nan, dtype),
+        "err": jnp.full((m, capacity), jnp.nan, dtype),
+        "niter": jnp.zeros((m, capacity), jnp.int32),
+        "accepted": jnp.zeros((m, capacity), bool),
+        "idx": jnp.zeros((m,), jnp.int32),
+    }
+
+
+def record_step(dyn, attempted, t, h, err, niter, accepted):
+    """Write one step-attempt record for every lane in ``attempted``; the
+    write index advances per lane, capped at capacity−1 (last slot keeps the
+    final attempt if the budget is exceeded)."""
+    if dyn is None:
+        return None
+    m, cap = dyn["t"].shape
+    idx = jnp.minimum(dyn["idx"], cap - 1)
+    rows = jnp.arange(m)
+
+    def put(buf, val):
+        new = buf.at[rows, idx].set(val)
+        return jnp.where(attempted[:, None], new, buf)
+
+    out = {
+        "t": put(dyn["t"], t),
+        "h": put(dyn["h"], h),
+        "err": put(dyn["err"], err),
+        "niter": put(dyn["niter"], niter),
+        "accepted": put(dyn["accepted"], accepted),
+        "idx": dyn["idx"] + attempted.astype(jnp.int32),
+    }
+    return out

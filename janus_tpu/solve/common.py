@@ -37,6 +37,7 @@ class Solution:
     event_t: Optional[jnp.ndarray] = None   # [M] first-event time (events mode)
     event_y: Optional[jnp.ndarray] = None   # [M, D] state at event
     event_idx: Optional[jnp.ndarray] = None  # [M] which event fired (-1 = none)
+    dyn: Optional[Dict[str, jnp.ndarray]] = None  # per-step playback (DynTe)
 
     @property
     def success(self):

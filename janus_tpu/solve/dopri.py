@@ -27,6 +27,7 @@ from janus_tpu.solve import common as cm
 from janus_tpu.solve.events import (eval_events, handle_events,
                                     init_event_state, normalize_events)
 from janus_tpu.solve.options import Options
+from janus_tpu.diag.record import init_dyn, record_step
 
 
 class ERKTableau:
@@ -86,6 +87,7 @@ class _ERKState:
     stats: dict
     out_ys: Any              # [M,T,D] or 0 (disabled)
     ev: Any                  # event-detection state dict
+    dyn: Any                 # per-step playback (DynTe role)
 
 
 def _stages(tab: ERKTableau, f, t, y, h, f0, args):
@@ -229,6 +231,7 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
         stats=stats, out_ys=out_ys,
         ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
+        dyn=init_dyn(m, opts.record_steps, dtype),
     )
 
     eps = jnp.finfo(dtype).eps
@@ -276,6 +279,9 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         ev, terminate, t_ev, y_ev = handle_events(
             specs, s.ev, s.t, h, s.y, s.t + h, y1, interp, upd, args)
 
+        dyn = record_step(s.dyn, s.active, s.t, h, enorm,
+                          jnp.zeros_like(s.stats["nsteps"]), accept)
+
         t_n = jnp.where(upd, jnp.where(terminate, t_ev, s.t + h), s.t)
         y_n = jnp.where(upd[:, None],
                         jnp.where(terminate[:, None], y_ev, y1), s.y)
@@ -304,7 +310,7 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
 
         return _ERKState(t=t_n, y=y_n, f0=f0_n, h=h_n, facold=facold_n,
                          active=active, status=status, stats=stats,
-                         out_ys=out_ys, ev=ev)
+                         out_ys=out_ys, ev=ev, dyn=dyn)
 
     final = jax.lax.while_loop(cond, body, state)
     return cm.Solution(
@@ -314,4 +320,5 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         event_t=final.ev["event_t"] if specs else None,
         event_y=final.ev["event_y"] if specs else None,
         event_idx=final.ev["event_idx"] if specs else None,
+        dyn=final.dyn,
     )

@@ -45,3 +45,5 @@ class Options:
     # variable order (Radau): min/max number of stages
     min_stages: int = _static(3)
     max_stages: int = _static(3)
+    # per-step playback log capacity (0 = off; the DynTe role, SURVEY §5)
+    record_steps: int = _static(0)

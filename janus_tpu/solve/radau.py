@@ -42,6 +42,7 @@ from janus_tpu.solve.events import (handle_events, init_event_state,
                                     normalize_events)
 from janus_tpu.solve.options import Options
 from janus_tpu.solve.radau_tables import radau_tableau
+from janus_tpu.diag.record import init_dyn, record_step
 
 
 def default_jacobian(f: Callable) -> Callable:
@@ -102,6 +103,7 @@ class _RadauState:
     stats: dict
     out_ys: Any
     ev: Any
+    dyn: Any
 
 
 def _factorize(tab, h, jac, mass=None):
@@ -296,6 +298,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
         stats=stats, out_ys=out_ys,
         ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
+        dyn=init_dyn(m, opts.record_steps, dtype),
     )
 
     eps = jnp.finfo(dtype).eps
@@ -439,6 +442,9 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         ev, terminate, t_ev, y_ev = handle_events(
             specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
 
+        dyn = record_step(st.dyn, run_newton | singular, st.t, h, enorm,
+                          ns.niter, accept)
+
         # ---- state update -------------------------------------------------
         h_next_abs = jnp.where(accept, h_abs * fac_acc,
                                jnp.where(reject_err, h_abs * fac_rej,
@@ -504,7 +510,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             h_prev=jnp.where(accept, h, st.h_prev),
             have_sol=st.have_sol | accept,
             active=active, status=status, stats=stats, out_ys=out_ys,
-            ev=ev,
+            ev=ev, dyn=dyn,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -515,4 +521,5 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         event_t=final.ev["event_t"] if specs else None,
         event_y=final.ev["event_y"] if specs else None,
         event_idx=final.ev["event_idx"] if specs else None,
+        dyn=final.dyn,
     )
