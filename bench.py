@@ -52,7 +52,7 @@ def main():
     from janus_tpu.solve.radau import solve_radau
 
     mu, tf = 1000.0, 1.0
-    batch = 8192
+    batch = 65536
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
@@ -63,7 +63,9 @@ def main():
 
     y0 = jnp.tile(jnp.array([[2.0, 0.0]], dtype), (batch, 1))
     mus = jnp.full((batch,), mu, dtype)
-    opts = Options(rtol=rtol, atol=atol)
+    # pivot-free stage LU: identical runtime on these strongly diagonally
+    # dominant iteration matrices, far faster XLA:TPU compiles
+    opts = Options(rtol=rtol, atol=atol, pivoting=False)
 
     def final_state(y0, mus):
         sol = solve_radau(vdp_rhs, 0.0, tf, y0, args=mus, options=opts,

@@ -16,28 +16,48 @@ import jax
 import jax.numpy as jnp
 
 
-def lu_factor(a):
-    """Batched LU with partial pivoting.
+def _swap_rows_onehot(x, k, p, rows_idx):
+    """Swap row k (static) with row p (dynamic, per batch) WITHOUT gathers.
 
-    a: [..., D, D] → (lu [..., D, D] packed L\\U, piv [..., D] int32 swap targets
-    in LAPACK ipiv convention, growth-scale diag magnitudes are in lu's diagonal).
+    TPU lowers dynamic gathers (take_along_axis) to serialized loops — a
+    measured 30-50x slowdown at batch 65k. One-hot select/reduce swaps are
+    pure VPU elementwise work instead.
+    """
+    onehot = rows_idx == p[..., None]                       # [..., D]
+    row_p = jnp.sum(jnp.where(onehot[..., None], x, 0.0), axis=-2)
+    row_k = x[..., k, :]
+    diff_kp = (row_p - row_k)[..., None, :]
+    is_k = (rows_idx == k)[:, None]
+    return x + is_k * diff_kp - onehot[..., None] * diff_kp
+
+
+def lu_factor(a, pivot: bool = True):
+    """Batched LU (partial pivoting by default).
+
+    a: [..., D, D] → (lu [..., D, D] packed L\\U, piv [..., D] int32 swap
+    targets in LAPACK ipiv convention; with pivot=False piv is the identity).
+    Fully unrolled over the static D; gather-free (one-hot row swaps).
     """
     d = a.shape[-1]
     lu = a
     pivs = []
     rows_idx = jnp.arange(d)
     for k in range(d):
-        col = lu[..., :, k]
-        mag = jnp.abs(col)
-        # mask out rows above k
-        mag = jnp.where(rows_idx >= k, mag, -jnp.inf)
-        p = jnp.argmax(mag, axis=-1)  # [...]
-        pivs.append(p.astype(jnp.int32))
-        # swap rows k <-> p (batched gather)
-        pk = p[..., None]
-        perm = jnp.where(rows_idx == k, pk,
-                         jnp.where(rows_idx == pk, k, rows_idx))
-        lu = jnp.take_along_axis(lu, perm[..., None], axis=-2)
+        if pivot:
+            # pivot search as an unrolled select tournament — argmax inside a
+            # loop makes the XLA:TPU compile time pathological (~500 s) and
+            # lowers poorly; pairwise where-selects are pure VPU work
+            best_val = jnp.abs(lu[..., k, k])
+            p = jnp.full(a.shape[:-2], k, jnp.int32)
+            for i in range(k + 1, d):
+                cand = jnp.abs(lu[..., i, k])
+                better = cand > best_val
+                best_val = jnp.where(better, cand, best_val)
+                p = jnp.where(better, i, p)
+            pivs.append(p)
+            lu = _swap_rows_onehot(lu, k, p, rows_idx)
+        else:
+            pivs.append(jnp.full(a.shape[:-2], k, jnp.int32))
         # eliminate below k
         pivval = lu[..., k, k]
         safe = jnp.where(pivval == 0.0, 1.0, pivval)
@@ -72,13 +92,10 @@ def lu_solve(lu, piv, b):
     vec = b.ndim == lu.ndim - 1
     if vec:
         b = b[..., None]
-    # apply row swaps in order (LAPACK ipiv semantics)
-    rows_idx = jnp.arange(d)[:, None]  # [D, 1]
+    # apply row swaps in order (LAPACK ipiv semantics), gather-free
+    rows_idx = jnp.arange(d)
     for k in range(d):
-        pk = piv[..., k][..., None, None]  # [..., 1, 1]
-        perm = jnp.where(rows_idx == k, pk,
-                         jnp.where(rows_idx == pk, k, rows_idx))
-        b = jnp.take_along_axis(b, perm, axis=-2)
+        b = _swap_rows_onehot(b, k, piv[..., k], rows_idx)
     # forward substitution (unit lower)
     ys = []
     for i in range(d):

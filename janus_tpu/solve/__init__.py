@@ -41,11 +41,19 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         name = "dopri5" if method in ("dopri5", "rk45") else "dopri853"
         return solve_erk(TABLEAUS[name], f, t0, tf, y0, args, options, t_eval,
                          events=events)
-    if method in ("radau", "radau5", "radau13", "radau9"):
-        from janus_tpu.solve.radau import solve_radau
-        stages = {"radau": None, "radau5": 3, "radau9": 5, "radau13": 7}[method]
+    if method in ("radau", "radau5", "radau13", "radau9", "radaup"):
+        stages = {"radau": None, "radau5": 3, "radau9": 5, "radau13": 7,
+                  "radaup": None}[method]
         if stages is not None:
             options = options.replace(min_stages=stages, max_stages=stages)
+        if method == "radaup" and options.min_stages == options.max_stages:
+            # variable order by default: stages 1..7
+            options = options.replace(min_stages=1, max_stages=7)
+        if options.min_stages != options.max_stages:
+            from janus_tpu.solve.radaup import solve_radau_vo
+            return solve_radau_vo(f, t0, tf, y0, args, options, t_eval,
+                                  events=events)
+        from janus_tpu.solve.radau import solve_radau
         return solve_radau(f, t0, tf, y0, args, options, t_eval, events=events)
     if method == "bdf2":
         from janus_tpu.solve.bdf import solve_bdf2

@@ -137,7 +137,7 @@ def solve_bdf2(f: Callable, t0, tf, y0, args=None,
 
         def do_fact(_):
             amat = a_over_h[:, None, None] * jnp.eye(dim, dtype=dtype) - jmat
-            lu_n, piv_n = lu_factor(amat)
+            lu_n, piv_n = lu_factor(amat, pivot=opts.pivoting)
             ok = lu_ok(lu_n)
             return (jnp.where(needf[:, None, None], lu_n, st.lu),
                     jnp.where(needf[:, None], piv_n, st.piv),

@@ -47,3 +47,7 @@ class Options:
     max_stages: int = _static(3)
     # per-step playback log capacity (0 = off; the DynTe role, SURVEY §5)
     record_steps: int = _static(0)
+    # partial pivoting in the stage LU (True = robust default; False is
+    # faster and safe for the strongly diagonally-dominant iteration
+    # matrices (gamma/h·M − J) of very stiff regimes)
+    pivoting: bool = _static(True)

@@ -106,13 +106,13 @@ class _RadauState:
     dyn: Any
 
 
-def _factorize(tab, h, jac, mass=None):
+def _factorize(tab, h, jac, mass=None, pivot=True):
     """Build and factor the real and split-complex iteration matrices."""
     dim = jac.shape[-1]
     eye = jnp.eye(dim, dtype=jac.dtype)
     mm = eye if mass is None else mass
     a_real = (float(tab.mu_real) / h)[..., None, None] * mm - jac
-    lu_r, piv_r = lu_factor(a_real)
+    lu_r, piv_r = lu_factor(a_real, pivot=pivot)
     ok = lu_ok(lu_r)
     lus, pivs = [], []
     for p in range((tab.s - 1) // 2):
@@ -123,7 +123,7 @@ def _factorize(tab, h, jac, mass=None):
         top = jnp.concatenate([ar, -ai], axis=-1)
         bot = jnp.concatenate([ai, ar], axis=-1)
         block = jnp.concatenate([top, bot], axis=-2)
-        lu_c, piv_c = lu_factor(block)
+        lu_c, piv_c = lu_factor(block, pivot=pivot)
         ok = ok & lu_ok(lu_c)
         lus.append(lu_c)
         pivs.append(piv_c)
@@ -328,7 +328,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         needf = st.active & (needj | (h != st.h_fact))
 
         def do_fact(_):
-            lr, pr, lc, pc, ok = _factorize(tab, h, jmat, mass)
+            lr, pr, lc, pc, ok = _factorize(tab, h, jmat, mass, opts.pivoting)
             sel = needf
             return (
                 jnp.where(sel[:, None, None], lr, st.lu_real),

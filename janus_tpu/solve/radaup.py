@@ -1,0 +1,407 @@
+"""Variable-order Radau IIA (stages {1,3,5,7} ⇒ orders {1,5,9,13}).
+
+The reference's RadauTe adapts the stage count per trajectory from Newton
+contractivity Θ (order-change logic radaute_impl.hpp:600-650; per-stage sample
+grouping set_active_stage :656-669, skipping empty groups). Lockstep TPU
+version: the step body loops over the DISTINCT allowed stage counts; each
+order's Newton runs under ``lax.cond(any(lane holds this order))`` so absent
+orders cost nothing — the exact analogue of the reference's group skipping.
+Stage-shaped work buffers are padded to the largest allowed stage count.
+
+Order control (Hairer RADAUP style, reference knobs Vitu/Vitd/hhou/hhod,
+radaute.hpp:84-95): on an accepted step, fast Newton contraction
+(Θ < vitu) raises the order, slow contraction (Θ > vitd) lowers it; an order
+change forces refactorization.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+
+from janus_tpu.diag.record import init_dyn, record_step
+from janus_tpu.linalg.smalllu import lu_factor, lu_solve, lu_ok
+from janus_tpu.solve import common as cm
+from janus_tpu.solve.events import (handle_events, init_event_state,
+                                    normalize_events)
+from janus_tpu.solve.options import Options
+from janus_tpu.solve.radau import (_EINSUM_PRECISION, _factorize, _newton,
+                                   default_jacobian)
+from janus_tpu.solve.radau_tables import radau_tableau
+
+VITU = 0.002      # raise order when Newton contracts faster than this
+VITD = 0.8        # lower order when slower than this
+HHOU = 1.2        # step-size nudge on order raise
+HHOD = 0.8        # step-size nudge on order lower
+
+
+@struct.dataclass
+class _VState:
+    t: jnp.ndarray
+    y: jnp.ndarray
+    f0: jnp.ndarray
+    h: jnp.ndarray
+    order: jnp.ndarray        # [M] stage count (1/3/5/7)
+    jac: jnp.ndarray
+    lu_real: jnp.ndarray
+    piv_real: jnp.ndarray
+    lu_cplx: jnp.ndarray      # [M, Pmax, 2D, 2D]
+    piv_cplx: jnp.ndarray
+    h_fact: jnp.ndarray
+    current_jac: jnp.ndarray
+    need_jac: jnp.ndarray
+    h_old: jnp.ndarray
+    err_old: jnp.ndarray
+    rejected: jnp.ndarray
+    nsing: jnp.ndarray
+    q_poly: jnp.ndarray       # [M, smax, D] padded collocation poly coeffs
+    h_prev: jnp.ndarray
+    have_sol: jnp.ndarray
+    active: jnp.ndarray
+    status: jnp.ndarray
+    stats: dict
+    out_ys: Any
+    ev: Any
+    dyn: Any
+
+
+def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
+                   options: Optional[Options] = None, t_eval=None,
+                   jac: Optional[Callable] = None, mass=None,
+                   events=None) -> cm.Solution:
+    opts = options if options is not None else Options()
+    specs = normalize_events(events)
+    orders = tuple(s for s in (1, 3, 5, 7)
+                   if opts.min_stages <= s <= opts.max_stages)
+    if len(orders) < 2:
+        from janus_tpu.solve.radau import solve_radau
+        return solve_radau(f, t0, tf, y0, args, options, t_eval, jac, mass,
+                           events)
+    smax = orders[-1]
+    pmax = (smax - 1) // 2
+    tabs = {s: radau_tableau(s) for s in orders}
+
+    t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
+    m, dim = y0.shape
+    dtype = y0.dtype
+    jac_fn = jac if jac is not None else default_jacobian(f)
+    newton_tol = opts.newton_tol if opts.newton_tol > 0 else max(
+        10 * float(jnp.finfo(dtype).eps) / opts.rtol,
+        min(0.03, opts.rtol ** 0.5))
+    max_iter = opts.newton_max_iter
+
+    f0 = f(t0, y0, args)
+    if opts.h0 == 0.0:
+        h = cm.initial_step(f, t0, y0, f0, tf, 3, opts.rtol, opts.atol,
+                            args, opts.max_step)
+    else:
+        direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
+        h = jnp.broadcast_to(jnp.asarray(opts.h0, dtype), (m,)) * direction
+
+    use_dense = t_eval is not None
+    if use_dense:
+        t_eval = jnp.asarray(t_eval, dtype)
+        at_t0 = (t_eval[None, :] == t0[:, None])
+        out_ys = jnp.where(at_t0[..., None], y0[:, None, :], jnp.nan)
+    else:
+        out_ys = jnp.zeros((), dtype)
+
+    stats = cm.zero_stats(m, ("nfev", "njev", "nlu", "nsteps", "naccept",
+                              "nreject", "nnewton"))
+    stats["nfev"] = stats["nfev"] + 2
+    already_done = t0 == tf
+    order0 = min(max(3, orders[0]), orders[-1])
+    state = _VState(
+        t=t0, y=y0, f0=f0, h=h,
+        order=jnp.full((m,), order0, jnp.int32),
+        jac=jnp.zeros((m, dim, dim), dtype),
+        lu_real=jnp.zeros((m, dim, dim), dtype),
+        piv_real=jnp.zeros((m, dim), jnp.int32),
+        lu_cplx=jnp.zeros((m, pmax, 2 * dim, 2 * dim), dtype),
+        piv_cplx=jnp.zeros((m, pmax, 2 * dim), jnp.int32),
+        h_fact=jnp.zeros((m,), dtype),
+        current_jac=jnp.zeros((m,), bool),
+        need_jac=jnp.ones((m,), bool),
+        h_old=jnp.zeros((m,), dtype),
+        err_old=jnp.zeros((m,), dtype),
+        rejected=jnp.zeros((m,), bool),
+        nsing=jnp.zeros((m,), jnp.int32),
+        q_poly=jnp.zeros((m, smax, dim), dtype),
+        h_prev=jnp.ones((m,), dtype),
+        have_sol=jnp.zeros((m,), bool),
+        active=~already_done,
+        status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
+        stats=stats, out_ys=out_ys,
+        ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
+        dyn=init_dyn(m, opts.record_steps, dtype),
+    )
+    eps = jnp.finfo(dtype).eps
+
+    def cond(st):
+        return jnp.any(st.active)
+
+    def body(st):
+        remaining = tf - st.t
+        last = jnp.abs(st.h) >= jnp.abs(remaining)
+        h = jnp.where(last, remaining, st.h)
+        h = jnp.where(h == 0.0, eps, h)
+
+        needj = st.need_jac & st.active
+
+        def do_jac(_):
+            jn = jac_fn(st.t, st.y, args)
+            return jnp.where(needj[:, None, None], jn, st.jac)
+
+        jmat = jax.lax.cond(jnp.any(needj), do_jac, lambda _: st.jac, None)
+        current_jac = st.current_jac | needj
+
+        # ---- per-order factorization + Newton ----------------------------
+        lu_r, piv_r = st.lu_real, st.piv_real
+        lu_c, piv_c = st.lu_cplx, st.piv_cplx
+        fact_ok = jnp.ones((m,), bool)
+        h_fact = st.h_fact
+        conv = jnp.zeros((m,), bool)
+        attempted = jnp.zeros((m,), bool)
+        y_new = st.y
+        ze = jnp.zeros((m, dim), dtype)
+        q_new = st.q_poly
+        niter = jnp.zeros((m,), jnp.int32)
+        rate = jnp.zeros((m,), dtype)
+        nfev_add = jnp.zeros((m,), jnp.int32)
+        nlu_add = jnp.zeros((m,), jnp.int32)
+        scale_n = opts.atol + opts.rtol * jnp.abs(st.y)
+
+        for s in orders:
+            tab = tabs[s]
+            sel = st.active & (st.order == s)
+            needf = sel & (needj | (h != h_fact))
+            npair = (s - 1) // 2
+
+            def do_fact(_, tab=tab, needf=needf, npair=npair):
+                lr, pr, lc, pc, ok = _factorize(tab, h, jmat, mass,
+                                                opts.pivoting)
+                lcp = jnp.zeros((m, pmax, 2 * dim, 2 * dim), dtype)
+                pcp = jnp.zeros((m, pmax, 2 * dim), jnp.int32)
+                if npair:
+                    lcp = lcp.at[:, :npair].set(lc)
+                    pcp = pcp.at[:, :npair].set(pc)
+                return lr, pr, lcp, pcp, ok
+
+            def skip_fact(_):
+                return (lu_r, piv_r, lu_c, piv_c, jnp.ones((m,), bool))
+
+            lr, pr, lc, pc, ok = jax.lax.cond(jnp.any(needf), do_fact,
+                                              skip_fact, None)
+            w = needf
+            lu_r = jnp.where(w[:, None, None], lr, lu_r)
+            piv_r = jnp.where(w[:, None], pr, piv_r)
+            lu_c = jnp.where(w[:, None, None, None], lc, lu_c)
+            piv_c = jnp.where(w[:, None, None], pc, piv_c)
+            fact_ok = jnp.where(w, ok, fact_ok)
+            h_fact = jnp.where(w, h, h_fact)
+            nlu_add = nlu_add + w * (1 + npair)
+
+            run_s = sel & fact_ok
+
+            def do_newton(_, tab=tab, s=s, run_s=run_s, npair=npair):
+                c_nodes = jnp.asarray(tab.c, dtype)
+                # warm start from the (padded) previous collocation poly
+                theta = 1.0 + c_nodes[None, :] * (h / st.h_prev)[:, None]
+                powers = jnp.stack([theta ** (q + 1) for q in range(smax)],
+                                   axis=-1)
+                poly_at = jnp.einsum("msq,mqd->msd", powers, st.q_poly,
+                                     precision=_EINSUM_PRECISION)
+                poly_1 = jnp.sum(st.q_poly, axis=1)
+                z0 = jnp.where(st.have_sol[:, None, None],
+                               poly_at - poly_1[:, None, :],
+                               jnp.zeros((m, s, dim), dtype))
+                ns = _newton(tab, f, st.t, st.y, h, z0, scale_n, newton_tol,
+                             lu_r, piv_r, lu_c[:, :max(npair, 1)][:, :npair]
+                             if npair else lu_c[:, :0],
+                             piv_c[:, :npair] if npair else piv_c[:, :0],
+                             run_s, max_iter, args)
+                yn = st.y + ns.z[:, -1, :]
+                e_vec = jnp.asarray(tab.e, dtype)
+                ze_s = jnp.einsum("s,msd->md", e_vec, ns.z,
+                                  precision=_EINSUM_PRECISION) / h[:, None]
+                p_mat = jnp.asarray(tab.p, dtype)
+                qp = jnp.einsum("msd,sq->mqd", ns.z, p_mat,
+                                precision=_EINSUM_PRECISION)
+                qpad = jnp.zeros((m, smax, dim), dtype).at[:, :s].set(qp)
+                return (ns.converged, yn, ze_s, qpad, ns.niter, ns.rate,
+                        ns.nfev)
+
+            def skip_newton(_):
+                return (jnp.zeros((m,), bool), st.y, jnp.zeros((m, dim), dtype),
+                        jnp.zeros((m, smax, dim), dtype),
+                        jnp.zeros((m,), jnp.int32), jnp.zeros((m,), dtype),
+                        jnp.zeros((m,), jnp.int32))
+
+            cv, yn, ze_s, qp, ni, rt, nf = jax.lax.cond(
+                jnp.any(run_s), do_newton, skip_newton, None)
+            conv = jnp.where(run_s, cv, conv)
+            y_new = jnp.where(run_s[:, None], yn, y_new)
+            ze = jnp.where(run_s[:, None], ze_s, ze)
+            q_new = jnp.where(run_s[:, None, None], qp, q_new)
+            niter = jnp.where(run_s, ni, niter)
+            rate = jnp.where(run_s, rt, rate)
+            nfev_add = nfev_add + jnp.where(run_s, nf, 0)
+            attempted = attempted | run_s
+
+        singular = st.active & ~fact_ok
+        conv = attempted & conv
+        newton_fail = attempted & ~conv
+        nf_stale = newton_fail & ~current_jac
+        nf_fresh = (newton_fail & current_jac) | singular
+
+        # ---- error estimate (shared: per-lane factor buffers) ------------
+        err1 = lu_solve(lu_r, piv_r, st.f0 + ze)
+        scale_e = opts.atol + opts.rtol * jnp.maximum(jnp.abs(st.y),
+                                                      jnp.abs(y_new))
+        enorm1 = jnp.sqrt(jnp.mean(jnp.square(err1 / scale_e), axis=-1))
+        enorm1 = jnp.where(jnp.isfinite(enorm1), enorm1, 1e10)
+        refine = conv & st.rejected & (enorm1 > 1.0)
+
+        def do_refine(_):
+            fe = f(st.t, st.y + err1, args)
+            err2 = lu_solve(lu_r, piv_r, fe + ze)
+            en2 = jnp.sqrt(jnp.mean(jnp.square(err2 / scale_e), axis=-1))
+            return jnp.where(refine, jnp.where(jnp.isfinite(en2), en2, 1e10),
+                             enorm1)
+
+        enorm = jax.lax.cond(jnp.any(refine), do_refine, lambda _: enorm1,
+                             None)
+        accept = conv & (enorm <= 1.0)
+        reject_err = conv & (enorm > 1.0)
+
+        # ---- controller with per-lane order exponent ----------------------
+        h_abs = jnp.abs(h)
+        niter_f = jnp.maximum(niter, 1).astype(dtype)
+        safety = opts.safety * (2 * max_iter + 1) / (2 * max_iter + niter_f)
+        have_old = (st.h_old > 0) & (st.err_old > 0) & (enorm > 0)
+        expo = 1.0 / (st.order.astype(dtype) + 1.0)
+        enorm_safe = jnp.maximum(enorm, 1e-16)
+        mult = jnp.where(have_old,
+                         h_abs / jnp.where(st.h_old == 0, 1.0, st.h_old)
+                         * (st.err_old / enorm_safe) ** expo, 1.0)
+        base_factor = jnp.minimum(1.0, mult) * enorm_safe ** -expo
+        fac_rej = jnp.maximum(opts.min_factor, safety * base_factor)
+        fac_acc = jnp.minimum(opts.max_factor, safety * base_factor)
+        recompute_jac = accept & (niter > 2) & (rate > opts.jac_recompute)
+        deadzone = accept & ~recompute_jac & (fac_acc >= opts.quot1) & \
+            (fac_acc < opts.quot2)
+        fac_acc = jnp.where(deadzone, 1.0, fac_acc)
+
+        # ---- order adaptation (Hairer Θ rules) ----------------------------
+        order_up = accept & (rate < VITU) & (niter <= 2) & \
+            (st.order < orders[-1])
+        order_down = accept & ((rate > VITD) | (niter >= max_iter - 1)) & \
+            (st.order > orders[0])
+        order_next = jnp.where(order_up, st.order + 2,
+                               jnp.where(order_down, st.order - 2, st.order))
+        fac_acc = jnp.where(order_up, fac_acc * HHOU,
+                            jnp.where(order_down, fac_acc * HHOD, fac_acc))
+        order_changed = order_next != st.order
+
+        t_new = st.t + h
+
+        def do_fnew(_):
+            fn = f(t_new, y_new, args)
+            return jnp.where(accept[:, None], fn, st.f0)
+
+        f_new = jax.lax.cond(jnp.any(accept), do_fnew, lambda _: st.f0, None)
+
+        q_poly = jnp.where(accept[:, None, None], q_new, st.q_poly)
+        out_ys = st.out_ys
+        interp = None
+        if use_dense or specs:
+            def interp(theta):
+                tp = jnp.stack([theta ** (q + 1) for q in range(smax)],
+                               axis=-1)
+                return st.y[:, None, :] + jnp.einsum(
+                    "mtq,mqd->mtd", tp, q_new, precision=_EINSUM_PRECISION)
+        if use_dense:
+            out_ys = cm.collect_dense(out_ys, t_eval, st.t, h, accept, interp)
+
+        ev, terminate, t_ev, y_ev = handle_events(
+            specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
+
+        dyn = record_step(st.dyn, attempted | singular, st.t, h, enorm,
+                          niter, accept)
+
+        h_next_abs = jnp.where(accept, h_abs * fac_acc,
+                               jnp.where(reject_err, h_abs * fac_rej,
+                                         jnp.where(nf_fresh, h_abs * 0.5,
+                                                   h_abs)))
+        h_next_abs = jnp.minimum(h_next_abs, opts.max_step)
+        h_next = jnp.where(st.active, h_next_abs * jnp.sign(h), st.h)
+        done = accept & last
+
+        stats = dict(st.stats)
+        stats["nfev"] = stats["nfev"] + nfev_add + accept + refine
+        stats["njev"] = stats["njev"] + needj
+        stats["nlu"] = stats["nlu"] + nlu_add
+        stats["nsteps"] = stats["nsteps"] + (attempted | singular)
+        stats["naccept"] = stats["naccept"] + accept
+        stats["nreject"] = stats["nreject"] + (reject_err | newton_fail
+                                               | singular)
+        stats["nnewton"] = stats["nnewton"] + niter
+
+        nsing = jnp.where(singular | newton_fail, st.nsing + 1,
+                          jnp.where(accept, 0, st.nsing))
+        stall = st.active & (nsing >= 7)
+        exceeded = st.active & (stats["nsteps"] >= opts.max_steps) & ~done
+        hmin = 16.0 * eps * jnp.maximum(jnp.abs(t_new), 1.0)
+        underflow = st.active & (h_next_abs < hmin) & ~done
+
+        status = st.status
+        status = jnp.where(done, cm.SUCCESS, status).astype(jnp.int8)
+        status = jnp.where(exceeded, cm.MAX_STEPS, status).astype(jnp.int8)
+        status = jnp.where(underflow, cm.STEP_UNDERFLOW, status).astype(jnp.int8)
+        status = jnp.where(stall, cm.NEWTON_STALL, status).astype(jnp.int8)
+        status = jnp.where(terminate, cm.EVENT_TERMINATED, status).astype(jnp.int8)
+        active = st.active & ~done & ~exceeded & ~underflow & ~stall & \
+            ~terminate
+
+        return _VState(
+            t=jnp.where(accept, jnp.where(terminate, t_ev, t_new), st.t),
+            y=jnp.where(accept[:, None],
+                        jnp.where(terminate[:, None], y_ev, y_new), st.y),
+            f0=f_new,
+            h=h_next,
+            order=jnp.where(st.active, order_next, st.order),
+            jac=jmat,
+            lu_real=lu_r, piv_real=piv_r, lu_cplx=lu_c, piv_cplx=piv_c,
+            h_fact=jnp.where((accept & ~deadzone) | reject_err | nf_fresh
+                             | order_changed, 0.0, h_fact),
+            current_jac=jnp.where(accept, False, current_jac),
+            need_jac=jnp.where(accept, recompute_jac,
+                               jnp.where(nf_stale, True,
+                                         jnp.where(needj, False,
+                                                   st.need_jac))),
+            h_old=jnp.where(accept, h_abs, st.h_old),
+            err_old=jnp.where(accept, jnp.maximum(enorm, 1e-16), st.err_old),
+            rejected=jnp.where(accept, False,
+                               st.rejected | reject_err | newton_fail
+                               | singular),
+            nsing=nsing,
+            q_poly=q_poly,
+            h_prev=jnp.where(accept, h, st.h_prev),
+            have_sol=st.have_sol | accept,
+            active=active, status=status, stats=stats, out_ys=out_ys,
+            ev=ev, dyn=dyn,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return cm.Solution(
+        t=final.t, y=final.y, status=final.status, stats=final.stats,
+        ts=t_eval if use_dense else None,
+        ys=final.out_ys if use_dense else None,
+        event_t=final.ev["event_t"] if specs else None,
+        event_y=final.ev["event_y"] if specs else None,
+        event_idx=final.ev["event_idx"] if specs else None,
+        dyn=final.dyn,
+    )

@@ -100,7 +100,7 @@ def solve_ros4(f: Callable, t0, tf, y0, args=None,
         jmat = jac_fn(st.t, st.y, args)
         amat = (1.0 / (GAM * h))[:, None, None] * jnp.eye(dim, dtype=dtype) \
             - jmat
-        lu, piv = lu_factor(amat)
+        lu, piv = lu_factor(amat, pivot=opts.pivoting)
         ok = lu_ok(lu)
 
         fy = f(st.t, st.y, args)

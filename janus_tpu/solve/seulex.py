@@ -96,7 +96,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         for k, nj in enumerate(NSEQ):
             hsub = hcol / nj
             amat = jnp.eye(dim, dtype=dtype)[None] - hsub[..., None] * jmat
-            lu, piv = lu_factor(amat)
+            lu, piv = lu_factor(amat, pivot=opts.pivoting)
             ok_all = ok_all & lu_ok(lu)
             ysub = st.y
             for i in range(nj):

@@ -1,0 +1,62 @@
+"""Variable-order Radau (stages 1..7): oracle accuracy + order movement."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp as ss
+
+from janus_tpu.solve import solve_ivp, Options, SUCCESS
+from janus_tpu.models.problems import vdp_rhs, harmonic_rhs
+
+
+def test_radaup_stiff_vdp_accuracy():
+    mu = 1000.0
+    ref = ss(lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
+             (0.0, 2.0), [2.0, 0.0], method="Radau", rtol=1e-10, atol=1e-13)
+    sol = solve_ivp(vdp_rhs, (0.0, 2.0), jnp.array([[2.0, 0.0]]),
+                    method="radaup", args=mu, rtol=1e-8, atol=1e-11)
+    assert int(sol.status[0]) == SUCCESS
+    np.testing.assert_allclose(sol.y[0], ref.y[:, -1], rtol=1e-5, atol=1e-7)
+
+
+def test_radaup_tight_tol_beats_fixed_s3():
+    """At tight tolerance the variable-order solver should use higher orders
+    and take fewer steps than fixed s=3."""
+    mu = 1000.0
+    opts = dict(rtol=1e-10, atol=1e-13)
+    s3 = solve_ivp(vdp_rhs, (0.0, 2.0), jnp.array([[2.0, 0.0]]),
+                   method="radau", args=mu, **opts)
+    vo = solve_ivp(vdp_rhs, (0.0, 2.0), jnp.array([[2.0, 0.0]]),
+                   method="radaup", args=mu, **opts)
+    assert int(vo.status[0]) == SUCCESS
+    assert int(vo.stats["nsteps"][0]) < int(s3.stats["nsteps"][0])
+
+
+def test_radaup_heterogeneous_batch():
+    mus = jnp.array([1.0, 1000.0])
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (2, 1))
+    sol = solve_ivp(vdp_rhs, (0.0, 5.0), y0, method="radaup", args=mus,
+                    rtol=1e-8, atol=1e-11)
+    assert bool(jnp.all(sol.status == SUCCESS))
+    for i, mu in enumerate(np.asarray(mus)):
+        ref = ss(lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
+                 (0.0, 5.0), [2.0, 0.0], method="Radau", rtol=1e-10,
+                 atol=1e-13)
+        np.testing.assert_allclose(sol.y[i], ref.y[:, -1], rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_radaup_dense_and_events():
+    from janus_tpu.solve.events import Event
+    omega = 1.0
+    t_eval = jnp.linspace(0.0, 5.0, 11)
+    sol = solve_ivp(harmonic_rhs, (0.0, 5.0), jnp.array([[1.0, 0.0]]),
+                    method="radaup", args=omega, rtol=1e-9, atol=1e-12,
+                    t_eval=t_eval)
+    np.testing.assert_allclose(sol.ys[0, :, 0], np.cos(np.asarray(t_eval)),
+                               rtol=1e-5, atol=1e-6)
+    g = lambda t, y, args: y[:, 0]
+    se = solve_ivp(harmonic_rhs, (0.0, 5.0), jnp.array([[1.0, 0.0]]),
+                   method="radaup", args=omega, rtol=1e-9, atol=1e-12,
+                   events=Event(g, terminal=True))
+    np.testing.assert_allclose(se.event_t[0], np.pi / 2, rtol=1e-7)
