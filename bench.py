@@ -15,19 +15,23 @@ import time
 import numpy as np
 
 
-def _measure_scipy_baseline(mu, tf, rtol, atol, n_probe=4):
-    """CPU trajectories/sec: scipy Radau with analytic jac + FD sensitivities
-    (central differences per state dim → 1 + 2D solves per trajectory, the
-    reference's FD-resolve oracle pattern)."""
-    from scipy.integrate import solve_ivp
+def _measure_cpu_baseline(mu, tf, rtol, atol, n_probe=8):
+    """CPU trajectories/sec: the native C++ Radau5 oracle (single-trajectory
+    compiled solver — the reference's own implementation style) with FD
+    sensitivities (1 + 2D solves per trajectory, the reference's FD-resolve
+    oracle pattern). Falls back to scipy Radau if the toolchain is missing."""
+    try:
+        from janus_tpu import native
 
-    def run_one(y0):
-        return solve_ivp(
-            lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
-            (0.0, tf), y0, method="Radau", rtol=rtol, atol=atol,
-            jac=lambda t, y: [[0.0, 1.0],
-                              [-2 * mu * y[0] * y[1] - 1,
-                               mu * (1 - y[0] ** 2)]])
+        def run_one(y0):
+            native.radau5_cpu(native.RHS_VDP, 0.0, tf, y0, [mu],
+                              rtol=rtol, atol=atol)
+    except Exception:
+        from scipy.integrate import solve_ivp
+
+        def run_one(y0):
+            solve_ivp(lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
+                      (0.0, tf), y0, method="Radau", rtol=rtol, atol=atol)
 
     y0 = np.array([2.0, 0.0])
     eps = 1e-5
@@ -105,8 +109,8 @@ def main():
     ok = float(jnp.mean((status == 1).astype(jnp.float32)))
     traj_per_sec = batch / dt
 
-    cpu_rate = _measure_scipy_baseline(mu, tf, max(rtol, 1e-6),
-                                       max(atol, 1e-9))
+    cpu_rate = _measure_cpu_baseline(mu, tf, max(rtol, 1e-6),
+                                     max(atol, 1e-9))
     vs_baseline = traj_per_sec / cpu_rate
 
     print(json.dumps({

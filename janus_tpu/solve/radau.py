@@ -137,8 +137,18 @@ def _factorize(tab, h, jac, mass=None, pivot=True):
 
 
 def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
-            run_mask, max_iter, args):
-    """Batched simplified Newton on the transformed collocation system."""
+            run_mask, max_iter, args, mass=None):
+    """Batched simplified Newton on the transformed collocation system.
+    With a mass matrix M the collocation system is M·Z = h·A·F (DAE form,
+    reference NbrInd1-3 support radaute.hpp:52-96): residuals use M·w."""
+
+    def mdot(w):
+        if mass is None:
+            return w
+        return jnp.einsum("...ij,m...j->m...i", mass, w,
+                          precision=_EINSUM_PRECISION) \
+            if mass.ndim == 2 else jnp.einsum(
+                "mij,mj->mi", mass, w, precision=_EINSUM_PRECISION)
     m, dim = y.shape
     dtype = y.dtype
     s = tab.s
@@ -172,14 +182,14 @@ def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
 
         # transformed residuals and solves
         tif = jnp.einsum("ij,mjd->mid", ti_mat, fmat, precision=_EINSUM_PRECISION)   # [M, s, D]
-        rhs_r = tif[:, 0, :] - (float(tab.mu_real) / h)[:, None] * ns.w[:, 0, :]
+        rhs_r = tif[:, 0, :] - (float(tab.mu_real) / h)[:, None] * mdot(ns.w[:, 0, :])
         dw_r = lu_solve(lu_r, piv_r, rhs_r)
         dws = [dw_r]
         for p in range(npair):
             mu = tab.mu_complex[p]
             mur, mui = float(mu.real), float(mu.imag)
-            w1 = ns.w[:, 1 + 2 * p, :]
-            w2 = ns.w[:, 2 + 2 * p, :]
+            w1 = mdot(ns.w[:, 1 + 2 * p, :])
+            w2 = mdot(ns.w[:, 2 + 2 * p, :])
             # mu·(w1 + i·w2): real = Re·w1 − Im·w2, imag = Re·w2 + Im·w1
             fr = tif[:, 1 + 2 * p, :] - (mur * w1 - mui * w2) / h[:, None]
             fi = tif[:, 2 + 2 * p, :] - (mur * w2 + mui * w1) / h[:, None]
@@ -361,7 +371,8 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         scale_n = opts.atol + opts.rtol * jnp.abs(st.y)
         run_newton = st.active & fact_ok
         ns = _newton(tab, f, st.t, st.y, h, z0, scale_n, newton_tol,
-                     lu_r, piv_r, lu_c, piv_c, run_newton, max_iter, args)
+                     lu_r, piv_r, lu_c, piv_c, run_newton, max_iter, args,
+                     mass=mass)
         conv = run_newton & ns.converged
         newton_fail = run_newton & ~ns.converged
 
@@ -373,6 +384,9 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         # ---- error estimate ----------------------------------------------
         y_new = st.y + ns.z[:, -1, :]
         ze = jnp.einsum("s,msd->md", e_vec, ns.z, precision=_EINSUM_PRECISION) / h[:, None]
+        if mass is not None:
+            ze = jnp.einsum("...ij,m...j->m...i" if mass.ndim == 2 else "mij,mj->mi",
+                            mass, ze, precision=_EINSUM_PRECISION)
         err1 = lu_solve(lu_r, piv_r, st.f0 + ze)
         scale_e = opts.atol + opts.rtol * jnp.maximum(jnp.abs(st.y),
                                                       jnp.abs(y_new))

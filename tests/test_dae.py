@@ -1,0 +1,54 @@
+"""Mass-matrix / index-1 DAE support in Radau (reference NbrInd1-3 role)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from janus_tpu.solve import Options, SUCCESS
+from janus_tpu.solve.radau import solve_radau
+
+
+def test_index1_dae_exponential():
+    """M = diag(1,0):  y1' = −y1 ;  0 = y2 − y1  ⇒ y1 = y2 = e^{−t}."""
+    mass = jnp.diag(jnp.array([1.0, 0.0]))
+
+    def f(t, y, args):
+        return jnp.stack([-y[..., 0], y[..., 1] - y[..., 0]], axis=-1)
+
+    sol = solve_radau(f, 0.0, 2.0, jnp.array([[1.0, 1.0]]), mass=mass,
+                      options=Options(rtol=1e-9, atol=1e-12))
+    assert int(sol.status[0]) == SUCCESS
+    np.testing.assert_allclose(sol.y[0], np.exp(-2.0), rtol=1e-7)
+
+
+def test_dae_constrained_oscillator():
+    """q' = v, v' = −q + λ, 0 = q − sin-free... use algebraic coupling:
+    z must track q² (index-1): M=diag(1,1,0), z − q² = 0."""
+    mass = jnp.diag(jnp.array([1.0, 1.0, 0.0]))
+
+    def f(t, y, args):
+        q, v, z = y[..., 0], y[..., 1], y[..., 2]
+        return jnp.stack([v, -q, z - q * q], axis=-1)
+
+    sol = solve_radau(f, 0.0, 3.0, jnp.array([[1.0, 0.0, 1.0]]), mass=mass,
+                      options=Options(rtol=1e-10, atol=1e-13))
+    assert int(sol.status[0]) == SUCCESS
+    q = np.cos(3.0)
+    np.testing.assert_allclose(sol.y[0, 0], q, rtol=1e-7)
+    np.testing.assert_allclose(sol.y[0, 2], q * q, rtol=1e-6)
+
+
+def test_singular_mass_batched():
+    """Batched per-instance mass matrices."""
+    m1 = jnp.diag(jnp.array([1.0, 0.0]))
+    m2 = jnp.eye(2)
+    mass = jnp.stack([m1, m2])
+
+    def f(t, y, args):
+        return jnp.stack([-y[..., 0], y[..., 1] - y[..., 0]], axis=-1)
+
+    sol = solve_radau(f, 0.0, 1.0, jnp.array([[1.0, 1.0], [1.0, 1.0]]),
+                      mass=mass, options=Options(rtol=1e-9, atol=1e-12))
+    assert bool(jnp.all(sol.status == SUCCESS))
+    # lane 0 (DAE): y2 = y1 = e^-1 ; lane 1 (ODE): y2' = y2−y1 from y2(0)=1
+    np.testing.assert_allclose(sol.y[0], np.exp(-1.0), rtol=1e-7)
+    np.testing.assert_allclose(sol.y[1, 0], np.exp(-1.0), rtol=1e-7)
