@@ -31,12 +31,12 @@ def fd_or_ad_jacobian(f: Callable, x, mode: str = "ad"):
     """[M, N, N] Jacobian of a batched residual f: [M,N] -> [M,N]."""
     n = x.shape[-1]
     if mode == "ad":
-        cols = []
-        for j in range(n):
-            tang = jnp.zeros_like(x).at[..., j].set(1.0)
-            _, col = jax.jvp(f, (x,), (tang,))
-            cols.append(col)
-        return jnp.stack(cols, axis=-1)
+        # ONE vmapped jvp over the N basis directions — N sequential jvp
+        # traces make XLA compile time scale O(N) in the residual size
+        basis = jnp.broadcast_to(jnp.eye(n, dtype=x.dtype)[:, None, :],
+                                 (n,) + x.shape)
+        cols = jax.vmap(lambda t: jax.jvp(f, (x,), (t,))[1])(basis)
+        return jnp.moveaxis(cols, 0, -1)              # [M, N, N]
     eps = jnp.sqrt(jnp.finfo(x.dtype).eps)
     f0 = f(x)
     cols = []
