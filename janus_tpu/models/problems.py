@@ -59,3 +59,33 @@ def vdp_hamiltonian(x, p, args):
     f0 = x[1]
     f1 = mu * (1.0 - x[0] ** 2) * x[1] - x[0]
     return p[0] * f0 + p[1] * f1
+
+
+# -- Dubins car (the reference's second PMP family: dubins_pmp_*.py) ---------
+
+def dubins_rhs(t, y, args):
+    """Dubins car [x, y, θ] with turn-rate control u(t,·) from args:
+    args = {'v': speed, 'u': callable u(t) or scalar}. Batched."""
+    v = args.get("v", 1.0) if isinstance(args, dict) else 1.0
+    u = args["u"] if isinstance(args, dict) else args
+    uval = u(t) if callable(u) else u
+    th = y[..., 2]
+    return jnp.stack([v * jnp.cos(th), v * jnp.sin(th),
+                      jnp.broadcast_to(jnp.asarray(uval, y.dtype), th.shape)],
+                     axis=-1)
+
+
+def dubins_pmp_rhs(t, y, args):
+    """Smoothed min-time Dubins PMP system, y = [x, y, θ, p1, p2, p3]:
+    u* = −umax·tanh(p3/ε) (bang-bang as ε → 0 — the reference reaches the
+    bang-bang limit by homotopy, dubins_pmp_homotopy.py)."""
+    v = args.get("v", 1.0)
+    umax = args.get("umax", 1.0)
+    eps = args.get("eps", 0.1)
+    th, p1, p2, p3 = y[..., 2], y[..., 3], y[..., 4], y[..., 5]
+    u = -umax * jnp.tanh(p3 / eps)
+    return jnp.stack([
+        v * jnp.cos(th), v * jnp.sin(th), u,
+        jnp.zeros_like(th), jnp.zeros_like(th),
+        p1 * v * jnp.sin(th) - p2 * v * jnp.cos(th),
+    ], axis=-1)

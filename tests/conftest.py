@@ -22,6 +22,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: the control/PMP tests compile large programs
+# (jacfwd through whole adaptive solves); caching makes repeat runs fast
+jax.config.update("jax_compilation_cache_dir", "/tmp/janus_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
