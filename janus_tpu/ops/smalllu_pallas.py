@@ -51,8 +51,8 @@ def _make_kernel(d: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def linsolve_fused(a_t, b_t, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_m"))
+def linsolve_fused(a_t, b_t, interpret: bool = False, tile_m: int = None):
     """Solve A x = b for a batch in SoA layout.
 
     a_t : [D·D, M] (row-major entries of each A), b_t : [D, M] → x_t [D, M].
@@ -62,7 +62,7 @@ def linsolve_fused(a_t, b_t, interpret: bool = False):
     dd, m = a_t.shape
     d = int(round(dd ** 0.5))
     assert d * d == dd
-    tile = min(TILE_M, m)
+    tile = min(tile_m or TILE_M, m)
     grid = (pl.cdiv(m, tile),)
     kernel = _make_kernel(d)
     return pl.pallas_call(
