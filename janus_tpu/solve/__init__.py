@@ -55,6 +55,12 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
                                   events=events)
         from janus_tpu.solve.radau import solve_radau
         return solve_radau(f, t0, tf, y0, args, options, t_eval, events=events)
+    if method == "radau_fused":
+        if t_eval is not None or events is not None:
+            raise ValueError("radau_fused is the final-state throughput path;"
+                             " use method='radau' for t_eval/events")
+        from janus_tpu.solve.radau_fused import solve_radau_fused
+        return solve_radau_fused(f, t0, tf, y0, args, options)
     if method == "bdf2":
         from janus_tpu.solve.bdf import solve_bdf2
         return solve_bdf2(f, t0, tf, y0, args, options, t_eval)
