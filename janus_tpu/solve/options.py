@@ -51,3 +51,9 @@ class Options:
     # faster and safe for the strongly diagonally-dominant iteration
     # matrices (gamma/h·M − J) of very stiff regimes)
     pivoting: bool = _static(True)
+    # DAE index partition (Hairer NbrInd1-3, reference radaute.hpp:52-96):
+    # state components must be ordered [index-1 | index-2 | index-3];
+    # 0 ⇒ nind1 = D (pure ODE / index-1)
+    nind1: int = _static(0)
+    nind2: int = _static(0)
+    nind3: int = _static(0)

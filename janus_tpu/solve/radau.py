@@ -266,10 +266,28 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     e_vec = jnp.asarray(tab.e, dtype)
     c_nodes = jnp.asarray(tab.c, dtype)
 
+    # index-2/3 components get their error (and Newton) weights scaled by
+    # h / h² (Hairer's higher-index DAE mechanism)
+    ind_exp = np.zeros(dim)
+    if opts.nind2 or opts.nind3:
+        n1 = opts.nind1 if opts.nind1 else dim - opts.nind2 - opts.nind3
+        ind_exp[n1:n1 + opts.nind2] = 1.0
+        ind_exp[n1 + opts.nind2:n1 + opts.nind2 + opts.nind3] = 2.0
+    ind_exp = jnp.asarray(ind_exp, dtype)
+    use_index = bool(opts.nind2 or opts.nind3)
+
     f0 = f(t0, y0, args)
     if opts.h0 == 0.0:
-        h = cm.initial_step(f, t0, y0, f0, tf, s, opts.rtol, opts.atol,
-                            args, opts.max_step)
+        if mass is None:
+            h = cm.initial_step(f, t0, y0, f0, tf, s, opts.rtol, opts.atol,
+                                args, opts.max_step)
+        else:
+            # Hairer's hinit treats f0 as a derivative, which is wrong for
+            # the algebraic rows of a singular-mass system — start small and
+            # let the controller grow (the reference ships fixed h0 in its
+            # DAE examples)
+            direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
+            h = jnp.minimum(1e-3, jnp.abs(tf - t0) * 1e-2) * direction
     else:
         direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
         h = jnp.broadcast_to(jnp.asarray(opts.h0, dtype), (m,)) * direction
@@ -369,6 +387,10 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
 
         # ---- simplified Newton -------------------------------------------
         scale_n = opts.atol + opts.rtol * jnp.abs(st.y)
+        if use_index:
+            # weight index-2/3 components down by h^k in the norms
+            hw = jnp.abs(h)[:, None] ** ind_exp[None, :]
+            scale_n = scale_n / hw
         run_newton = st.active & fact_ok
         ns = _newton(tab, f, st.t, st.y, h, z0, scale_n, newton_tol,
                      lu_r, piv_r, lu_c, piv_c, run_newton, max_iter, args,
@@ -390,6 +412,8 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         err1 = lu_solve(lu_r, piv_r, st.f0 + ze)
         scale_e = opts.atol + opts.rtol * jnp.maximum(jnp.abs(st.y),
                                                       jnp.abs(y_new))
+        if use_index:
+            scale_e = scale_e / (jnp.abs(h)[:, None] ** ind_exp[None, :])
         enorm1 = jnp.sqrt(jnp.mean(jnp.square(err1 / scale_e), axis=-1))
         enorm1 = jnp.where(jnp.isfinite(enorm1), enorm1, 1e10)
 

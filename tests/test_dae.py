@@ -52,3 +52,20 @@ def test_singular_mass_batched():
     # lane 0 (DAE): y2 = y1 = e^-1 ; lane 1 (ODE): y2' = y2−y1 from y2(0)=1
     np.testing.assert_allclose(sol.y[0], np.exp(-1.0), rtol=1e-7)
     np.testing.assert_allclose(sol.y[1, 0], np.exp(-1.0), rtol=1e-7)
+
+
+def test_index2_dae():
+    """Index-2: x' = z, 0 = x − sin t ⇒ x = sin t, z = cos t (z enters only
+    through the differential equation). Needs the nind2 error weighting."""
+    mass = jnp.diag(jnp.array([1.0, 0.0]))
+
+    def f(t, y, args):
+        x, z = y[..., 0], y[..., 1]
+        return jnp.stack([z, x - jnp.sin(t)], axis=-1)
+
+    sol = solve_radau(f, 0.0, 2.0, jnp.array([[0.0, 1.0]]), mass=mass,
+                      options=Options(rtol=1e-8, atol=1e-11, nind1=1,
+                                      nind2=1))
+    assert int(sol.status[0]) == SUCCESS
+    np.testing.assert_allclose(sol.y[0], [np.sin(2.0), np.cos(2.0)],
+                               rtol=1e-7)
