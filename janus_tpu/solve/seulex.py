@@ -2,16 +2,17 @@
 
 The reference's primary Python solver (src/python/seulexted.py, 1396 lines of
 masked order/step control with a work-model ladder, KMAXX=13). TPU re-design:
-the extrapolation ladder is STATIC (K levels, subdivision sequence nseq) and
-every level is computed for every lane in lockstep; per-lane order adaptation
-becomes a select over the tableau diagonal (smallest k whose extrapolation
-error passes). That trades the reference's compute-only-to-k_targ scalar
-control flow for uniform vectorized work — the right trade under XLA, where
-divergent per-lane ladders would serialize anyway.
+a STATIC subdivision ladder (levels gated per step by ``lax.cond`` — a level
+runs only when some lane's target order requires it, the lockstep analogue of
+the reference's compute-to-k_targ control flow) with per-lane order targeting
+from the same work model (cost ladder per level / attainable step size;
+reference seulexted.py:53-79, 245-251).
 
 Each level k: one LU of (I − h′J), nseq[k] semi-implicit Euler substeps
 reusing it (the reference's one-LU-per-k structure, seulexted.py:373,1020),
-then Aitken–Neville extrapolation (:1376)."""
+then Aitken–Neville extrapolation (:1376). No argmax/gathers anywhere —
+level selection is a static select scan (TPU compile-time constraint, see
+CLAUDE.md)."""
 
 from __future__ import annotations
 
@@ -27,6 +28,10 @@ from janus_tpu.solve.options import Options
 from janus_tpu.solve.radau import default_jacobian
 
 NSEQ = (2, 3, 4, 6, 8, 12)       # subdivision ladder (Hairer seulex sequence)
+# work model (units of one f evaluation): LU ≈ dim, solve ≈ 0.5
+COST_JAC = 2.0
+COST_LU = 2.0
+COST_SOLVE = 0.5
 
 
 @struct.dataclass
@@ -34,6 +39,7 @@ class _SxState:
     t: jnp.ndarray
     y: jnp.ndarray
     h: jnp.ndarray
+    k_targ: jnp.ndarray       # [M] target level (1..K-2)
     active: jnp.ndarray
     status: jnp.ndarray
     stats: dict
@@ -49,6 +55,13 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
     dtype = y0.dtype
     jac_fn = jac if jac is not None else default_jacobian(f)
     kmax = len(NSEQ)
+
+    # cumulative work (in f-eval units) to compute levels 0..k
+    cum_cost = []
+    acc = COST_JAC
+    for nj in NSEQ:
+        acc += COST_LU + nj * (1.0 + COST_SOLVE)
+        cum_cost.append(acc)
 
     f0 = f(t0, y0, args)
     if opts.h0 == 0.0:
@@ -71,7 +84,9 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
     stats["nfev"] = stats["nfev"] + 2
     already_done = t0 == tf
     state = _SxState(
-        t=t0, y=y0, h=h, active=~already_done,
+        t=t0, y=y0, h=h,
+        k_targ=jnp.full((m,), 3, jnp.int32),
+        active=~already_done,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
         stats=stats, out_ys=out_ys,
     )
@@ -90,19 +105,44 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         jmat = jac_fn(st.t, st.y, args)
         scale = opts.atol + opts.rtol * jnp.abs(st.y)
 
-        # ---- extrapolation ladder -----------------------------------------
-        tline = []                           # T[k][j] Aitken–Neville rows
+        # ---- gated extrapolation ladder -----------------------------------
+        tline = []                         # Aitken–Neville rows (computed)
         ok_all = jnp.ones((m,), bool)
+        passed = jnp.zeros((m,), bool)
+        k_sel = jnp.zeros((m,), jnp.int32)
+        y_sel = st.y
+        err_sel = jnp.full((m,), 1e10, dtype)
+        err_at = [None] * kmax             # per-level [M] errors (or None)
+        computed = [jnp.zeros((m,), bool)] * kmax
+        nfev_add = jnp.zeros((m,), jnp.int32)
+        nlu_add = jnp.zeros((m,), jnp.int32)
+
+        zero_row = jnp.zeros((m, dim), dtype)
         for k, nj in enumerate(NSEQ):
-            hsub = hcol / nj
-            amat = jnp.eye(dim, dtype=dtype)[None] - hsub[..., None] * jmat
-            lu, piv = lu_factor(amat, pivot=opts.pivoting)
-            ok_all = ok_all & lu_ok(lu)
-            ysub = st.y
-            for i in range(nj):
-                ts = st.t + (i / nj) * h
-                dy = lu_solve(lu, piv, hsub * f(ts, ysub, args))
-                ysub = ysub + dy
+            need = st.active & (k <= st.k_targ + 1) & ~passed
+
+            def do_level(_, k=k, nj=nj, need=need):
+                hsub = hcol / nj
+                amat = (jnp.eye(dim, dtype=dtype)[None]
+                        - hsub[..., None] * jmat)
+                lu, piv = lu_factor(amat, pivot=opts.pivoting)
+                ok = lu_ok(lu)
+                ysub = st.y
+                for i in range(nj):
+                    ts = st.t + (i / nj) * h
+                    dy = lu_solve(lu, piv, hsub * f(ts, ysub, args))
+                    ysub = ysub + dy
+                return ysub, ok
+
+            def skip_level(_):
+                return zero_row, jnp.ones((m,), bool)
+
+            ysub, ok = jax.lax.cond(jnp.any(need), do_level, skip_level, None)
+            ok_all = jnp.where(need, ok_all & ok, ok_all)
+            nfev_add = nfev_add + need * nj
+            nlu_add = nlu_add + need * 1
+            computed[k] = need
+
             row = [ysub]
             for j in range(k):
                 ratio = NSEQ[k] / NSEQ[k - j - 1]
@@ -110,37 +150,54 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                            / (ratio - 1.0))
             tline.append(row)
 
-        # per-level extrapolation errors (diagonal differences)
-        errs = []                            # err at k = 1..kmax-1
+            if k >= 1:
+                d = row[k] - row[k - 1]
+                err_k = jnp.sqrt(jnp.mean(jnp.square(d / scale), axis=-1))
+                err_k = jnp.where(jnp.isfinite(err_k), err_k, 1e10)
+                err_k = jnp.maximum(err_k, 1e-16)
+                err_at[k] = err_k
+                pass_k = need & ok & (err_k <= 1.0)
+                newly = pass_k & ~passed
+                k_sel = jnp.where(newly, k, k_sel)
+                y_sel = jnp.where(newly[:, None], row[k], y_sel)
+                err_sel = jnp.where(newly, err_k, err_sel)
+                passed = passed | pass_k
+
+        accept = passed & st.active
+        reject = st.active & ~passed
+
+        # ---- work-model order targeting (reference cost ladder) -----------
+        # candidate levels 1..kmax-1: hfac_k from err_k, work = cum_cost/hfac
+        best_work = jnp.full((m,), jnp.inf, dtype)
+        k_next = st.k_targ
+        fac_sel = jnp.full((m,), opts.min_factor, dtype)
         for k in range(1, kmax):
-            d = tline[k][k] - tline[k][k - 1]
-            errs.append(jnp.sqrt(jnp.mean(jnp.square(d / scale), axis=-1)))
-        err_mat = jnp.stack(errs, axis=-1)   # [M, kmax-1]
-        err_mat = jnp.where(jnp.isfinite(err_mat), err_mat, 1e10)
-        err_mat = jnp.maximum(err_mat, 1e-16)
-        diag = jnp.stack([tline[k][k] for k in range(1, kmax)], axis=1)
+            if err_at[k] is None:
+                continue
+            expo = 1.0 / (k + 2.0)
+            fac_k = jnp.clip(opts.safety * err_at[k] ** (-expo),
+                             opts.min_factor, opts.max_factor)
+            work_k = cum_cost[k] / fac_k
+            valid = computed[k]
+            better = valid & (work_k < best_work)
+            best_work = jnp.where(better, work_k, best_work)
+            k_next = jnp.where(better, k, k_next)
+            # step factor actually used comes from the ACCEPTED level
+            fac_sel = jnp.where(accept & (k_sel == k), fac_k, fac_sel)
+        # keep the target inside [1, kmax-2] and move at most one level
+        k_next = jnp.clip(k_next, st.k_targ - 1, st.k_targ + 1)
+        k_next = jnp.clip(k_next, 1, kmax - 2)
+        k_targ_new = jnp.where(accept, k_next, st.k_targ)
 
-        passed = err_mat <= 1.0              # [M, K-1]
-        any_pass = jnp.any(passed, axis=-1) & ok_all & st.active
-        # smallest passing level per lane (argmax of first True)
-        k_sel = jnp.argmax(passed, axis=-1)  # [M]
-        y_new = jnp.take_along_axis(diag, k_sel[:, None, None],
-                                    axis=1)[:, 0, :]
-        err_sel = jnp.take_along_axis(err_mat, k_sel[:, None], axis=1)[:, 0]
-
-        accept = any_pass
-        reject = st.active & ~any_pass
-
-        # controller: order of T[k,k] is k+1 ⇒ exponent 1/(k+2)
-        expo = 1.0 / (k_sel.astype(dtype) + 3.0)
-        fac = opts.safety * err_sel ** (-expo)
-        # encourage order headroom: if the selected level is the highest
-        # computed, step down h a bit less aggressively
-        fac = jnp.clip(fac, opts.min_factor, opts.max_factor)
-        err_last = err_mat[:, -1]
-        fac_rej = jnp.clip(opts.safety * err_last ** (-1.0 / (kmax + 1.0)),
+        # reject: shrink from the deepest computed error
+        err_deep = jnp.full((m,), 1e10, dtype)
+        for k in range(1, kmax):
+            if err_at[k] is not None:
+                err_deep = jnp.where(computed[k], err_at[k], err_deep)
+        fac_rej = jnp.clip(opts.safety * err_deep ** (-1.0 / (kmax + 1.0)),
                            opts.min_factor, 0.7)
 
+        y_new = y_sel
         out_ys = st.out_ys
         if use_dense:
             fn = f(st.t + h, y_new, args)
@@ -161,14 +218,15 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         done = accept & last
 
         stats = dict(st.stats)
-        stats["nfev"] = stats["nfev"] + st.active * sum(NSEQ)
+        stats["nfev"] = stats["nfev"] + nfev_add
         stats["njev"] = stats["njev"] + st.active
-        stats["nlu"] = stats["nlu"] + st.active * kmax
+        stats["nlu"] = stats["nlu"] + nlu_add
         stats["nsteps"] = stats["nsteps"] + st.active
         stats["naccept"] = stats["naccept"] + accept
         stats["nreject"] = stats["nreject"] + reject
 
-        h_next_abs = jnp.where(accept, jnp.abs(h) * fac, jnp.abs(h) * fac_rej)
+        h_next_abs = jnp.where(accept, jnp.abs(h) * fac_sel,
+                               jnp.abs(h) * fac_rej)
         h_next_abs = jnp.minimum(h_next_abs, opts.max_step)
         h_next = jnp.where(st.active, h_next_abs * jnp.sign(h), st.h)
         exceeded = st.active & (stats["nsteps"] >= opts.max_steps) & ~done
@@ -184,7 +242,8 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         return _SxState(
             t=jnp.where(accept, t_new, st.t),
             y=jnp.where(accept[:, None], y_new, st.y),
-            h=h_next, active=active, status=status, stats=stats,
+            h=h_next, k_targ=k_targ_new,
+            active=active, status=status, stats=stats,
             out_ys=out_ys)
 
     final = jax.lax.while_loop(cond, body, state)
