@@ -75,6 +75,43 @@ def dubins_rhs(t, y, args):
                      axis=-1)
 
 
+def robertson_rhs(t, y, args):
+    """Robertson chemical kinetics — the canonical extreme-stiffness test.
+    y = [y1, y2, y3], rates (a, b, c) from args or the classic defaults."""
+    if isinstance(args, dict):
+        a, b, c = args.get("a", 0.04), args.get("b", 1e4), args.get("c", 3e7)
+    else:
+        a, b, c = 0.04, 1e4, 3e7
+    y1, y2, y3 = y[..., 0], y[..., 1], y[..., 2]
+    d1 = -a * y1 + b * y2 * y3
+    d3 = c * y2 * y2
+    return jnp.stack([d1, -d1 - d3, d3], axis=-1)
+
+
+def brusselator_rhs(t, y, args):
+    """Brusselator oscillator: x' = a + x²y − (b+1)x, y' = bx − x²y."""
+    a = args.get("a", 1.0) if isinstance(args, dict) else 1.0
+    b = args.get("b", 3.0) if isinstance(args, dict) else jnp.asarray(args)
+    x, z = y[..., 0], y[..., 1]
+    return jnp.stack([a + x * x * z - (b + 1.0) * x, b * x - x * x * z],
+                     axis=-1)
+
+
+def pleiades_rhs(t, y, args):
+    """Pleiades 7-body problem (Hairer's non-stiff test set): y = [q(14), v(14)]."""
+    q, v = y[..., :14], y[..., 14:]
+    x = q[..., :7]
+    z = q[..., 7:]
+    masses = jnp.arange(1.0, 8.0, dtype=y.dtype)
+    dx = x[..., :, None] - x[..., None, :]
+    dz = z[..., :, None] - z[..., None, :]
+    r2 = dx * dx + dz * dz + jnp.eye(7, dtype=y.dtype)
+    r32 = r2 ** 1.5
+    ax = jnp.sum(masses[None, None, :] * dx / r32, axis=-1) * -1.0
+    az = jnp.sum(masses[None, None, :] * dz / r32, axis=-1) * -1.0
+    return jnp.concatenate([v, ax, az], axis=-1)
+
+
 def dubins_pmp_rhs(t, y, args):
     """Smoothed min-time Dubins PMP system, y = [x, y, θ, p1, p2, p3]:
     u* = −umax·tanh(p3/ε) (bang-bang as ε → 0 — the reference reaches the
