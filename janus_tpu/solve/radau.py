@@ -172,7 +172,9 @@ def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
         return jnp.any(ns.running)
 
     def body(ns):
-        # stage RHS evaluations
+        # stage RHS evaluations (measured: stacking all s stages into one
+        # s·M-batch f call changes nothing on TPU — XLA already schedules
+        # the three small calls well — so keep the simple form)
         fs = []
         for i in range(s):
             fs.append(f(t + c_nodes[i] * h, y + ns.z[:, i, :], args))
