@@ -47,6 +47,8 @@ class Options:
     max_stages: int = _static(3)
     # per-step playback log capacity (0 = off; the DynTe role, SURVEY §5)
     record_steps: int = _static(0)
+    # also store the accepted state per recorded step (solout buffer role)
+    record_states: bool = _static(False)
     # partial pivoting in the stage LU (True = robust default; False is
     # faster and safe for the strongly diagonally-dominant iteration
     # matrices (gamma/h·M − J) of very stiff regimes)

@@ -328,7 +328,8 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
         stats=stats, out_ys=out_ys,
         ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
-        dyn=init_dyn(m, opts.record_steps, dtype),
+        dyn=init_dyn(m, opts.record_steps, dtype,
+                     dim if opts.record_states else 0),
     )
 
     eps = jnp.finfo(dtype).eps
@@ -483,7 +484,9 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
 
         dyn = record_step(st.dyn, run_newton | singular, st.t, h, enorm,
-                          ns.niter, accept)
+                          ns.niter, accept,
+                          y=jnp.where(accept[:, None], y_new, st.y)
+                          if opts.record_states else None)
 
         # ---- state update -------------------------------------------------
         h_next_abs = jnp.where(accept, h_abs * fac_acc,

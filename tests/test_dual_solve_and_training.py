@@ -155,3 +155,25 @@ def test_dyn_playback_recording():
     # recorded accepted h values integrate to tf
     ts = np.asarray(sol.dyn["t"][0, :n])
     np.testing.assert_allclose((ts[acc] + hs[acc]).max(), 5.0, rtol=1e-12)
+
+
+def test_state_recording():
+    """record_states stores the accepted trajectory (solout buffer role)."""
+    mu = 20.0
+    sol = solve_ivp(vdp_rhs, (0.0, 3.0), jnp.array([[2.0, 0.0]]),
+                    method="radau", args=mu,
+                    options=Options(rtol=1e-8, atol=1e-11, record_steps=256,
+                                    record_states=True))
+    n = int(sol.dyn["idx"][0])
+    acc = np.asarray(sol.dyn["accepted"][0, :n])
+    ys = np.asarray(sol.dyn["y"][0, :n][acc])
+    ts = np.asarray(sol.dyn["t"][0, :n][acc]) + np.asarray(
+        sol.dyn["h"][0, :n][acc])
+    # recorded trajectory matches a dense-output resample at those times
+    sol2 = solve_ivp(vdp_rhs, (0.0, 3.0), jnp.array([[2.0, 0.0]]),
+                     method="radau", args=mu, rtol=1e-8, atol=1e-11,
+                     t_eval=jnp.asarray(ts[:-1]))
+    np.testing.assert_allclose(ys[:-1], np.asarray(sol2.ys[0]),
+                               rtol=1e-6, atol=1e-8)
+    # final recorded state equals the solution endpoint
+    np.testing.assert_allclose(ys[-1], np.asarray(sol.y[0]), rtol=1e-12)
