@@ -24,7 +24,12 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
     f       : batched RHS ``f(t[M], y[M,D], args) -> [M,D]``
     tspan   : (t0, tf); either may be scalar or [M] (reverse time = tf < t0)
     y0      : [M, D] (or [D] for a single trajectory)
-    method  : 'dopri5' | 'dopri853' | 'radau' | 'bdf2' | 'seulex' | 'rodas'
+    method  : 'dopri5' | 'dopri853'                  (explicit, PI control)
+              'radau' | 'radau5'/'radau9'/'radau13'  (Radau IIA, fixed order)
+              'radaup'                               (per-lane variable order)
+              'radau_fused'                          (one-Pallas-kernel step)
+              'bdf2' | 'seulex' | 'rodas'            (BDF2 / extrapolation /
+                                                      Rosenbrock GRK4T)
     options : Options(...); or pass rtol=…, atol=… etc. as keywords
     t_eval  : optional shared output grid [T] (dense-output sampling)
     events  : optional event functions (see solve.events)

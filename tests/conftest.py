@@ -22,10 +22,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# persistent compilation cache: the control/PMP tests compile large programs
-# (jacfwd through whole adaptive solves); caching makes repeat runs fast
-jax.config.update("jax_compilation_cache_dir", "/tmp/janus_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NOTE: do NOT enable the persistent XLA:CPU compilation cache here — cached
+# executables reload with mismatched machine-feature flags on this host
+# (cpu_aot_loader "+prefer-no-scatter … could lead to SIGILL" warnings) and
+# the suite segfaults when they execute.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -34,3 +34,13 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The XLA:CPU compiler has segfaulted (exit 139, faulthandler stack in
+    backend_compile_and_load) late in long single-process runs after hundreds
+    of accumulated compilations; dropping the executable caches between test
+    modules avoids the pathological state."""
+    yield
+    jax.clear_caches()
