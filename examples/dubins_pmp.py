@@ -7,6 +7,11 @@ by continuation, re-solving the shooting problem at each ε — the same
 smoothing-homotopy strategy the reference applies to its control bounds.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
 import jax.numpy as jnp
 import numpy as np
 

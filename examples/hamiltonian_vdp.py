@@ -5,6 +5,11 @@ the user writes H(x, p, args); dynamics [ṗ, ẋ] and the Jacobian come from AD
 and dual-number sensitivities ride through the adaptive solve.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -7,6 +7,10 @@ TPU chip this sustains ~1M traj/s without sensitivities, ~200k with.
 """
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
 import time
 
 import jax

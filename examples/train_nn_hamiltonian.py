@@ -12,8 +12,12 @@ re-done with the full TPU-native stack:
   python examples/train_nn_hamiltonian.py
 """
 
-import tempfile
+import sys
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
+import tempfile
 
 import jax
 import jax.numpy as jnp

@@ -10,6 +10,11 @@ stiffness μ (solve the easy linear problem first, continue to the target μ).
   PMP:      u* = −p2;  ṗ1 = p2(2μx1x2+1);  ṗ2 = −p1 − p2μ(1−x1²)
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
 import jax
 import jax.numpy as jnp
 import numpy as np
