@@ -9,6 +9,7 @@ with a handful of grad/jacfwd compositions. Forward sensitivities come from
 from janus_tpu.ham.core import (
     hamiltonian_dynamics,
     hamiltonian_jacobian,
+    safe_dynamics,
     grad_x,
     grad_p,
     hessian_xx,
@@ -21,6 +22,7 @@ from janus_tpu.ham.core import (
 __all__ = [
     "hamiltonian_dynamics",
     "hamiltonian_jacobian",
+    "safe_dynamics",
     "grad_x",
     "grad_p",
     "hessian_xx",

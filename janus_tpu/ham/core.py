@@ -113,3 +113,19 @@ def hessian_pp(ham, u=None):
 def hessian_xp(ham, u=None):
     gx = grad_x(ham, u)
     return lambda x, p, args: jax.jacfwd(lambda pp: gx(x, pp, args))(p)
+
+
+def safe_dynamics(ham: Callable, u: Optional[Callable] = None,
+                  batched: bool = True, fill: float = 0.0) -> Callable:
+    """Dynamics with non-finite entries replaced by ``fill`` — the
+    reference's safe_jac zero-fallback for Hamiltonians with singular points
+    (janus_ode_common.hpp:116-134, safe_gradients_example.cpp). Keeps a
+    single bad trajectory from poisoning the batch with NaNs (the lockstep
+    driver then rejects/min-steps that lane instead of crashing)."""
+    f = hamiltonian_dynamics(ham, u, batched)
+
+    def safe(t, y, args):
+        dy = f(t, y, args)
+        return jnp.where(jnp.isfinite(dy), dy, fill)
+
+    return safe

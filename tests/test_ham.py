@@ -108,3 +108,20 @@ def test_batched_matches_single(rng):
     out = fb(jnp.zeros(4), y, None)
     for i in range(4):
         np.testing.assert_allclose(out[i], fs(0.0, y[i], None), rtol=1e-12)
+
+
+def test_safe_dynamics_masks_singularities(rng):
+    """safe_jac role: a Hamiltonian with a pole must not emit NaNs
+    (reference janus_ode_common.hpp:116-134)."""
+    def h_sing(x, p, args):
+        return jnp.sum(p * p) / (2.0 * x[0])   # pole at x0 = 0
+
+    f = ham.safe_dynamics(h_sing, batched=True)
+    p = jnp.array([[1.0, 0.0], [1.0, 0.0]])
+    x = jnp.array([[0.0, 1.0], [2.0, 1.0]])    # lane 0 sits ON the pole
+    y = jnp.concatenate([p, x], axis=-1)
+    dy = f(jnp.zeros(2), y, None)
+    assert bool(jnp.all(jnp.isfinite(dy)))
+    # the regular lane is untouched
+    fr = ham.hamiltonian_dynamics(h_sing, batched=True)(jnp.zeros(2), y, None)
+    np.testing.assert_allclose(dy[1], fr[1], rtol=1e-12)
