@@ -325,17 +325,29 @@ def stack(jets, axis=0) -> Jet:
     )
 
 
+# XLA:TPU demotes plain f32 einsums to bf16 inputs on the MXU; solver-grade
+# dual arithmetic (Newton residuals, sensitivity contractions) needs full f32
+# (repo rule; debugged in round 1 — see CLAUDE.md and solve/radau.py).
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _einsum(spec, *ops):
+    return jnp.einsum(spec, *ops, precision=_PRECISION)
+
+
 def matmul(a, b) -> Jet:
     """Product-rule matmul (the reference's hot TensorMatDual::einsum role)."""
     if _is_jet(a) and _is_jet(b):
-        r = a.r @ b.r
-        d = jnp.einsum("n...ij,...jk->n...ik", a.d, b.r) + jnp.einsum(
+        r = jnp.matmul(a.r, b.r, precision=_PRECISION)
+        d = _einsum("n...ij,...jk->n...ik", a.d, b.r) + _einsum(
             "...ij,n...jk->n...ik", a.r, b.d
         )
         return Jet(r, d)
     if _is_jet(a):
-        return Jet(a.r @ b, jnp.einsum("n...ij,...jk->n...ik", a.d, b))
-    return Jet(a @ b.r, jnp.einsum("...ij,n...jk->n...ik", a, b.d))
+        return Jet(jnp.matmul(a.r, b, precision=_PRECISION),
+                   _einsum("n...ij,...jk->n...ik", a.d, b))
+    return Jet(jnp.matmul(a, b.r, precision=_PRECISION),
+               _einsum("...ij,n...jk->n...ik", a, b.d))
 
 
 def einsum(spec: str, *operands) -> Jet:
@@ -343,9 +355,9 @@ def einsum(spec: str, *operands) -> Jet:
     reference C++ — here one generic rule)."""
     jets = [i for i, o in enumerate(operands) if _is_jet(o)]
     if not jets:
-        return jnp.einsum(spec, *operands)
+        return _einsum(spec, *operands)
     rs = [o.r if _is_jet(o) else o for o in operands]
-    r = jnp.einsum(spec, *rs)
+    r = _einsum(spec, *rs)
     ins, out = spec.split("->") if "->" in spec else (spec, None)
     in_specs = ins.split(",")
     if out is None:
@@ -357,7 +369,7 @@ def einsum(spec: str, *operands) -> Jet:
         sp = ",".join(
             ("z" + s) if k == i else s for k, s in enumerate(in_specs)
         ) + "->z" + out
-        term = jnp.einsum(sp, *ops)
+        term = _einsum(sp, *ops)
         d = term if d is None else d + term
     return Jet(r, d)
 

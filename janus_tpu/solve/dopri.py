@@ -153,10 +153,10 @@ def _dense_eval_rk45(tab, ks, y, h):
     return interp
 
 
-def _dense_eval_dop853(tab, f, t, y, y1, f_new, h, ks, args):
-    # three extra stages for the order-7 interpolant
+def _dop853_fall(tab, f, t, y, y1, f_new, h, ks, args):
+    """Order-7 interpolant coefficient tensor [M,7,D] (3 extra f evals)."""
     k_ext = list(ks[:-1]) + [f_new]
-    for srow, (arow, c) in enumerate(zip(tab.a_extra, tab.c_extra)):
+    for arow, c in zip(tab.a_extra, tab.c_extra):
         acc = None
         for j in range(len(k_ext)):
             if arow[j] != 0.0:
@@ -172,8 +172,10 @@ def _dense_eval_dop853(tab, f, t, y, y1, f_new, h, ks, args):
              2.0 * delta - h[:, None] * (f_new + f_old)]
     rest = jnp.einsum("qs,msd->mqd", jnp.asarray(tab.d, kmat.dtype), kmat, precision=_EINSUM_PRECISION)
     fstack = jnp.stack(fpoly, axis=1)
-    fall = jnp.concatenate([fstack, h[:, None, None] * rest], axis=1)  # [M,7,D]
+    return jnp.concatenate([fstack, h[:, None, None] * rest], axis=1)
 
+
+def _dense_eval_dop853(fall, y):
     def interp(theta):                               # [M, T] -> [M, T, D]
         x = theta[..., None]
         acc = jnp.zeros(x.shape[:-1] + (y.shape[-1],), y.dtype)
@@ -196,9 +198,9 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
     m, dim = y0.shape
     dtype = y0.dtype
+    # beta < 0 (the Options default) means "use the method's own default"
+    # (0.04 for dopri5, 0.0 for dop853, Hairer's choices)
     beta = opts.beta if opts.beta >= 0 else tab.default_beta
-    expo1 = tab.expo1 - beta * 0.75 * tab.expo1 / 0.2 if tab.name == "dopri5" \
-        else tab.expo1
     # Hairer: dopri5 expo1 = 0.2 - beta*0.75; dop853 expo1 = 1/8 - beta*0.2
     if tab.name == "dopri5":
         expo1 = 0.2 - beta * 0.75
@@ -271,8 +273,15 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
             if tab.dense == "rk45P":
                 interp = _dense_eval_rk45(tab, ks, s.y, h)
             else:
-                interp = _dense_eval_dop853(tab, f, s.t, s.y, y1, f_new, h,
-                                            ks, args)
+                # the 3 extra interpolation stages are expensive optional
+                # work: gate on any lane actually accepting this step
+                fall = jax.lax.cond(
+                    jnp.any(upd),
+                    lambda _: _dop853_fall(tab, f, s.t, s.y, y1, f_new, h,
+                                           ks, args),
+                    lambda _: jnp.zeros((m, 7, dim), dtype),
+                    operand=None)
+                interp = _dense_eval_dop853(fall, s.y)
         if use_dense:
             out_ys = cm.collect_dense(out_ys, t_eval, s.t, h, upd, interp)
 
@@ -290,7 +299,10 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         h_n = jnp.where(s.active, hnew, s.h)
 
         stats = dict(s.stats)
-        nf_extra = 3 if (use_dense and tab.dense == "dop853D") else 0
+        # dop853 interpolant costs 3 extra f evals per accepted step whenever
+        # it is built (dense output OR event detection)
+        nf_extra = 3 if ((use_dense or specs) and tab.dense == "dop853D") \
+            else 0
         stats["nfev"] = stats["nfev"] + s.active * (tab.n_stages + 1) \
             + upd * nf_extra
         stats["nsteps"] = stats["nsteps"] + s.active

@@ -32,7 +32,9 @@ class Options:
     safety: float = 0.9      # Safe
     min_factor: float = 0.2  # FacL: hnew >= FacL*h on reject
     max_factor: float = 8.0  # FacR: hnew <= FacR*h
-    beta: float = 0.04       # PI stabilization (explicit controllers)
+    beta: float = -1.0       # PI stabilization (explicit controllers);
+    #                          < 0 → the method's own default (dopri5: 0.04,
+    #                          dop853: 0.0 — Hairer's choices)
     max_steps: int = _static(100000)   # per-trajectory step budget
 
     # implicit-solver knobs (ignored by explicit methods)

@@ -439,14 +439,18 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         h_abs = jnp.abs(h)
         niter_f = jnp.maximum(ns.niter, 1).astype(dtype)
         safety = opts.safety * (2 * max_iter + 1) / (2 * max_iter + niter_f)
+        # error-estimator order is s+1 ⇒ controller exponent 1/(s+1)
+        # (0.25 only for s=3; radaup.py uses the same general form)
+        expo = 1.0 / (s + 1)
         have_old = (st.h_old > 0) & (st.err_old > 0) & (enorm > 0)
         mult = jnp.where(have_old,
                          h_abs / jnp.where(st.h_old == 0, 1.0, st.h_old)
                          * (st.err_old / jnp.where(enorm == 0, 1.0, enorm))
-                         ** 0.25,
+                         ** expo,
                          1.0)
         enorm_safe = jnp.maximum(enorm, 1e-16)
-        base_factor = jnp.minimum(1.0, mult) * enorm_safe ** -0.25
+        gmult = jnp.minimum(1.0, mult) if opts.gustafsson else 1.0
+        base_factor = gmult * enorm_safe ** -expo
 
         # reject path: shrink
         fac_rej = jnp.maximum(opts.min_factor, safety * base_factor)

@@ -174,3 +174,29 @@ def test_jet_fd_property(rng):
     for k in range(3):
         fd = fd_directional(g, np.asarray(x.r), np.asarray(x.d[k]))
         np.testing.assert_allclose(out.d[k], fd, rtol=1e-6, atol=1e-8)
+
+
+def test_matmul_einsum_use_highest_precision(rng):
+    """Repo precision rule (CLAUDE.md): jet contractions must request
+    Precision.HIGHEST so XLA:TPU cannot demote f32 einsums to bf16 inputs.
+    Structural pin: every dot_general in the lowered jaxpr carries it."""
+    a = make_jet(rng, (4, 5), n=2)
+    b = make_jet(rng, (5, 3), n=2)
+
+    def count_dots(jaxpr, hits=None):
+        hits = [] if hits is None else hits
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                hits.append(eqn.params.get("precision"))
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    count_dots(v.jaxpr, hits)
+        return hits
+
+    for fn in (lambda x, y: J.matmul(x, y),
+               lambda x, y: J.einsum("ij,jk->ik", x, y)):
+        precs = count_dots(jax.make_jaxpr(fn)(a, b).jaxpr)
+        assert precs, "expected dot_general ops in jet contraction"
+        for p in precs:
+            assert p is not None and all(
+                pi == jax.lax.Precision.HIGHEST for pi in p), p
