@@ -15,10 +15,50 @@ from janus_tpu.solve.common import (
 )
 from janus_tpu.solve.options import Options
 
+# method -> feature support matrix (mirrored in README.md). solve_ivp RAISES
+# on an unsupported feature instead of silently dropping it (the reference's
+# single entry point role: odesolvers/common_integrator.py:21-33).
+FEATURES = {
+    #                jac    mass   events t_eval
+    "dopri5":       (False, False, True,  True),
+    "dopri853":     (False, False, True,  True),
+    "radau":        (True,  True,  True,  True),
+    "radaup":       (True,  True,  True,  True),
+    "radau_fused":  (False, False, False, False),
+    "bdf":          (True,  False, True,  True),
+    "bdf2":         (True,  False, False, True),
+    "seulex":       (True,  True,  True,  True),
+    "rodas":        (True,  True,  True,  True),
+    "grk4t":        (True,  False, False, True),
+}
+
+_ALIASES = {
+    "rk45": "dopri5", "dop853": "dopri853",
+    "radau5": "radau", "radau9": "radau", "radau13": "radau",
+    "ndf": "bdf", "ros4": "grk4t", "rosenbrock": "grk4t",
+}
+
+
+def _check_features(method: str, jac, mass, events, t_eval):
+    sup_jac, sup_mass, sup_events, sup_teval = FEATURES[method]
+    if jac is not None and not sup_jac:
+        raise ValueError(f"method {method!r} does not use a Jacobian "
+                         "(explicit method); drop jac= or pick a stiff solver")
+    if mass is not None and not sup_mass:
+        raise ValueError(f"method {method!r} does not support a mass matrix; "
+                         "use method='radau', 'radaup', 'seulex' or 'rodas'")
+    if events is not None and not sup_events:
+        raise ValueError(f"method {method!r} does not support events; "
+                         "use 'dopri5', 'dopri853', 'radau', 'radaup', "
+                         "'bdf', 'seulex' or 'rodas'")
+    if t_eval is not None and not sup_teval:
+        raise ValueError(f"method {method!r} does not support t_eval")
+
 
 def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               options: Optional[Options] = None, t_eval=None,
-              events=None, **opt_kw) -> Solution:
+              events=None, jac: Optional[Callable] = None, mass=None,
+              **opt_kw) -> Solution:
     """Batched initial-value-problem solve.
 
     f       : batched RHS ``f(t[M], y[M,D], args) -> [M,D]``
@@ -28,11 +68,19 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               'radau' | 'radau5'/'radau9'/'radau13'  (Radau IIA, fixed order)
               'radaup'                               (per-lane variable order)
               'radau_fused'                          (one-Pallas-kernel step)
-              'bdf2' | 'seulex' | 'rodas'            (BDF2 / extrapolation /
-                                                      Rosenbrock GRK4T)
+              'bdf'                                  (variable-order NDF 1-5)
+              'bdf2' | 'seulex'                      (BDF2 / extrapolation)
+              'rodas' | 'grk4t'                      (Rosenbrock: RODAS4 /
+                                                      Kaps-Rentrop GRK4T)
     options : Options(...); or pass rtol=…, atol=… etc. as keywords
     t_eval  : optional shared output grid [T] (dense-output sampling)
     events  : optional event functions (see solve.events)
+    jac     : optional analytic Jacobian ``jac(t, y, args) -> [M,D,D]``
+              (implicit methods; default: forward-mode AD)
+    mass    : optional mass matrix [D,D] or [M,D,D] (DAE form M·y' = f)
+
+    Feature support per method is the FEATURES table; unsupported
+    combinations raise instead of being silently ignored.
     """
     if options is None:
         options = Options(**opt_kw)
@@ -41,14 +89,18 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
     t0, tf = tspan
 
     method = method.lower()
-    if method in ("dopri5", "rk45", "dopri853", "dop853"):
+    canonical = _ALIASES.get(method, method)
+    if canonical not in FEATURES:
+        raise ValueError(f"unknown method {method!r}; "
+                         f"known: {sorted(FEATURES) + sorted(_ALIASES)}")
+    _check_features(canonical, jac, mass, events, t_eval)
+
+    if canonical in ("dopri5", "dopri853"):
         from janus_tpu.solve.dopri import TABLEAUS, solve_erk
-        name = "dopri5" if method in ("dopri5", "rk45") else "dopri853"
-        return solve_erk(TABLEAUS[name], f, t0, tf, y0, args, options, t_eval,
-                         events=events)
-    if method in ("radau", "radau5", "radau13", "radau9", "radaup"):
-        stages = {"radau": None, "radau5": 3, "radau9": 5, "radau13": 7,
-                  "radaup": None}[method]
+        return solve_erk(TABLEAUS[canonical], f, t0, tf, y0, args, options,
+                         t_eval, events=events)
+    if canonical in ("radau", "radaup"):
+        stages = {"radau5": 3, "radau9": 5, "radau13": 7}.get(method)
         if stages is not None:
             options = options.replace(min_stages=stages, max_stages=stages)
         if method == "radaup" and options.min_stages == options.max_stages:
@@ -57,29 +109,37 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         if options.min_stages != options.max_stages:
             from janus_tpu.solve.radaup import solve_radau_vo
             return solve_radau_vo(f, t0, tf, y0, args, options, t_eval,
-                                  events=events)
+                                  jac=jac, mass=mass, events=events)
         from janus_tpu.solve.radau import solve_radau
-        return solve_radau(f, t0, tf, y0, args, options, t_eval, events=events)
-    if method == "radau_fused":
-        if t_eval is not None or events is not None:
-            raise ValueError("radau_fused is the final-state throughput path;"
-                             " use method='radau' for t_eval/events")
+        return solve_radau(f, t0, tf, y0, args, options, t_eval,
+                           jac=jac, mass=mass, events=events)
+    if canonical == "radau_fused":
         from janus_tpu.solve.radau_fused import solve_radau_fused
         return solve_radau_fused(f, t0, tf, y0, args, options)
-    if method == "bdf2":
+    if canonical == "bdf":
+        from janus_tpu.solve.ndf import solve_bdf
+        # variable-order 1-5 with the NDF kappas (as scipy's BDF)
+        return solve_bdf(f, t0, tf, y0, args, options, t_eval,
+                         jac=jac, events=events, ndf=(method != "bdf_classic"))
+    if canonical == "bdf2":
         from janus_tpu.solve.bdf import solve_bdf2
-        return solve_bdf2(f, t0, tf, y0, args, options, t_eval)
-    if method == "seulex":
+        return solve_bdf2(f, t0, tf, y0, args, options, t_eval, jac=jac)
+    if canonical == "seulex":
         from janus_tpu.solve.seulex import solve_seulex
-        return solve_seulex(f, t0, tf, y0, args, options, t_eval)
-    if method in ("rodas", "ros4", "rosenbrock"):
+        return solve_seulex(f, t0, tf, y0, args, options, t_eval,
+                            jac=jac, mass=mass, events=events)
+    if canonical == "rodas":
+        from janus_tpu.solve.rodas import solve_rodas
+        return solve_rodas(f, t0, tf, y0, args, options, t_eval,
+                           jac=jac, mass=mass, events=events)
+    if canonical == "grk4t":
         from janus_tpu.solve.rosenbrock import solve_ros4
-        return solve_ros4(f, t0, tf, y0, args, options, t_eval)
-    raise ValueError(f"unknown method {method!r}")
+        return solve_ros4(f, t0, tf, y0, args, options, t_eval, jac=jac)
+    raise AssertionError("unreachable")
 
 
 __all__ = [
-    "solve_ivp", "Solution", "Options",
+    "solve_ivp", "Solution", "Options", "FEATURES",
     "RUNNING", "SUCCESS", "MAX_STEPS", "STEP_UNDERFLOW", "NEWTON_STALL",
     "EVENT_TERMINATED",
 ]

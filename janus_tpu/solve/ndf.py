@@ -1,0 +1,454 @@
+"""Batched variable-order BDF/NDF (orders 1-5) behind the lockstep driver.
+
+Re-designs the reference's variable-order BDF prototype (reference
+examples/python/bdf_torch.py:1-129, orders 1-5 adaptive; vendored scipy BDF at
+examples/python/bdf_reference.py:1-478) as a fully batched per-lane-adaptive
+solver in the house lockstep style (cf. solve/radau.py):
+
+- quasi-constant-step-size BDF in backward-difference form: the history is a
+  difference array D[0..order+2]; a step-size change h -> factor*h rescales D
+  with the (order+1)x(order+1) transform R(order, factor)@R(order, 1), applied
+  batched with PER-LANE order/factor via identity-extended masking (factor=1
+  lanes see the exact identity, so one call serves the whole batch);
+- NDF modification (Shampine & Reichelt, "The MATLAB ODE Suite", SIAM J. Sci.
+  Comput. 18(1), 1997 -- the published kappa constants, also used by scipy):
+  1.26x-1.6x larger steps than plain BDF at equal accuracy, A(alpha)-stable
+  through order 5. ``ndf=False`` gives classical BDF (kappa=0);
+- per-lane order selection: after order+1 equal-h steps, the scaled error
+  norms at orders k-1/k/k+1 come straight from the difference array; the order
+  with the largest permissible step factor wins a select tournament (no argmax
+  in the hot loop -- CLAUDE.md);
+- simplified Newton on the corrector equation d = c*f(t+h, y_pred + d) - psi
+  with the (I - c*J) LU reused across iterations AND steps until c drifts;
+  stale-Jacobian failures retry at the same h with a fresh Jacobian
+  (Hairer policy, as solve/radau.py);
+- dense output and events evaluate the backward-difference interpolating
+  polynomial (the BdfDenseOutput form) on the step window.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from janus_tpu.linalg.smalllu import lu_factor, lu_solve, lu_ok
+from janus_tpu.solve import common as cm
+from janus_tpu.solve.events import (handle_events, init_event_state,
+                                    normalize_events)
+from janus_tpu.solve.options import Options
+from janus_tpu.solve.radau import default_jacobian
+
+_EINSUM_PRECISION = jax.lax.Precision.HIGHEST
+
+MAX_ORDER = 5
+_K = MAX_ORDER + 1          # R-matrix size (orders 0..5)
+_SLOTS = MAX_ORDER + 3      # difference-array slots D[0..order+2]
+NEWTON_MAXITER = 4
+
+# Shampine-Reichelt NDF constants (published; kappa[0]/kappa[5] are 0)
+_KAPPA_NDF = np.array([0.0, -0.1850, -1.0 / 9.0, -0.0823, -0.0415, 0.0])
+
+
+def _pick(vec, idx):
+    """vec[idx] for a tiny constant vector via one-hot (no gather)."""
+    oh = (idx[:, None] == jnp.arange(vec.shape[0])[None, :]).astype(vec.dtype)
+    return jnp.einsum("mk,k->m", oh, vec, precision=_EINSUM_PRECISION)
+
+
+def _pick_slot(D, k):
+    """D[:, k, :] with per-lane slot index k, via one-hot."""
+    oh = (k[:, None] == jnp.arange(D.shape[1])[None, :]).astype(D.dtype)
+    return jnp.einsum("mk,mkd->md", oh, D, precision=_EINSUM_PRECISION)
+
+
+def _r_matrix(order, factor, dtype):
+    """Batched identity-extended R(order, factor): [M, K, K].
+
+    R[i, j] = prod_{m=1..i} (m-1-factor*j)/m for 1<=i,j<=order, R[0,:]=1,
+    R[i>=1, 0]=0; entries outside the (order+1)-block are identity so the
+    transform leaves slots beyond the lane's order untouched.
+    """
+    ii = jnp.arange(_K)[:, None]
+    jj = jnp.arange(_K)[None, :]
+    fi = ii.astype(dtype)
+    fj = jj.astype(dtype)
+    body = (fi - 1.0 - factor[:, None, None] * fj) / jnp.where(ii == 0, 1, ii)
+    mfull = jnp.where((ii >= 1) & (jj >= 1), body,
+                      jnp.where(ii == 0, 1.0, 0.0).astype(dtype))
+    r = jnp.cumprod(mfull, axis=-2)
+    valid = (ii[None] <= order[:, None, None]) & (jj[None] <= order[:, None, None])
+    eye = jnp.eye(_K, dtype=dtype)[None]
+    return jnp.where(valid, r, eye)
+
+
+def _change_D(D, order, factor):
+    """Rescale the difference array for a per-lane change h -> factor*h.
+
+    D <- (R(order, factor) @ R(order, 1)).T @ D over slots 0..order; factor=1
+    lanes are exact no-ops (R(order,1) is an involution).
+    """
+    dtype = D.dtype
+    rf = _r_matrix(order, factor, dtype)
+    r1 = _r_matrix(order, jnp.ones_like(factor), dtype)
+    ru = jnp.einsum("mij,mjk->mik", rf, r1, precision=_EINSUM_PRECISION)
+    d6 = jnp.einsum("mjk,mjd->mkd", ru, D[:, :_K], precision=_EINSUM_PRECISION)
+    return jnp.concatenate([d6, D[:, _K:]], axis=1)
+
+
+@struct.dataclass
+class _NdfState:
+    t: jnp.ndarray
+    y: jnp.ndarray
+    h: jnp.ndarray            # signed current step size
+    order: jnp.ndarray        # [M] int32 in [1, MAX_ORDER]
+    neq: jnp.ndarray          # [M] int32 consecutive equal-h steps
+    D: jnp.ndarray            # [M, SLOTS, dim] backward differences
+    jac: jnp.ndarray
+    lu: jnp.ndarray
+    piv: jnp.ndarray
+    c_fact: jnp.ndarray       # [M] c = h/alpha(order) the LU was built with
+    current_jac: jnp.ndarray
+    need_jac: jnp.ndarray
+    nsing: jnp.ndarray
+    active: jnp.ndarray
+    status: jnp.ndarray
+    stats: dict
+    out_ys: Any
+    ev: Any
+
+
+def solve_bdf(f: Callable, t0, tf, y0, args=None,
+              options: Optional[Options] = None, t_eval=None,
+              jac: Optional[Callable] = None, events=None,
+              ndf: bool = True) -> cm.Solution:
+    """Batched adaptive variable-order BDF/NDF solve (orders 1-5)."""
+    opts = options if options is not None else Options()
+    specs = normalize_events(events)
+    t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
+    m, dim = y0.shape
+    dtype = y0.dtype
+    jac_fn = jac if jac is not None else default_jacobian(f)
+
+    kappa_np = _KAPPA_NDF if ndf else np.zeros(_K)
+    gamma_np = np.hstack([0.0, np.cumsum(1.0 / np.arange(1, _K))])
+    alpha = jnp.asarray((1.0 - kappa_np) * gamma_np, dtype)
+    error_const = jnp.asarray(kappa_np * gamma_np + 1.0 / np.arange(1, _K + 1),
+                              dtype)
+    gamma_slots = jnp.asarray(np.hstack([gamma_np, np.zeros(_SLOTS - _K)]),
+                              dtype)
+
+    newton_tol = opts.newton_tol if opts.newton_tol > 0 else max(
+        10 * float(jnp.finfo(dtype).eps) / opts.rtol,
+        min(0.03, opts.rtol ** 0.5))
+
+    f0 = f(t0, y0, args)
+    if opts.h0 == 0.0:
+        h = cm.initial_step(f, t0, y0, f0, tf, 1, opts.rtol, opts.atol,
+                            args, opts.max_step)
+    else:
+        direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
+        h = jnp.broadcast_to(jnp.asarray(opts.h0, dtype), (m,)) * direction
+
+    D0 = jnp.zeros((m, _SLOTS, dim), dtype)
+    D0 = D0.at[:, 0].set(y0).at[:, 1].set(h[:, None] * f0)
+
+    use_dense = t_eval is not None
+    if use_dense:
+        t_eval = jnp.asarray(t_eval, dtype)
+        at_t0 = (t_eval[None, :] == t0[:, None])
+        out_ys = jnp.where(at_t0[..., None], y0[:, None, :], jnp.nan)
+    else:
+        out_ys = jnp.zeros((), dtype)
+
+    stats = cm.zero_stats(m, ("nfev", "njev", "nlu", "nsteps", "naccept",
+                              "nreject", "nnewton", "order"))
+    stats["nfev"] = stats["nfev"] + 2
+    stats["order"] = stats["order"] + 1
+    already_done = t0 == tf
+    state = _NdfState(
+        t=t0, y=y0, h=h,
+        order=jnp.ones((m,), jnp.int32),
+        neq=jnp.zeros((m,), jnp.int32),
+        D=D0,
+        jac=jnp.zeros((m, dim, dim), dtype),
+        lu=jnp.zeros((m, dim, dim), dtype),
+        piv=jnp.zeros((m, dim), jnp.int32),
+        c_fact=jnp.zeros((m,), dtype),
+        current_jac=jnp.zeros((m,), bool),
+        need_jac=jnp.ones((m,), bool),
+        nsing=jnp.zeros((m,), jnp.int32),
+        active=~already_done,
+        status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
+        stats=stats, out_ys=out_ys,
+        ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
+    )
+    eps = jnp.finfo(dtype).eps
+    slot_idx = jnp.arange(_SLOTS)
+
+    def cond(st):
+        return jnp.any(st.active)
+
+    def body(st):
+        # ---- boundary clamp rescales the difference array ----------------
+        remaining = tf - st.t
+        last = jnp.abs(st.h) >= jnp.abs(remaining)
+        h = jnp.where(last, remaining, st.h)
+        h = jnp.where(h == 0.0, eps, h)
+        # NOTE: compare h values, don't test h/st.h != 1 — XLA:TPU divides via
+        # a*reciprocal(b) (not correctly rounded), so x/x can differ from 1.0
+        clamped = st.active & (h != st.h)
+        fac0 = jnp.where(clamped, h / st.h, 1.0)
+        D = jax.lax.cond(
+            jnp.any(clamped),
+            lambda _: jnp.where(clamped[:, None, None],
+                                _change_D(st.D, st.order, fac0), st.D),
+            lambda _: st.D, None)
+        neq = jnp.where(clamped, 0, st.neq)
+
+        # ---- prediction from the difference array ------------------------
+        le = slot_idx[None, :] <= st.order[:, None]
+        y_pred = jnp.sum(jnp.where(le[..., None], D, 0.0), axis=1)
+        ge1 = (slot_idx[None, :] >= 1) & le
+        gamma_w = jnp.where(ge1, gamma_slots[None, :], 0.0)
+        alpha_ord = _pick(alpha, st.order)
+        psi = jnp.einsum("mk,mkd->md", gamma_w, D,
+                         precision=_EINSUM_PRECISION) / alpha_ord[:, None]
+        c = h / alpha_ord
+        t_new = st.t + h
+        scale_n = opts.atol + opts.rtol * jnp.abs(y_pred)
+
+        # ---- Jacobian refresh (gated) ------------------------------------
+        needj = st.need_jac & st.active
+
+        def do_jac(_):
+            jn = jac_fn(t_new, y_pred, args)
+            return jnp.where(needj[:, None, None], jn, st.jac)
+
+        jmat = jax.lax.cond(jnp.any(needj), do_jac, lambda _: st.jac, None)
+        current_jac = st.current_jac | needj
+
+        # ---- factorization of (I - c J) (gated) --------------------------
+        needf = st.active & (needj | (c != st.c_fact))
+
+        def do_fact(_):
+            amat = jnp.eye(dim, dtype=dtype)[None] - c[:, None, None] * jmat
+            lu_n, piv_n = lu_factor(amat, pivot=opts.pivoting)
+            ok = lu_ok(lu_n)
+            return (jnp.where(needf[:, None, None], lu_n, st.lu),
+                    jnp.where(needf[:, None], piv_n, st.piv),
+                    jnp.where(needf, ok, jnp.ones((m,), bool)),
+                    jnp.where(needf, c, st.c_fact))
+
+        lu_m, piv_m, fact_ok, c_fact = jax.lax.cond(
+            jnp.any(needf), do_fact,
+            lambda _: (st.lu, st.piv, jnp.ones((m,), bool), st.c_fact), None)
+        singular = st.active & ~fact_ok
+
+        # ---- Newton on the corrector d = c f(t+h, y_pred+d) - psi --------
+        run_newton = st.active & fact_ok
+
+        def nbody(carry):
+            d, yk, dn_old, rate, k, running, convd, niter, nfev = carry
+            fk = f(t_new, yk, args)
+            res = c[:, None] * fk - psi - d
+            dy = lu_solve(lu_m, piv_m, res)
+            finite = jnp.all(jnp.isfinite(dy), axis=-1)
+            dn = jnp.sqrt(jnp.mean(jnp.square(dy / scale_n), axis=-1))
+            have = k > 0
+            rt = jnp.where(have & (dn_old > 0),
+                           dn / jnp.where(dn_old == 0, 1.0, dn_old), 0.0)
+            srt = jnp.clip(rt, 1e-16, 1.0 - 1e-16)
+            left = (NEWTON_MAXITER - k).astype(dtype)
+            div = have & ((rt >= 1.0)
+                          | (srt ** left / (1 - srt) * dn > newton_tol))
+            failn = running & (~finite | div)
+            app = running & ~failn
+            d2 = jnp.where(app[:, None], d + dy, d)
+            yk2 = jnp.where(app[:, None], yk + dy, yk)
+            cnow = app & ((dn == 0.0)
+                          | (have & (rt < 1.0)
+                             & (srt / (1 - srt) * dn < newton_tol)))
+            k1 = k + 1
+            return (d2, yk2, jnp.where(app, dn, dn_old),
+                    jnp.where(running, rt, rate), k1,
+                    running & ~failn & ~cnow & (k1 < NEWTON_MAXITER),
+                    convd | cnow, jnp.where(running, k1, niter),
+                    nfev + running)
+
+        init_n = (jnp.zeros((m, dim), dtype), y_pred, jnp.zeros((m,), dtype),
+                  jnp.zeros((m,), dtype), jnp.zeros((), jnp.int32),
+                  run_newton, jnp.zeros((m,), bool),
+                  jnp.zeros((m,), jnp.int32), jnp.zeros((m,), jnp.int32))
+        (d_fin, y_new, _, nrate, _, _, convd, niter, nfev_n) = \
+            jax.lax.while_loop(lambda cr: jnp.any(cr[5]), nbody, init_n)
+
+        conv = run_newton & convd
+        newton_fail = run_newton & ~convd
+        nf_stale = newton_fail & ~current_jac
+        nf_fresh = (newton_fail & current_jac) | singular
+
+        # ---- error estimate at the current order -------------------------
+        ordf = st.order.astype(dtype)
+        scale_e = opts.atol + opts.rtol * jnp.abs(y_new)
+        err = _pick(error_const, st.order)[:, None] * d_fin
+        enorm = jnp.sqrt(jnp.mean(jnp.square(err / scale_e), axis=-1))
+        enorm = jnp.where(jnp.isfinite(enorm), enorm, 1e10)
+        enorm = jnp.maximum(enorm, 1e-16)
+
+        accept = conv & (enorm <= 1.0)
+        reject_err = conv & (enorm > 1.0)
+
+        niter_f = jnp.maximum(niter, 1).astype(dtype)
+        safety = opts.safety * (2 * NEWTON_MAXITER + 1) / (2 * NEWTON_MAXITER
+                                                           + niter_f)
+        fac_rej = jnp.maximum(opts.min_factor,
+                              safety * enorm ** (-1.0 / (ordf + 1.0)))
+
+        # ---- history update on accept (suffix sums over D slots) ---------
+        oh1 = slot_idx[None, :] == (st.order[:, None] + 1)
+        oh2 = slot_idx[None, :] == (st.order[:, None] + 2)
+        d_old_op1 = _pick_slot(D, st.order + 1)
+        Dw = jnp.where(oh1[..., None], d_fin[:, None, :], D)
+        Dw = jnp.where(oh2[..., None], (d_fin - d_old_op1)[:, None, :], Dw)
+        le1 = slot_idx[None, :] <= (st.order[:, None] + 1)
+        suff = jax.lax.cumsum(jnp.where(le1[..., None], Dw, 0.0), axis=1,
+                              reverse=True)
+        D_hist = jnp.where(le1[..., None], suff, Dw)
+        D_acc = jnp.where(accept[:, None, None], D_hist, D)
+        neq_acc = jnp.where(accept, neq + 1, neq)
+
+        # ---- order adaptation after order+1 equal steps ------------------
+        adapt = accept & (neq_acc >= st.order + 1)
+        en_m_raw = jnp.sqrt(jnp.mean(jnp.square(
+            _pick(error_const, st.order - 1)[:, None]
+            * _pick_slot(D_acc, st.order) / scale_e), axis=-1))
+        en_p_raw = jnp.sqrt(jnp.mean(jnp.square(
+            _pick(error_const, jnp.minimum(st.order + 1, MAX_ORDER))[:, None]
+            * _pick_slot(D_acc, st.order + 2) / scale_e), axis=-1))
+        en_m = jnp.maximum(jnp.where(jnp.isfinite(en_m_raw), en_m_raw, 1e10),
+                           1e-16)
+        en_p = jnp.maximum(jnp.where(jnp.isfinite(en_p_raw), en_p_raw, 1e10),
+                           1e-16)
+        fac_same = enorm ** (-1.0 / (ordf + 1.0))
+        fac_m = jnp.where(st.order > 1, en_m ** (-1.0 / ordf), 0.0)
+        fac_p = jnp.where(st.order < MAX_ORDER,
+                          en_p ** (-1.0 / (ordf + 2.0)), 0.0)
+        # select tournament == argmax([m, same, p]) with first-max ties
+        best_is_m = (fac_m >= fac_same) & (fac_m >= fac_p)
+        best_is_p = ~best_is_m & (fac_p > fac_same)
+        delta = jnp.where(best_is_m, -1, jnp.where(best_is_p, 1, 0))
+        order_new = jnp.where(adapt,
+                              jnp.clip(st.order + delta, 1, MAX_ORDER),
+                              st.order)
+        fac_best = jnp.where(best_is_m, fac_m,
+                             jnp.where(best_is_p, fac_p, fac_same))
+        fac_adapt = jnp.minimum(opts.max_factor, safety * fac_best)
+
+        # ---- one combined rescale for adapt/reject/newton-fail lanes -----
+        factor_all = jnp.where(adapt, fac_adapt,
+                               jnp.where(reject_err, fac_rej,
+                                         jnp.where(nf_fresh, 0.5, 1.0)))
+        factor_all = jnp.where(st.active, factor_all, 1.0)
+        # respect max_step before rescaling D so they stay consistent
+        factor_all = jnp.minimum(factor_all,
+                                 opts.max_step / jnp.abs(h))
+        rescale = factor_all != 1.0
+        D_final = jax.lax.cond(
+            jnp.any(rescale),
+            lambda _: jnp.where(rescale[:, None, None],
+                                _change_D(D_acc, order_new, factor_all),
+                                D_acc),
+            lambda _: D_acc, None)
+        neq_final = jnp.where(rescale, 0, neq_acc)
+        h_next = jnp.where(st.active, h * factor_all, st.h)
+        h_next_abs = jnp.abs(h_next)
+
+        # ---- dense output & events (backward-difference polynomial) ------
+        out_ys = st.out_ys
+        interp = None
+        if use_dense or specs:
+            iidx = jnp.arange(MAX_ORDER, dtype=dtype)
+            kmask = jnp.arange(MAX_ORDER)[None, :] < st.order[:, None]
+
+            def interp(theta):                       # [M,T] -> [M,T,D]
+                tq = st.t[:, None] + theta * h[:, None]
+                x = ((tq[..., None]
+                      - (t_new[:, None, None] - iidx * h[:, None, None]))
+                     / ((iidx + 1.0) * h[:, None, None]))
+                cp = jnp.cumprod(x, axis=-1)
+                w = jnp.where(kmask[:, None, :], cp, 0.0)
+                return D_hist[:, 0][:, None, :] + jnp.einsum(
+                    "mtk,mkd->mtd", w, D_hist[:, 1:_K],
+                    precision=_EINSUM_PRECISION)
+
+        if use_dense:
+            out_ys = cm.collect_dense(out_ys, t_eval, st.t, h, accept, interp)
+
+        ev, terminate, t_ev, y_ev = handle_events(
+            specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
+
+        # ---- bookkeeping --------------------------------------------------
+        done = accept & last
+        recompute_jac = accept & (niter > 2) & (nrate > opts.jac_recompute)
+
+        stats = dict(st.stats)
+        stats["nfev"] = stats["nfev"] + nfev_n
+        stats["njev"] = stats["njev"] + needj
+        stats["nlu"] = stats["nlu"] + needf
+        stats["nsteps"] = stats["nsteps"] + (run_newton | singular)
+        stats["naccept"] = stats["naccept"] + accept
+        stats["nreject"] = stats["nreject"] + (reject_err | newton_fail
+                                               | singular)
+        stats["nnewton"] = stats["nnewton"] + niter
+        stats["order"] = jnp.where(st.active, order_new, stats["order"])
+
+        nsing = jnp.where(singular | newton_fail, st.nsing + 1,
+                          jnp.where(accept, 0, st.nsing))
+        stall = st.active & (nsing >= 7)
+        exceeded = st.active & (stats["nsteps"] >= opts.max_steps) & ~done
+        # Hairer's t-relative underflow test (0.1|h| <= eps|t|): an absolute
+        # floor breaks f32 runs whose startup step is below 16*eps
+        underflow = st.active & (0.1 * h_next_abs <= eps * jnp.abs(t_new)) \
+            & ~done
+
+        status = st.status
+        status = jnp.where(done, cm.SUCCESS, status).astype(jnp.int8)
+        status = jnp.where(exceeded, cm.MAX_STEPS, status).astype(jnp.int8)
+        status = jnp.where(underflow, cm.STEP_UNDERFLOW, status).astype(jnp.int8)
+        status = jnp.where(stall, cm.NEWTON_STALL, status).astype(jnp.int8)
+        status = jnp.where(terminate, cm.EVENT_TERMINATED, status).astype(jnp.int8)
+        active = st.active & ~done & ~exceeded & ~underflow & ~stall & ~terminate
+
+        return _NdfState(
+            t=jnp.where(accept, jnp.where(terminate, t_ev, t_new), st.t),
+            y=jnp.where(accept[:, None],
+                        jnp.where(terminate[:, None], y_ev, y_new), st.y),
+            h=h_next,
+            order=order_new,
+            neq=neq_final,
+            D=D_final,
+            jac=jmat, lu=lu_m, piv=piv_m,
+            c_fact=c_fact,
+            current_jac=jnp.where(accept, False, current_jac),
+            need_jac=jnp.where(accept, recompute_jac,
+                               jnp.where(nf_stale, True,
+                                         jnp.where(needj, False,
+                                                   st.need_jac))),
+            nsing=nsing,
+            active=active, status=status, stats=stats, out_ys=out_ys,
+            ev=ev,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return cm.Solution(
+        t=final.t, y=final.y, status=final.status, stats=final.stats,
+        ts=t_eval if use_dense else None,
+        ys=final.out_ys if use_dense else None,
+        event_t=final.ev["event_t"] if specs else None,
+        event_y=final.ev["event_y"] if specs else None,
+        event_idx=final.ev["event_idx"] if specs else None,
+    )

@@ -47,6 +47,9 @@ class Options:
     # variable order (Radau): min/max number of stages
     min_stages: int = _static(3)
     max_stages: int = _static(3)
+    # SEULEX extrapolation-ladder depth (KMAXX; the reference's default is 13,
+    # src/python/seulexted.py:13 — levels beyond a lane's k_targ+1 never run)
+    seulex_kmax: int = _static(13)
     # per-step playback log capacity (0 = off; the DynTe role, SURVEY §5)
     record_steps: int = _static(0)
     # also store the accepted state per recorded step (solout buffer role)

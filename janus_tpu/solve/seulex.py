@@ -1,18 +1,36 @@
-"""Batched SEULEX: semi-implicit Euler + polynomial extrapolation.
+"""Batched SEULEX: semi-implicit Euler + polynomial extrapolation, at full
+reference depth.
 
-The reference's primary Python solver (src/python/seulexted.py, 1396 lines of
-masked order/step control with a work-model ladder, KMAXX=13). TPU re-design:
-a STATIC subdivision ladder (levels gated per step by ``lax.cond`` — a level
-runs only when some lane's target order requires it, the lockstep analogue of
-the reference's compute-to-k_targ control flow) with per-lane order targeting
-from the same work model (cost ladder per level / attainable step size;
-reference seulexted.py:53-79, 245-251).
+The reference's primary Python solver (src/python/seulexted.py, 1396 lines —
+the Numerical Recipes StepperSie algorithm batched over masks): KMAXX=13
+subdivision ladder nseq = 2,3,4,6,8,12,... (nseq[i] = 2*nseq[i-2],
+seulexted.py:62-65), work-model cost ladder (costjac=5, costlu=costfunc=
+costsolve=1, :53-79), theta-gated Jacobian reuse (jac_redo = min(1e-4, rtol),
+refresh only when the stability-check theta exceeds it, :59,328), the
+stability check on the first substep of levels k<=1 (:1020-1334), and the
+STEPFAC/KFAC order-window controller (:245-251).
 
-Each level k: one LU of (I − h′J), nseq[k] semi-implicit Euler substeps
-reusing it (the reference's one-LU-per-k structure, seulexted.py:373,1020),
-then Aitken–Neville extrapolation (:1376). No argmax/gathers anywhere —
-level selection is a static select scan (TPU compile-time constraint, see
-CLAUDE.md)."""
+TPU re-design (one step ATTEMPT per lax.while_loop body, house lockstep
+style):
+
+- the ladder is a STATIC Python loop over levels, each gated by ``lax.cond``
+  on ``any(lane still needs it)`` — the lockstep analogue of the sequential
+  compute-to-k_targ loop with its data-dependent breaks; per-lane `decided`
+  masks carry the NR break/continue semantics (converged at k_targ-1/k_targ/
+  k_targ+1, divergence abort, stability abort);
+- each level: ONE LU of (M/h' − J) reused across its nseq[k] semi-implicit
+  Euler substeps (run under ``lax.fori_loop``), then Aitken–Neville
+  extrapolation; per-lane theta from the k<=1 stability check persists in
+  state and gates the next Jacobian refresh;
+- order targeting: per-lane hopt[k]/work[k] arrays and the NR kopt selection
+  (work-ratio tests with KFAC1=0.7/KFAC2=0.9) via one-hot picks — no gathers;
+- mass matrix: substeps solve (M/h' − J) d = f (index-1 DAE form);
+- dense output/events: cubic Hermite on the step (LOW-ORDER relative to the
+  integrator's order ~k_targ+1: t_eval sampling is only ~O(h^4)-accurate —
+  use radau for high-order dense output; with a mass matrix the interpolant
+  degrades to linear because f is not y' on algebraic rows). The two extra
+  f-evals it needs are gated on ``any(accept)`` and counted in nfev.
+"""
 
 from __future__ import annotations
 
@@ -21,17 +39,44 @@ from typing import Any, Callable, Optional
 import flax.struct as struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from janus_tpu.linalg.smalllu import lu_factor, lu_solve, lu_ok
 from janus_tpu.solve import common as cm
+from janus_tpu.solve.events import (handle_events, init_event_state,
+                                    normalize_events)
 from janus_tpu.solve.options import Options
 from janus_tpu.solve.radau import default_jacobian
 
-NSEQ = (2, 3, 4, 6, 8, 12)       # subdivision ladder (Hairer seulex sequence)
-# work model (units of one f evaluation): LU ≈ dim, solve ≈ 0.5
-COST_JAC = 2.0
-COST_LU = 2.0
-COST_SOLVE = 0.5
+_EINSUM_PRECISION = jax.lax.Precision.HIGHEST
+
+# NR StepperSie controller constants (reference seulexted.py:245-251)
+STEPFAC1 = 0.65
+STEPFAC2 = 0.94
+STEPFAC3 = 0.02
+STEPFAC4 = 4.0
+STEPFAC5 = 0.5
+KFAC1 = 0.7
+KFAC2 = 0.9
+# work model (reference seulexted.py:53-56)
+COST_FUNC = 1.0
+COST_JAC = 5.0
+COST_LU = 1.0
+COST_SOLVE = 1.0
+
+
+def _nseq(kmax: int):
+    """Subdivision ladder: 2, 3, 4, 6, 8, 12, ... (nseq[i] = 2*nseq[i-2])."""
+    ns = [2, 3]
+    for i in range(2, kmax + 1):
+        ns.append(2 * ns[i - 2])
+    return ns
+
+
+def _pick(arr, idx):
+    """arr[:, idx] with per-lane idx via one-hot (no gather). arr: [M, K]."""
+    oh = (idx[:, None] == jnp.arange(arr.shape[1])[None, :]).astype(arr.dtype)
+    return jnp.sum(oh * arr, axis=1)
 
 
 @struct.dataclass
@@ -39,34 +84,62 @@ class _SxState:
     t: jnp.ndarray
     y: jnp.ndarray
     h: jnp.ndarray
-    k_targ: jnp.ndarray       # [M] target level (1..K-2)
+    k_targ: jnp.ndarray       # [M] target level
+    theta: jnp.ndarray        # [M] last stability-check contraction measure
+    jac: jnp.ndarray          # [M, D, D]
+    calcjac: jnp.ndarray      # [M] Jacobian is fresh for this step point
+    first: jnp.ndarray        # [M] no step accepted yet
+    rejected: jnp.ndarray     # [M] previous attempt was rejected
+    nbad: jnp.ndarray         # [M] consecutive rejections (stall guard)
     active: jnp.ndarray
     status: jnp.ndarray
     stats: dict
     out_ys: Any
+    ev: Any
 
 
 def solve_seulex(f: Callable, t0, tf, y0, args=None,
                  options: Optional[Options] = None, t_eval=None,
-                 jac: Optional[Callable] = None) -> cm.Solution:
+                 jac: Optional[Callable] = None, mass=None,
+                 events=None) -> cm.Solution:
+    """Batched adaptive SEULEX solve (extrapolated linearly implicit Euler)."""
     opts = options if options is not None else Options()
+    specs = normalize_events(events)
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
     m, dim = y0.shape
     dtype = y0.dtype
     jac_fn = jac if jac is not None else default_jacobian(f)
-    kmax = len(NSEQ)
 
-    # cumulative work (in f-eval units) to compute levels 0..k
-    cum_cost = []
-    acc = COST_JAC
-    for nj in NSEQ:
-        acc += COST_LU + nj * (1.0 + COST_SOLVE)
-        cum_cost.append(acc)
+    kmax = opts.seulex_kmax               # KMAXX; levels 0..kmax run
+    K = kmax + 1                          # IMAXX
+    NSEQ = _nseq(kmax)
+    jac_redo = min(1.0e-4, opts.rtol)
+
+    # cumulative work ladder (reference seulexted.py:66-79)
+    cost_np = np.zeros(K)
+    cost_np[0] = COST_JAC + COST_LU + NSEQ[0] * (COST_FUNC + COST_SOLVE)
+    for k in range(kmax):
+        cost_np[k + 1] = (cost_np[k] + (NSEQ[k + 1] - 1)
+                          * (COST_FUNC + COST_SOLVE) + COST_LU)
+    cost = jnp.asarray(cost_np, dtype)
+    nseq_f = jnp.asarray(np.asarray(NSEQ, dtype=float), dtype)
+
+    def mdot(v):
+        if mass is None:
+            return v
+        if mass.ndim == 2:
+            return jnp.einsum("ij,mj->mi", mass, v,
+                              precision=_EINSUM_PRECISION)
+        return jnp.einsum("mij,mj->mi", mass, v, precision=_EINSUM_PRECISION)
 
     f0 = f(t0, y0, args)
     if opts.h0 == 0.0:
-        h = cm.initial_step(f, t0, y0, f0, tf, 4, opts.rtol, opts.atol,
-                            args, opts.max_step)
+        if mass is None:
+            h = cm.initial_step(f, t0, y0, f0, tf, 4, opts.rtol, opts.atol,
+                                args, opts.max_step)
+        else:
+            direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
+            h = jnp.minimum(1e-3, jnp.abs(tf - t0) * 1e-2) * direction
     else:
         direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
         h = jnp.broadcast_to(jnp.asarray(opts.h0, dtype), (m,)) * direction
@@ -79,18 +152,30 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
     else:
         out_ys = jnp.zeros((), dtype)
 
+    # tolerance-derived initial target order (reference seulexted.py:83-87)
+    logfact = -np.log10(opts.rtol + opts.atol) * 0.6 + 0.5
+    kt0 = int(np.clip(round(logfact), 1, kmax - 1))
+
     stats = cm.zero_stats(m, ("nfev", "njev", "nlu", "nsteps", "naccept",
-                              "nreject"))
+                              "nreject", "order"))
     stats["nfev"] = stats["nfev"] + 2
     already_done = t0 == tf
     state = _SxState(
         t=t0, y=y0, h=h,
-        k_targ=jnp.full((m,), 3, jnp.int32),
+        k_targ=jnp.full((m,), kt0, jnp.int32),
+        theta=jnp.full((m,), 2.0 * jac_redo, dtype),
+        jac=jnp.zeros((m, dim, dim), dtype),
+        calcjac=jnp.zeros((m,), bool),
+        first=jnp.ones((m,), bool),
+        rejected=jnp.zeros((m,), bool),
+        nbad=jnp.zeros((m,), jnp.int32),
         active=~already_done,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
         stats=stats, out_ys=out_ys,
+        ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
     )
     eps = jnp.finfo(dtype).eps
+    eye = jnp.eye(dim, dtype=dtype)
 
     def cond(st):
         return jnp.any(st.active)
@@ -100,111 +185,246 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         last = jnp.abs(st.h) >= jnp.abs(remaining)
         h = jnp.where(last, remaining, st.h)
         h = jnp.where(h == 0.0, eps, h)
-        hcol = h[:, None]
-
-        jmat = jac_fn(st.t, st.y, args)
+        h_abs = jnp.abs(h)
         scale = opts.atol + opts.rtol * jnp.abs(st.y)
 
-        # ---- gated extrapolation ladder -----------------------------------
-        tline = []                         # Aitken–Neville rows (computed)
-        ok_all = jnp.ones((m,), bool)
-        passed = jnp.zeros((m,), bool)
-        k_sel = jnp.zeros((m,), jnp.int32)
-        y_sel = st.y
-        err_sel = jnp.full((m,), 1e10, dtype)
-        err_at = [None] * kmax             # per-level [M] errors (or None)
-        computed = [jnp.zeros((m,), bool)] * kmax
+        # ---- theta-gated Jacobian refresh (reference :328) ----------------
+        needj = st.active & (st.theta > jac_redo) & ~st.calcjac
+
+        def do_jac(_):
+            jn = jac_fn(st.t, st.y, args)
+            return jnp.where(needj[:, None, None], jn, st.jac)
+
+        jmat = jax.lax.cond(jnp.any(needj), do_jac, lambda _: st.jac, None)
+        calcjac = st.calcjac | needj
+
+        # ---- the gated extrapolation ladder -------------------------------
+        decided = ~st.active
+        accept = jnp.zeros((m,), bool)
+        reject_h = jnp.zeros((m,), bool)     # halve-h rejects (stab/diverge)
+        abort = jnp.zeros((m,), bool)        # NR retarget-aborts
+        abort_p1 = jnp.zeros((m,), bool)     # abort at k_targ+1
+        y_acc = st.y
+        k_dec = jnp.zeros((m,), jnp.int32)
+        errold = jnp.zeros((m,), dtype)
+        theta_new = st.theta
         nfev_add = jnp.zeros((m,), jnp.int32)
         nlu_add = jnp.zeros((m,), jnp.int32)
+        hopt_cols = [h_abs]                  # level 0 placeholder
+        work_cols = [jnp.full((m,), jnp.inf, dtype)]
+        rows = []
 
-        zero_row = jnp.zeros((m, dim), dtype)
-        for k, nj in enumerate(NSEQ):
-            need = st.active & (k <= st.k_targ + 1) & ~passed
+        for k in range(K):
+            nj = NSEQ[k]
+            need = st.active & ~decided & (k <= st.k_targ + 1)
 
-            def do_level(_, k=k, nj=nj, need=need):
-                hsub = hcol / nj
-                amat = (jnp.eye(dim, dtype=dtype)[None]
-                        - hsub[..., None] * jmat)
+            def run_level(_, k=k, nj=nj):
+                hsub = h / nj
+                mm = eye[None] if mass is None else (
+                    mass[None] if mass.ndim == 2 else mass)
+                amat = mm / hsub[:, None, None] - jmat
                 lu, piv = lu_factor(amat, pivot=opts.pivoting)
                 ok = lu_ok(lu)
-                ysub = st.y
-                for i in range(nj):
-                    ts = st.t + (i / nj) * h
-                    dy = lu_solve(lu, piv, hsub * f(ts, ysub, args))
-                    ysub = ysub + dy
-                return ysub, ok
+                x1 = st.t + hsub
+                d = lu_solve(lu, piv, f(x1, st.y, args))
+                ytemp = st.y
+                theta_k = jnp.full((m,), -1.0, dtype)
+                # first substep explicitly (stability check for k <= 1)
+                ytemp = ytemp + d
+                fy1 = f(st.t + 2.0 * hsub, ytemp, args)
+                if k <= 1:
+                    del1 = jnp.sqrt(jnp.mean(jnp.square(d / scale), axis=-1))
+                    dytemp = f(x1, ytemp, args)
+                    dd = dytemp - mdot(d) / hsub[:, None]
+                    d2v = lu_solve(lu, piv, dd)
+                    del2 = jnp.sqrt(jnp.mean(jnp.square(d2v / scale),
+                                             axis=-1))
+                    theta_k = del2 / jnp.maximum(1.0, del1)
+                    theta_k = jnp.where(jnp.isfinite(theta_k), theta_k, 2.0)
+                    ok = ok & (theta_k <= 1.0)
+                d = lu_solve(lu, piv, fy1)
+
+                def sub(nn, carry):
+                    yt, dd = carry
+                    yt = yt + dd
+                    rhs = f(st.t + (nn + 1.0) * hsub, yt, args)
+                    return yt, lu_solve(lu, piv, rhs)
+
+                ytemp, d = jax.lax.fori_loop(2, nj, sub, (ytemp, d))
+                yk = ytemp + d
+                ok = ok & jnp.all(jnp.isfinite(yk), axis=-1)
+                return yk, ok, theta_k
 
             def skip_level(_):
-                return zero_row, jnp.ones((m,), bool)
+                return (jnp.zeros((m, dim), dtype), jnp.ones((m,), bool),
+                        jnp.full((m,), -1.0, dtype))
 
-            ysub, ok = jax.lax.cond(jnp.any(need), do_level, skip_level, None)
-            ok_all = jnp.where(need, ok_all & ok, ok_all)
-            nfev_add = nfev_add + need * nj
-            nlu_add = nlu_add + need * 1
-            computed[k] = need
+            yk, okk, theta_k = jax.lax.cond(jnp.any(need), run_level,
+                                            skip_level, None)
+            if k <= 1:
+                theta_new = jnp.where(need & (theta_k >= 0.0), theta_k,
+                                      theta_new)
+            nfev_add = nfev_add + need * (nj + (1 if k <= 1 else 0))
+            nlu_add = nlu_add + need
 
-            row = [ysub]
+            stab_fail = need & ~okk
+            reject_h = reject_h | stab_fail
+            decided = decided | stab_fail
+            k_dec = jnp.where(stab_fail, k, k_dec)
+
+            # Aitken-Neville row (reference extrapolate, :1376)
+            row = [yk]
             for j in range(k):
                 ratio = NSEQ[k] / NSEQ[k - j - 1]
-                row.append(row[j] + (row[j] - tline[k - 1][j])
+                row.append(row[j] + (row[j] - rows[k - 1][j])
                            / (ratio - 1.0))
-            tline.append(row)
+            rows.append(row)
 
             if k >= 1:
-                d = row[k] - row[k - 1]
-                err_k = jnp.sqrt(jnp.mean(jnp.square(d / scale), axis=-1))
+                live = need & ~stab_fail
+                diff = row[k] - row[k - 1]
+                err_k = jnp.sqrt(jnp.mean(jnp.square(diff / scale), axis=-1))
                 err_k = jnp.where(jnp.isfinite(err_k), err_k, 1e10)
-                err_k = jnp.maximum(err_k, 1e-16)
-                err_at[k] = err_k
-                pass_k = need & ok & (err_k <= 1.0)
-                newly = pass_k & ~passed
-                k_sel = jnp.where(newly, k, k_sel)
-                y_sel = jnp.where(newly[:, None], row[k], y_sel)
-                err_sel = jnp.where(newly, err_k, err_sel)
-                passed = passed | pass_k
+                err_k = jnp.maximum(err_k, 1e-18)
 
-        accept = passed & st.active
-        reject = st.active & ~passed
+                div = live & ((err_k > 1.0 / eps)
+                              | ((k > 1) & (err_k >= errold)))
+                reject_h = reject_h | div
+                decided = decided | div
+                k_dec = jnp.where(div, k, k_dec)
+                errold = jnp.where(live, jnp.maximum(4.0 * err_k, 1.0),
+                                   errold)
+                live = live & ~div
 
-        # ---- work-model order targeting (reference cost ladder) -----------
-        # candidate levels 1..kmax-1: hfac_k from err_k, work = cum_cost/hfac
-        best_work = jnp.full((m,), jnp.inf, dtype)
-        k_next = st.k_targ
-        fac_sel = jnp.full((m,), opts.min_factor, dtype)
-        for k in range(1, kmax):
-            if err_at[k] is None:
-                continue
-            expo = 1.0 / (k + 2.0)
-            fac_k = jnp.clip(opts.safety * err_at[k] ** (-expo),
-                             opts.min_factor, opts.max_factor)
-            work_k = cum_cost[k] / fac_k
-            valid = computed[k]
-            better = valid & (work_k < best_work)
-            best_work = jnp.where(better, work_k, best_work)
-            k_next = jnp.where(better, k, k_next)
-            # step factor actually used comes from the ACCEPTED level
-            fac_sel = jnp.where(accept & (k_sel == k), fac_k, fac_sel)
-        # keep the target inside [1, kmax-2] and move at most one level
-        k_next = jnp.clip(k_next, st.k_targ - 1, st.k_targ + 1)
-        k_next = jnp.clip(k_next, 1, kmax - 2)
-        k_targ_new = jnp.where(accept, k_next, st.k_targ)
+                # per-level step proposal + work (NR STEPFAC controller)
+                expo = 1.0 / (k + 1.0)
+                facmin = STEPFAC3 ** expo
+                fac = jnp.where(
+                    err_k == 0.0, 1.0 / facmin,
+                    jnp.clip(STEPFAC2 / (err_k / STEPFAC1) ** expo,
+                             facmin / STEPFAC4, 1.0 / facmin))
+                hopt_k = h_abs * fac
+                work_k = cost[k] / hopt_k
+                hopt_cols.append(jnp.where(live, hopt_k, h_abs))
+                work_cols.append(jnp.where(live, work_k, jnp.inf))
 
-        # reject: shrink from the deepest computed error
-        err_deep = jnp.full((m,), 1e10, dtype)
-        for k in range(1, kmax):
-            if err_at[k] is not None:
-                err_deep = jnp.where(computed[k], err_at[k], err_deep)
-        fac_rej = jnp.clip(opts.safety * err_deep ** (-1.0 / (kmax + 1.0)),
-                           opts.min_factor, 0.7)
+                # convergence / abort windows around k_targ
+                is_m1 = k == (st.k_targ - 1)
+                is_t = k == st.k_targ
+                is_p1 = k == (st.k_targ + 1)
+                fl = st.first | last
+                small = err_k <= 1.0
+                conv = live & small & (fl
+                                       | (is_m1 & ~st.rejected & ~fl)
+                                       | is_t | is_p1)
+                accept = accept | conv
+                decided = decided | conv
+                y_acc = jnp.where(conv[:, None], row[k], y_acc)
+                k_dec = jnp.where(conv, k, k_dec)
+                live = live & ~conv
 
-        y_new = y_sel
+                ab_m1 = (live & is_m1 & ~st.rejected & ~fl
+                         & (err_k > 4.0 * nseq_f[min(k + 1, K - 1)]
+                            * nseq_f[min(k + 2, K - 1)]))
+                ab_t = live & is_t & (err_k > 2.0 * nseq_f[min(k + 1, K - 1)])
+                ab_p1 = live & is_p1 & (err_k > 1.0)
+                abort = abort | ab_m1 | ab_t
+                abort_p1 = abort_p1 | ab_p1
+                decided = decided | ab_m1 | ab_t | ab_p1
+                k_dec = jnp.where(ab_m1 | ab_t | ab_p1, k, k_dec)
+
+        # lanes that ran out of ladder without deciding: treat as reject
+        leftover = st.active & ~decided
+        reject_h = reject_h | leftover
+        k_dec = jnp.where(leftover, jnp.minimum(st.k_targ + 1, kmax), k_dec)
+
+        H = jnp.stack(hopt_cols, axis=1)      # [M, K']
+        W = jnp.stack(work_cols, axis=1)
+        reject = reject_h | abort | abort_p1
+
+        # ---- NR retarget on aborts ---------------------------------------
+        w_k = _pick(W, k_dec)
+        w_km1 = _pick(W, jnp.maximum(k_dec - 1, 0))
+        kt_ab = jnp.where((k_dec > 1) & (w_km1 < KFAC1 * w_k),
+                          k_dec - 1, k_dec)
+        w_t = _pick(W, st.k_targ)
+        w_tm1 = _pick(W, jnp.maximum(st.k_targ - 1, 0))
+        kt_p1 = jnp.where((st.k_targ > 1) & (w_tm1 < KFAC1 * w_t),
+                          st.k_targ - 1, st.k_targ)
+        kt_rej = jnp.where(abort, kt_ab, jnp.where(abort_p1, kt_p1,
+                                                   st.k_targ))
+        kt_rej = jnp.clip(kt_rej, 1, kmax - 1)
+        h_rej = jnp.where(abort | abort_p1, _pick(H, kt_rej),
+                          h_abs * STEPFAC5)
+
+        # ---- NR kopt selection on accepts --------------------------------
+        kk = k_dec
+        w_kk = _pick(W, kk)
+        w_kkm1 = _pick(W, jnp.maximum(kk - 1, 0))
+        w_kkm2 = _pick(W, jnp.maximum(kk - 2, 0))
+        # k <= k_targ branch
+        kopt_a = jnp.where(w_kkm1 < KFAC1 * w_kk, kk - 1,
+                           jnp.where(w_kk < KFAC2 * w_kkm1,
+                                     jnp.minimum(kk + 1, kmax - 1), kk))
+        # k == k_targ+1 branch
+        kopt_b0 = jnp.where((kk > 2) & (w_kkm2 < KFAC1 * w_kkm1),
+                            kk - 2, kk - 1)
+        w_koptb0 = _pick(W, jnp.clip(kopt_b0, 0, kmax))
+        kopt_b = jnp.where(w_kk < KFAC2 * w_koptb0,
+                           jnp.minimum(kk, kmax - 1), kopt_b0)
+        kopt = jnp.where(kk == 1,
+                         jnp.where(st.rejected, 1, 2),
+                         jnp.where(kk <= st.k_targ, kopt_a, kopt_b))
+        kopt = jnp.clip(kopt, 1, kmax - 1)
+
+        h_kopt = _pick(H, kopt)
+        h_kk = _pick(H, kk)
+        h_kkm1 = _pick(H, jnp.maximum(kk - 1, 0))
+        cost_kp1 = _pick(jnp.broadcast_to(cost[None, :], (m, K)),
+                         jnp.minimum(kk + 1, kmax))
+        cost_kk = _pick(jnp.broadcast_to(cost[None, :], (m, K)), kk)
+        cost_kopt = _pick(jnp.broadcast_to(cost[None, :], (m, K)), kopt)
+        h_grow = jnp.where((kk < st.k_targ) & (w_kk < KFAC2 * w_kkm1),
+                           h_kkm1 * cost_kp1 / cost_kk,
+                           h_kk * cost_kopt / cost_kk)
+        kt_acc = jnp.where(st.rejected, jnp.minimum(kopt, kk), kopt)
+        h_acc = jnp.where(st.rejected,
+                          jnp.minimum(h_abs, _pick(H, jnp.clip(kt_acc, 0,
+                                                               kmax))),
+                          jnp.where(kopt <= kk, h_kopt, h_grow))
+
+        k_targ_new = jnp.where(accept, jnp.clip(kt_acc, 1, kmax - 1),
+                               jnp.where(reject, kt_rej, st.k_targ))
+        h_next_abs = jnp.where(accept, h_acc,
+                               jnp.where(reject, h_rej, h_abs))
+        h_next_abs = jnp.minimum(jnp.maximum(h_next_abs, 1e-30),
+                                 opts.max_step)
+        h_next = jnp.where(st.active, h_next_abs * jnp.sign(h), st.h)
+
+        # ---- dense output & events (gated; see module docstring) ---------
+        t_new = st.t + h
+        y_new = y_acc
         out_ys = st.out_ys
-        if use_dense:
-            fn = f(st.t + h, y_new, args)
-            fy = f(st.t, st.y, args)
+        interp = None
+        nfev_interp = jnp.zeros((m,), jnp.int32)
+        if use_dense or specs:
+            def build_interp(_):
+                return f(t_new, y_new, args), f(st.t, st.y, args)
+
+            def skip_interp(_):
+                z = jnp.zeros((m, dim), dtype)
+                return z, z
+
+            fn, fy = jax.lax.cond(jnp.any(accept), build_interp, skip_interp,
+                                  None)
+            nfev_interp = accept * 2
+            hcol = h[:, None]
 
             def interp(theta):
                 th = theta[..., None]
+                if mass is not None:
+                    # algebraic rows make f != y' — fall back to linear
+                    return (1 - th) * st.y[:, None] + th * y_new[:, None]
                 h00 = (1 + 2 * th) * (1 - th) ** 2
                 h10 = th * (1 - th) ** 2
                 h01 = th * th * (3 - 2 * th)
@@ -212,43 +432,63 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                 return (h00 * st.y[:, None] + h10 * hcol[:, None] * fy[:, None]
                         + h01 * y_new[:, None]
                         + h11 * hcol[:, None] * fn[:, None])
+
+        if use_dense:
             out_ys = cm.collect_dense(out_ys, t_eval, st.t, h, accept, interp)
 
-        t_new = st.t + h
+        ev, terminate, t_ev, y_ev = handle_events(
+            specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
+
+        # ---- bookkeeping --------------------------------------------------
         done = accept & last
 
         stats = dict(st.stats)
-        stats["nfev"] = stats["nfev"] + nfev_add
-        stats["njev"] = stats["njev"] + st.active
+        stats["nfev"] = stats["nfev"] + nfev_add + nfev_interp
+        stats["njev"] = stats["njev"] + needj
         stats["nlu"] = stats["nlu"] + nlu_add
         stats["nsteps"] = stats["nsteps"] + st.active
         stats["naccept"] = stats["naccept"] + accept
         stats["nreject"] = stats["nreject"] + reject
+        stats["order"] = jnp.where(st.active, k_targ_new + 1, stats["order"])
 
-        h_next_abs = jnp.where(accept, jnp.abs(h) * fac_sel,
-                               jnp.abs(h) * fac_rej)
-        h_next_abs = jnp.minimum(h_next_abs, opts.max_step)
-        h_next = jnp.where(st.active, h_next_abs * jnp.sign(h), st.h)
+        nbad = jnp.where(reject, st.nbad + 1, jnp.where(accept, 0, st.nbad))
+        stall = st.active & (nbad >= 20)
         exceeded = st.active & (stats["nsteps"] >= opts.max_steps) & ~done
-        hmin = 16.0 * eps * jnp.maximum(jnp.abs(t_new), 1.0)
-        underflow = st.active & (h_next_abs < hmin) & ~done
+        # Hairer's t-relative underflow test
+        underflow = st.active & (0.1 * h_next_abs <= eps * jnp.abs(t_new)) \
+            & ~done
 
         status = st.status
         status = jnp.where(done, cm.SUCCESS, status).astype(jnp.int8)
         status = jnp.where(exceeded, cm.MAX_STEPS, status).astype(jnp.int8)
         status = jnp.where(underflow, cm.STEP_UNDERFLOW, status).astype(jnp.int8)
-        active = st.active & ~done & ~exceeded & ~underflow
+        status = jnp.where(stall, cm.NEWTON_STALL, status).astype(jnp.int8)
+        status = jnp.where(terminate, cm.EVENT_TERMINATED, status).astype(jnp.int8)
+        active = st.active & ~done & ~exceeded & ~underflow & ~stall & ~terminate
 
         return _SxState(
-            t=jnp.where(accept, t_new, st.t),
-            y=jnp.where(accept[:, None], y_new, st.y),
-            h=h_next, k_targ=k_targ_new,
-            active=active, status=status, stats=stats,
-            out_ys=out_ys)
+            t=jnp.where(accept, jnp.where(terminate, t_ev, t_new), st.t),
+            y=jnp.where(accept[:, None],
+                        jnp.where(terminate[:, None], y_ev, y_new), st.y),
+            h=h_next,
+            k_targ=k_targ_new,
+            theta=theta_new,
+            jac=jmat,
+            # a fresh step point invalidates the Jacobian; rejects keep it
+            calcjac=jnp.where(accept, False, calcjac),
+            first=jnp.where(accept, False, st.first),
+            rejected=jnp.where(accept, False, st.rejected | reject),
+            nbad=nbad,
+            active=active, status=status, stats=stats, out_ys=out_ys,
+            ev=ev,
+        )
 
     final = jax.lax.while_loop(cond, body, state)
     return cm.Solution(
         t=final.t, y=final.y, status=final.status, stats=final.stats,
         ts=t_eval if use_dense else None,
         ys=final.out_ys if use_dense else None,
+        event_t=final.ev["event_t"] if specs else None,
+        event_y=final.ev["event_y"] if specs else None,
+        event_idx=final.ev["event_idx"] if specs else None,
     )

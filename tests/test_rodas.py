@@ -1,0 +1,121 @@
+"""RODAS4 oracle tests.
+
+Reference analog: Hairer's public rodas.f vendored at
+src/fortran/radau.f:532-940 (the reference's canonical stiff oracle).
+Patterns per SURVEY.md §4: scipy cross-checks at matched tolerance, empirical
+convergence-order verification of the published coefficient set, index-1 DAE
+where the non-stiffly-accurate GRK4T degrades, dense output, events.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp as ss
+
+from janus_tpu.solve import solve_ivp, Options, SUCCESS, EVENT_TERMINATED
+from janus_tpu.solve.events import Event
+from janus_tpu.models.problems import vdp_rhs, robertson_rhs, harmonic_rhs
+
+
+def test_stiff_vdp_scipy_parity():
+    mu = 1000.0
+    ref = ss(lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
+             (0.0, 2.0), [2.0, 0.0], method="Radau", rtol=1e-10, atol=1e-13)
+    sol = solve_ivp(vdp_rhs, (0.0, 2.0), jnp.array([[2.0, 0.0]]),
+                    method="rodas", args=mu, rtol=1e-7, atol=1e-10)
+    assert int(sol.status[0]) == SUCCESS
+    np.testing.assert_allclose(sol.y[0], ref.y[:, -1], rtol=1e-5, atol=1e-8)
+    assert int(sol.stats["nsteps"][0]) < 200
+
+
+def test_convergence_order_4():
+    """Fixed-step error must shrink ~h^4 — pins the published tableau.
+
+    (An incorrect a_ij/c_ij entry would drop the observed order to <= 3.)
+    """
+    def f(t, y, args):
+        return y * jnp.sin(t)[..., None]     # y' = y sin t, non-autonomous
+
+    exact = float(np.exp(1.0 - np.cos(2.0)))
+    errs = []
+    for n in (20, 40, 80):
+        h = 2.0 / n
+        sol = solve_ivp(f, (0.0, 2.0), jnp.array([[1.0]]), method="rodas",
+                        options=Options(h0=h, min_factor=1.0, max_factor=1.0,
+                                        rtol=10.0, atol=10.0))
+        errs.append(abs(float(sol.y[0, 0]) - exact))
+    r1 = np.log2(errs[0] / errs[1])
+    r2 = np.log2(errs[1] / errs[2])
+    assert r1 > 3.6 and r2 > 3.6, (errs, r1, r2)
+
+
+def test_index1_dae_beats_grk4t():
+    """Index-1 DAE solved by RODAS; GRK4T (not stiffly accurate, no mass
+    support) cannot take this problem at all — solve_ivp raises."""
+
+    def dae(t, y, args):
+        # y1' = -y1; 0 = y2 - y1**2  (mass = diag(1, 0))
+        return jnp.stack([-y[..., 0], y[..., 1] - y[..., 0] ** 2], axis=-1)
+
+    mass = jnp.diag(jnp.array([1.0, 0.0]))
+    sol = solve_ivp(dae, (0.0, 1.0), jnp.array([[1.0, 1.0]]),
+                    method="rodas", mass=mass, rtol=1e-8, atol=1e-11)
+    assert int(sol.status[0]) == SUCCESS
+    np.testing.assert_allclose(float(sol.y[0, 0]), np.exp(-1.0), rtol=1e-7)
+    np.testing.assert_allclose(float(sol.y[0, 1]), np.exp(-2.0), rtol=1e-6)
+    with pytest.raises(ValueError, match="mass"):
+        solve_ivp(dae, (0.0, 1.0), jnp.array([[1.0, 1.0]]),
+                  method="grk4t", mass=mass, rtol=1e-8, atol=1e-11)
+
+
+def test_robertson():
+    ref = ss(lambda t, y: [-0.04 * y[0] + 1e4 * y[1] * y[2],
+                           0.04 * y[0] - 1e4 * y[1] * y[2] - 3e7 * y[1] ** 2,
+                           3e7 * y[1] ** 2],
+             (0.0, 100.0), [1.0, 0.0, 0.0], method="Radau",
+             rtol=1e-10, atol=1e-14)
+    sol = solve_ivp(robertson_rhs, (0.0, 100.0), jnp.array([[1.0, 0.0, 0.0]]),
+                    method="rodas", rtol=1e-7, atol=1e-11)
+    assert int(sol.status[0]) == SUCCESS
+    np.testing.assert_allclose(sol.y[0], ref.y[:, -1], rtol=1e-4, atol=1e-9)
+
+
+def test_dense_output_cubic():
+    t_eval = jnp.linspace(0.0, 6.0, 31)
+    sol = solve_ivp(harmonic_rhs, (0.0, 6.0), jnp.array([[1.0, 0.0]]),
+                    method="rodas", args=1.0, rtol=1e-8, atol=1e-11,
+                    t_eval=t_eval)
+    assert int(sol.status[0]) == SUCCESS
+    np.testing.assert_allclose(sol.ys[0, :, 0], np.cos(np.asarray(t_eval)),
+                               atol=1e-5)
+
+
+def test_events_terminal():
+    ev = Event(lambda t, y, args: y[..., 0], terminal=True, direction=-1.0)
+    sol = solve_ivp(harmonic_rhs, (0.0, 10.0), jnp.array([[1.0, 0.0]]),
+                    method="rodas", args=1.0, rtol=1e-8, atol=1e-11,
+                    events=ev)
+    assert int(sol.status[0]) == EVENT_TERMINATED
+    np.testing.assert_allclose(float(sol.event_t[0]), np.pi / 2, atol=1e-6)
+
+
+def test_reverse_time():
+    sol = solve_ivp(harmonic_rhs, (2.0, 0.0),
+                    jnp.array([[np.cos(2.0), -np.sin(2.0)]]),
+                    method="rodas", args=1.0, rtol=1e-8, atol=1e-11)
+    assert int(sol.status[0]) == SUCCESS
+    np.testing.assert_allclose(sol.y[0], [1.0, 0.0], atol=1e-6)
+
+
+def test_heterogeneous_batch():
+    mus = jnp.array([1.0, 100.0, 1000.0])
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (3, 1))
+    sol = solve_ivp(vdp_rhs, (0.0, 2.0), y0, method="rodas", args=mus,
+                    rtol=1e-6, atol=1e-9)
+    assert bool(jnp.all(sol.status == SUCCESS))
+    for i, mu in enumerate(np.asarray(mus)):
+        ref = ss(lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
+                 (0.0, 2.0), [2.0, 0.0], method="Radau",
+                 rtol=1e-10, atol=1e-13)
+        np.testing.assert_allclose(sol.y[i], ref.y[:, -1],
+                                   rtol=5e-4, atol=1e-6)
