@@ -60,7 +60,10 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        dtype, rtol, atol = jnp.float32, 1e-4, 1e-7
+        # north-star tolerance (BASELINE.md): rtol 1e-6 in hardware f32 —
+        # viable via compensated (double-word) y/t accumulation + the capped
+        # Newton tolerance (solve/common.py derived_newton_tol)
+        dtype, rtol, atol = jnp.float32, 1e-6, 1e-9
     else:
         jax.config.update("jax_enable_x64", True)
         dtype, rtol, atol = jnp.float64, 1e-6, 1e-9
@@ -69,7 +72,7 @@ def main():
     mus = jnp.full((batch,), mu, dtype)
     # pivot-free stage LU: identical runtime on these strongly diagonally
     # dominant iteration matrices, far faster XLA:TPU compiles
-    opts = Options(rtol=rtol, atol=atol, pivoting=False)
+    opts = Options(rtol=rtol, atol=atol, pivoting=False, compensated=on_tpu)
 
     def final_state(y0, mus):
         sol = solve_radau(vdp_rhs, 0.0, tf, y0, args=mus, options=opts,

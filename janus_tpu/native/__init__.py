@@ -65,7 +65,10 @@ def radau5_cpu(rhs_id: int, t0: float, tf: float, y0, params,
                max_steps: int = 1000000) -> Tuple[np.ndarray, dict]:
     """Solve one trajectory with the native CPU Radau5 oracle."""
     lib = load()
-    y = np.ascontiguousarray(np.asarray(y0, np.float64))
+    # the C solver writes the final state through this pointer — ALWAYS copy
+    # (ascontiguousarray aliases an already-contiguous f64 input and would
+    # clobber the caller's y0)
+    y = np.array(y0, np.float64, order="C", copy=True)
     p = np.ascontiguousarray(np.asarray(params, np.float64))
     stats = np.zeros(6, np.int64)
     rc = lib.radau5_solve_builtin(

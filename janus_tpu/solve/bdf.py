@@ -61,9 +61,8 @@ def solve_bdf2(f: Callable, t0, tf, y0, args=None,
     m, dim = y0.shape
     dtype = y0.dtype
     jac_fn = jac if jac is not None else default_jacobian(f)
-    newton_tol = opts.newton_tol if opts.newton_tol > 0 else max(
-        10 * float(jnp.finfo(dtype).eps) / opts.rtol,
-        min(0.03, opts.rtol ** 0.5))
+    newton_tol = (opts.newton_tol if opts.newton_tol > 0
+                  else cm.derived_newton_tol(dtype, opts.rtol))
 
     f0 = f(t0, y0, args)
     if opts.h0 == 0.0:

@@ -127,3 +127,41 @@ def collect_dense(out_ys, t_eval, t_old, h, accept, y_interp_fn):
     vals = y_interp_fn(theta)
     mask = inside & accept[:, None]
     return jnp.where(mask[..., None], vals, out_ys)
+
+
+def derived_newton_tol(dtype, rtol):
+    """Hairer's FNewt with an upper cap: max(10*eps/rtol, sqrt(rtol)) capped
+    at 0.03. The cap matters in f32 at tight tolerances (rtol <= 1e-5), where
+    10*eps/rtol exceeds 1 and an uncapped tolerance degenerates the Newton
+    convergence/divergence tests; 0.03 is the loosest tolerance Hairer's
+    controller is designed for, and f32 Newton reaches it (the stagnation
+    floor sits near 1e-2 scaled — measured on stiff VdP, round 2)."""
+    import jax.numpy as jnp
+    return float(min(0.03, max(10 * float(jnp.finfo(dtype).eps) / rtol,
+                               rtol ** 0.5)))
+
+
+def two_sum(a, b):
+    """Error-free transform: a + b = s + err exactly (Knuth TwoSum, 6 flops).
+    XLA preserves IEEE semantics (no unsafe reassociation), so this survives
+    compilation on CPU and TPU."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def comp_add(hi, lo, x):
+    """Double-word accumulate: (hi, lo) + x -> renormalized (hi', lo').
+
+    The state-accumulation kernel of the compensated-f32 mode
+    (Options.compensated): y_{n+1} = y_n + z and t_{n+1} = t_n + h pick up
+    one ulp of rounding per step in plain f32 (~1e-7 relative), which over
+    hundreds of steps dominates an rtol 1e-6 error budget; carrying the
+    rounding remainder in `lo` removes the accumulation term entirely
+    (error O(eps^2) per step)."""
+    s, e = two_sum(hi, x)
+    lo2 = lo + e
+    hi2 = s + lo2
+    lo3 = lo2 - (hi2 - s)
+    return hi2, lo3

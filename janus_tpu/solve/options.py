@@ -54,6 +54,10 @@ class Options:
     record_steps: int = _static(0)
     # also store the accepted state per recorded step (solout buffer role)
     record_states: bool = _static(False)
+    # compensated (double-word) accumulation of y and t across steps: removes
+    # the one-ulp-per-step f32 drift so rtol ~1e-6 holds on long horizons on
+    # TPU hardware f32 (radau family; no-op cost in f64)
+    compensated: bool = _static(False)
     # partial pivoting in the stage LU (True = robust default; False is
     # faster and safe for the strongly diagonally-dominant iteration
     # matrices (gamma/h·M − J) of very stiff regimes)

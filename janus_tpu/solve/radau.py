@@ -78,6 +78,8 @@ class _NewtonState:
 class _RadauState:
     t: jnp.ndarray
     y: jnp.ndarray
+    t_lo: jnp.ndarray         # [M] double-word remainders (compensated mode;
+    y_lo: jnp.ndarray         # [M, D] zeros when Options.compensated is off)
     f0: jnp.ndarray
     h: jnp.ndarray            # signed current step size
     jac: jnp.ndarray          # [M, D, D]
@@ -260,9 +262,8 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     npair = (s - 1) // 2
 
     jac_fn = jac if jac is not None else default_jacobian(f)
-    newton_tol = opts.newton_tol if opts.newton_tol > 0 else max(
-        10 * float(jnp.finfo(dtype).eps) / opts.rtol,
-        min(0.03, opts.rtol ** 0.5))
+    newton_tol = (opts.newton_tol if opts.newton_tol > 0
+                  else cm.derived_newton_tol(dtype, opts.rtol))
     max_iter = opts.newton_max_iter
     p_mat = jnp.asarray(tab.p, dtype)
     e_vec = jnp.asarray(tab.e, dtype)
@@ -307,7 +308,9 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     stats["nfev"] = stats["nfev"] + 2
     already_done = t0 == tf
     state = _RadauState(
-        t=t0, y=y0, f0=f0, h=h,
+        t=t0, y=y0,
+        t_lo=jnp.zeros((m,), dtype), y_lo=jnp.zeros((m, dim), dtype),
+        f0=f0, h=h,
         jac=jnp.zeros((m, dim, dim), dtype),
         lu_real=jnp.zeros((m, dim, dim), dtype),
         piv_real=jnp.zeros((m, dim), jnp.int32),
@@ -339,10 +342,18 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
 
     def body(st):
         # ---- step-size clamp to the boundary -----------------------------
-        remaining = tf - st.t
+        dir0 = jnp.sign(st.h)
+        dir0 = jnp.where(dir0 == 0, 1.0, dir0)
+        remaining = (tf - st.t) - st.t_lo
+        # compensated t can overshoot tf by O(eps^2): force a final
+        # forward-direction sliver instead of a sign-flipped (backward) step
+        overshoot = remaining * dir0 <= 0.0
+        remaining = jnp.where(overshoot,
+                              dir0 * eps * jnp.maximum(jnp.abs(tf), 1.0),
+                              remaining)
         last = jnp.abs(st.h) >= jnp.abs(remaining)
         h = jnp.where(last, remaining, st.h)
-        h = jnp.where(h == 0.0, eps, h)
+        h = jnp.where(h == 0.0, eps * dir0, h)
 
         # ---- Jacobian refresh (gated: skip when no lane needs it) --------
         needj = st.need_jac & st.active
@@ -407,7 +418,15 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         nf_fresh = (newton_fail & current_jac) | singular
 
         # ---- error estimate ----------------------------------------------
-        y_new = st.y + ns.z[:, -1, :]
+        if opts.compensated:
+            # double-word accumulation: fold the step increment (and any
+            # carried remainder) into the state without per-step ulp loss
+            y_new, y_lo_new = cm.comp_add(st.y, st.y_lo, ns.z[:, -1, :])
+            t_acc, t_lo_new = cm.comp_add(st.t, st.t_lo, h)
+        else:
+            y_new = st.y + ns.z[:, -1, :]
+            y_lo_new = st.y_lo
+            t_acc, t_lo_new = st.t + h, st.t_lo
         ze = jnp.einsum("s,msd->md", e_vec, ns.z, precision=_EINSUM_PRECISION) / h[:, None]
         if mass is not None:
             ze = jnp.einsum("...ij,m...j->m...i" if mass.ndim == 2 else "mij,mj->mi",
@@ -454,15 +473,18 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
 
         # reject path: shrink
         fac_rej = jnp.maximum(opts.min_factor, safety * base_factor)
-        # accept path: grow bounded, deadzone keeps factors
-        fac_acc = jnp.minimum(opts.max_factor, safety * base_factor)
+        # accept path: clamp BOTH ways (the Gustafsson multiplier can be
+        # arbitrarily small after odd step history; the reference clamps the
+        # accepted factor into [FacL, FacR] too, radaute_impl.hpp:1092-1120)
+        fac_acc = jnp.clip(safety * base_factor, opts.min_factor,
+                           opts.max_factor)
         recompute_jac = accept & (ns.niter > 2) & (ns.rate > opts.jac_recompute)
         deadzone = accept & ~recompute_jac & (fac_acc >= opts.quot1) & \
             (fac_acc < opts.quot2)
         fac_acc = jnp.where(deadzone, 1.0, fac_acc)
 
         # ---- new f at accepted points (gated on any accept) ---------------
-        t_new = st.t + h
+        t_new = t_acc
 
         def do_fnew(_):
             fn = f(t_new, y_new, args)
@@ -518,7 +540,10 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         stall = st.active & (nsing >= 7)
 
         exceeded = st.active & (stats["nsteps"] >= opts.max_steps) & ~done
-        hmin = 16.0 * eps * jnp.maximum(jnp.abs(t_new), 1.0)
+        # double-word t resolves steps below ulp(t): scale the underflow
+        # floor by eps^2 in compensated mode (true stalls hit nsing instead)
+        ueps = eps * eps if opts.compensated else eps
+        hmin = 16.0 * ueps * jnp.maximum(jnp.abs(t_new), 1.0)
         underflow = st.active & (h_next_abs < hmin) & ~done
 
         status = st.status
@@ -533,6 +558,9 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             t=jnp.where(accept, jnp.where(terminate, t_ev, t_new), st.t),
             y=jnp.where(accept[:, None],
                         jnp.where(terminate[:, None], y_ev, y_new), st.y),
+            t_lo=jnp.where(accept & ~terminate, t_lo_new, st.t_lo * ~terminate),
+            y_lo=jnp.where((accept & ~terminate)[:, None], y_lo_new,
+                           st.y_lo * (~terminate)[:, None]),
             f0=f_new,
             h=h_next,
             jac=jmat,

@@ -158,9 +158,8 @@ def solve_radau_fused(f: Callable, t0, tf, y0, args=None,
     ti_mat = np.asarray(tab.ti_mat)
     e_vec = [float(e) for e in tab.e]
     p_mat = np.asarray(tab.p)
-    newton_tol = opts.newton_tol if opts.newton_tol > 0 else max(
-        10 * float(jnp.finfo(dtype).eps) / opts.rtol,
-        min(0.03, opts.rtol ** 0.5))
+    newton_tol = (opts.newton_tol if opts.newton_tol > 0
+                  else cm.derived_newton_tol(dtype, opts.rtol))
     eps = float(jnp.finfo(dtype).eps)
     rtol, atol = float(opts.rtol), float(opts.atol)
     safety0 = float(opts.safety)

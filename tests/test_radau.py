@@ -171,3 +171,22 @@ def test_high_order_radau(s):
     assert int(sol_hi.status[0]) == SUCCESS
     np.testing.assert_allclose(sol_hi.y, sol3.y, rtol=1e-6, atol=1e-8)
     assert int(sol_hi.stats["nsteps"][0]) < int(sol3.stats["nsteps"][0])
+
+
+def test_compensated_f32_long_horizon():
+    """Options(compensated=True): double-word y/t accumulation must hold
+    rtol~1e-6-class global accuracy in f32 over a long horizon where plain
+    f32 drifts (round-2 north-star: rtol 1e-6 on TPU hardware f32)."""
+    import numpy as np
+    exact = [np.cos(200.0), -np.sin(200.0)]
+    errs = {}
+    for comp in (False, True):
+        sol = solve_ivp(harmonic_rhs, (0.0, 200.0),
+                        jnp.array([[1.0, 0.0]], jnp.float32),
+                        method="radau", args=1.0, rtol=1e-6, atol=1e-9,
+                        options=Options(compensated=comp, pivoting=False))
+        assert int(sol.status[0]) == 1
+        errs[comp] = float(np.max(np.abs(
+            np.asarray(sol.y[0], np.float64) - exact)))
+    assert errs[True] < 1e-5, errs
+    assert errs[True] < errs[False] / 20.0, errs
