@@ -11,6 +11,14 @@ segment integrations in multiple shooting fold into the batch axis.
 """
 
 from janus_tpu.control.newton import newton_solve, NewtonResult
+from janus_tpu.control.krylov import newton_krylov
+from janus_tpu.control.anderson import anderson_solve
+from janus_tpu.control.precond import (
+    block_jacobi_precond,
+    tridiag_precond,
+    tridiag_solve,
+    probe_colored_jacobian,
+)
 from janus_tpu.control.psitc import psitc, PsitcResult
 from janus_tpu.control.homotopy import homotopy, HomotopyResult
 from janus_tpu.control.auglag import augmented_lagrangian, AugLagResult
@@ -21,6 +29,9 @@ from janus_tpu.control.shooting import (
 
 __all__ = [
     "newton_solve", "NewtonResult",
+    "newton_krylov", "anderson_solve",
+    "block_jacobi_precond", "tridiag_precond", "tridiag_solve",
+    "probe_colored_jacobian",
     "psitc", "PsitcResult",
     "homotopy", "HomotopyResult",
     "augmented_lagrangian", "AugLagResult",

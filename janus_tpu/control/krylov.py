@@ -21,13 +21,32 @@ from janus_tpu.control.newton import NewtonResult
 def newton_krylov(f: Callable, x0, tol: float = 1e-8, max_iter: int = 30,
                   gmres_tol: float = 1e-4, gmres_restart: int = 20,
                   gmres_maxiter: int = 40,
-                  preconditioner: Optional[Callable] = None) -> NewtonResult:
+                  preconditioner: Optional[Callable] = None,
+                  precond: Optional[object] = None,
+                  precond_block: int = 4) -> NewtonResult:
     """Solve f(x)=0 with matrix-free Newton-GMRES, batched over M instances.
 
     f: [M,N] -> [M,N]. The Jacobian-vector product is an exact jvp of the
     batched residual (each lane's J·v; lanes are independent).
-    preconditioner: optional right-preconditioner callable v -> M⁻¹v.
+    preconditioner: optional FIXED preconditioner callable v -> M⁻¹v.
+    precond: rebuilt-at-every-Newton-iteration preconditioner (the
+      reference's ILU-per-linsolve role, odesolvers/linsolve.py:60-111):
+      "block_jacobi" (with precond_block), "tridiag", or a factory
+      x -> (v -> M⁻¹v) built from janus_tpu.control.precond.
     """
+    from janus_tpu.control import precond as _pc
+
+    if precond == "block_jacobi":
+        factory = lambda xx: _pc.block_jacobi_precond(f, xx, precond_block)
+    elif precond == "tridiag":
+        factory = lambda xx: _pc.tridiag_precond(f, xx)
+    elif callable(precond):
+        factory = precond
+    elif precond is None:
+        factory = None
+    else:
+        raise ValueError(f"unknown precond {precond!r}")
+
     x0 = jnp.atleast_2d(x0)
     m, n = x0.shape
 
@@ -48,8 +67,9 @@ def newton_krylov(f: Callable, x0, tol: float = 1e-8, max_iter: int = 30,
             return out
 
         rhs = -f(x)
+        M_apply = factory(x) if factory is not None else preconditioner
         step, _ = gmres(jv, rhs, tol=gmres_tol, restart=gmres_restart,
-                        maxiter=gmres_maxiter, M=preconditioner)
+                        maxiter=gmres_maxiter, M=M_apply)
         step = jnp.where(jnp.isfinite(step), step, 0.0)
 
         # Armijo backtracking (4 fixed trials)

@@ -9,5 +9,14 @@ back as Solution-adjacent pytree ``dyn`` with fixed-capacity ring buffers
 (lockstep write, NaN-padded like the reference)."""
 
 from janus_tpu.diag.record import init_dyn, record_step, DYN_FIELDS
+from janus_tpu.diag.profile import (
+    trace,
+    annotate,
+    scope,
+    device_memory_stats,
+    marginal_seconds,
+)
 
-__all__ = ["init_dyn", "record_step", "DYN_FIELDS"]
+__all__ = ["init_dyn", "record_step", "DYN_FIELDS",
+           "trace", "annotate", "scope", "device_memory_stats",
+           "marginal_seconds"]

@@ -15,6 +15,13 @@ from janus_tpu.ham.core import (
     hessian_xx,
     hessian_pp,
     hessian_xp,
+    grad_u,
+    hessian_uu,
+    hessian_ux,
+    hessian_up,
+    hamiltonian_dynamics_u,
+    pmp_dynamics_u,
+    stationarity_residual,
     split_px,
     join_px,
 )

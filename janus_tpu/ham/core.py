@@ -115,6 +115,93 @@ def hessian_xp(ham, u=None):
     return lambda x, p, args: jax.jacfwd(lambda pp: gx(x, pp, args))(p)
 
 
+# -- explicit-control variants (the reference's Hu twins: pxHu/ppHu/puHu and
+#    evalDynsU/evalDynsUDual/evalJacDualU, janus_ode_common.hpp:178-2074,
+#    2117-2189, 2260, 2359). H takes u EXPLICITLY: H(x, p, u, args) -> (). --
+
+def grad_u(ham):
+    """∂H/∂u for an explicit-control Hamiltonian (per-sample; u: [K])."""
+    return lambda x, p, u, args: jax.grad(
+        lambda uu: ham(x, p, uu, args))(u)
+
+
+def hessian_uu(ham):
+    gu = grad_u(ham)
+    return lambda x, p, u, args: jax.jacfwd(
+        lambda uu: gu(x, p, uu, args))(u)
+
+
+def hessian_ux(ham):
+    """∂²H/∂u∂x (rows: u components, cols: x components)."""
+    gu = grad_u(ham)
+    return lambda x, p, u, args: jax.jacfwd(
+        lambda xx: gu(xx, p, u, args))(x)
+
+
+def hessian_up(ham):
+    gu = grad_u(ham)
+    return lambda x, p, u, args: jax.jacfwd(
+        lambda pp: gu(x, pp, u, args))(p)
+
+
+def hamiltonian_dynamics_u(ham: Callable, batched: bool = True) -> Callable:
+    """``f(t, y, u, args)`` with an explicit control input (evalDynsU role),
+    in the repo's baked-sign convention (ṗ = +∂H/∂x, ẋ = +∂H/∂p)."""
+
+    def single(t, y, u, args):
+        p, x = split_px(y)
+        gx = jax.grad(lambda xx: ham(xx, p, u, args))(x)
+        gp = jax.grad(lambda pp: ham(x, pp, u, args))(p)
+        return join_px(gx, gp)
+
+    if not batched:
+        return single
+
+    def batched_f(t, y, u, args):
+        tb = jnp.broadcast_to(jnp.asarray(t), y.shape[:-1])
+        return jax.vmap(single, in_axes=(0, 0, 0, None))(tb, y, u, args)
+
+    return batched_f
+
+
+def pmp_dynamics_u(ham: Callable, batched: bool = True) -> Callable:
+    """``f(t, y, u, args)`` with the STANDARD PMP signs: ẋ = +∂H/∂p,
+    ṗ = −∂H/∂x, for H = L(x, u) + p·f(x, u) written directly (no sign
+    baking — coupled p·f(x) terms make baking impossible in one scalar).
+    State layout stays y = [p, x]."""
+
+    def single(t, y, u, args):
+        p, x = split_px(y)
+        gx = jax.grad(lambda xx: ham(xx, p, u, args))(x)
+        gp = jax.grad(lambda pp: ham(x, pp, u, args))(p)
+        return join_px(-gx, gp)
+
+    if not batched:
+        return single
+
+    def batched_f(t, y, u, args):
+        tb = jnp.broadcast_to(jnp.asarray(t), y.shape[:-1])
+        return jax.vmap(single, in_axes=(0, 0, 0, None))(tb, y, u, args)
+
+    return batched_f
+
+
+def stationarity_residual(ham: Callable, batched: bool = True) -> Callable:
+    """PMP interior-arc stationarity residual ``r(x, p, u, args) = ∂H/∂u``
+    (zero along an optimal interior arc). Stack it over trajectory nodes to
+    close a direct/indirect transcription system — the capability the
+    reference exposes through its Hu partial zoo (pxHu/ppHu/puHu twins) and
+    u2d_pmp_solver.hpp."""
+    gu = grad_u(ham)
+    if not batched:
+        return gu
+
+    def batched_r(x, p, u, args):
+        return jax.vmap(gu, in_axes=(0, 0, 0, None))(x, p, u, args)
+
+    return batched_r
+
+
 def safe_dynamics(ham: Callable, u: Optional[Callable] = None,
                   batched: bool = True, fill: float = 0.0) -> Callable:
     """Dynamics with non-finite entries replaced by ``fill`` — the

@@ -162,7 +162,7 @@ def solve_bdf2(f: Callable, t0, tf, y0, args=None,
             res = fk + (psi - alpha[:, None] * yk) / h[:, None]
             dy = lu_solve(lu_m, piv_m, res)
             finite = jnp.all(jnp.isfinite(dy), axis=-1)
-            dn = jnp.sqrt(jnp.mean(jnp.square(dy / scale_n), axis=-1))
+            dn = cm.safe_sqrt(jnp.mean(jnp.square(dy / scale_n), axis=-1))
             have = k > 0
             rt = jnp.where(have & (dn_old > 0),
                            dn / jnp.where(dn_old == 0, 1.0, dn_old), 0.0)
@@ -221,7 +221,7 @@ def solve_bdf2(f: Callable, t0, tf, y0, args=None,
         err_s = lu_solve(lu_m, piv_m, err_raw) * a_over_h[:, None]
         scale_e = opts.atol + opts.rtol * jnp.maximum(jnp.abs(st.y),
                                                       jnp.abs(y_new))
-        enorm = jnp.sqrt(jnp.mean(jnp.square(err_s / scale_e), axis=-1))
+        enorm = cm.safe_sqrt(jnp.mean(jnp.square(err_s / scale_e), axis=-1))
         enorm = jnp.where(jnp.isfinite(enorm), enorm, 1e10)
         enorm = jnp.maximum(enorm, 1e-16)
 
@@ -282,8 +282,10 @@ def solve_bdf2(f: Callable, t0, tf, y0, args=None,
                                                    jnp.abs(h))))
         h_next_abs = jnp.minimum(h_next_abs, opts.max_step)
         h_next = jnp.where(st.active, h_next_abs * jnp.sign(h), st.h)
-        hmin = 16.0 * eps * jnp.maximum(jnp.abs(t_new), 1.0)
-        underflow = st.active & (h_next_abs < hmin) & ~done
+        # Hairer's t-relative underflow test (an absolute floor rejects
+        # legitimate tiny f32 steps; cf. solve/radau.py)
+        underflow = st.active & (0.1 * h_next_abs <= eps * jnp.abs(t_new)) \
+            & ~done
 
         status = st.status
         status = jnp.where(done, cm.SUCCESS, status).astype(jnp.int8)

@@ -44,15 +44,41 @@ class Solution:
         return self.status == SUCCESS
 
 
+@jax.custom_jvp
+def safe_sqrt(x):
+    """sqrt with a defined (zero) tangent at x == 0.
+
+    Solver error/correction norms hit EXACTLY zero on locally polynomial
+    dynamics: an RK/collocation error estimate of order ≥ the local degree
+    vanishes, and the second Newton correction of an exactly-solved linear
+    stage system is 0. There d(√u) = du/(2√u) is 0/0 → NaN, and one NaN
+    tangent poisons every sensitivity carried through the while_loop
+    (debugged: jacfwd through any solver on ẏ = const). The step controller
+    is not meaningfully differentiable at a zero norm anyway; the zero
+    subgradient is the consistent choice (diffrax stop-gradients its
+    controller for the same reason).
+    """
+    return jnp.sqrt(x)
+
+
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    root = jnp.sqrt(x)
+    denom = jnp.where(root > 0, root, 1.0)
+    return root, jnp.where(root > 0, dx / (2.0 * denom), jnp.zeros_like(dx))
+
+
 def error_norm(err, y0, y1, rtol, atol):
     """Scaled RMS norm per trajectory: Hairer's err measure
     (reference Estrad, src/cpp/radaute_impl.hpp:1902-1986)."""
     sc = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-    return jnp.sqrt(jnp.mean(jnp.square(err / sc), axis=-1))
+    return safe_sqrt(jnp.mean(jnp.square(err / sc), axis=-1))
 
 
 def rms_norm(v, scale):
-    return jnp.sqrt(jnp.mean(jnp.square(v / scale), axis=-1))
+    return safe_sqrt(jnp.mean(jnp.square(v / scale), axis=-1))
 
 
 def initial_step(f: Callable, t0, y0, f0, tf, order: int, rtol, atol,

@@ -310,8 +310,9 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         stats["nreject"] = stats["nreject"] + (s.active & ~accept)
 
         exceeded = s.active & (stats["nsteps"] >= opts.max_steps) & ~done
-        hmin = 16.0 * eps * jnp.maximum(jnp.abs(t_n), 1.0)
-        underflow = s.active & (jnp.abs(h_n) < hmin) & ~done & ~exceeded
+        # Hairer's t-relative underflow test (cf. solve/radau.py)
+        underflow = s.active & (0.1 * jnp.abs(h_n) <= eps * jnp.abs(t_n)) \
+            & ~done & ~exceeded
 
         status = s.status
         status = jnp.where(done, cm.SUCCESS, status).astype(jnp.int8)

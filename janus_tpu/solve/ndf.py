@@ -256,7 +256,7 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
             res = c[:, None] * fk - psi - d
             dy = lu_solve(lu_m, piv_m, res)
             finite = jnp.all(jnp.isfinite(dy), axis=-1)
-            dn = jnp.sqrt(jnp.mean(jnp.square(dy / scale_n), axis=-1))
+            dn = cm.safe_sqrt(jnp.mean(jnp.square(dy / scale_n), axis=-1))
             have = k > 0
             rt = jnp.where(have & (dn_old > 0),
                            dn / jnp.where(dn_old == 0, 1.0, dn_old), 0.0)
@@ -294,7 +294,7 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         ordf = st.order.astype(dtype)
         scale_e = opts.atol + opts.rtol * jnp.abs(y_new)
         err = _pick(error_const, st.order)[:, None] * d_fin
-        enorm = jnp.sqrt(jnp.mean(jnp.square(err / scale_e), axis=-1))
+        enorm = cm.safe_sqrt(jnp.mean(jnp.square(err / scale_e), axis=-1))
         enorm = jnp.where(jnp.isfinite(enorm), enorm, 1e10)
         enorm = jnp.maximum(enorm, 1e-16)
 
@@ -322,10 +322,10 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
 
         # ---- order adaptation after order+1 equal steps ------------------
         adapt = accept & (neq_acc >= st.order + 1)
-        en_m_raw = jnp.sqrt(jnp.mean(jnp.square(
+        en_m_raw = cm.safe_sqrt(jnp.mean(jnp.square(
             _pick(error_const, st.order - 1)[:, None]
             * _pick_slot(D_acc, st.order) / scale_e), axis=-1))
-        en_p_raw = jnp.sqrt(jnp.mean(jnp.square(
+        en_p_raw = cm.safe_sqrt(jnp.mean(jnp.square(
             _pick(error_const, jnp.minimum(st.order + 1, MAX_ORDER))[:, None]
             * _pick_slot(D_acc, st.order + 2) / scale_e), axis=-1))
         en_m = jnp.maximum(jnp.where(jnp.isfinite(en_m_raw), en_m_raw, 1e10),
@@ -352,9 +352,15 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
                                jnp.where(reject_err, fac_rej,
                                          jnp.where(nf_fresh, 0.5, 1.0)))
         factor_all = jnp.where(st.active, factor_all, 1.0)
-        # respect max_step before rescaling D so they stay consistent
-        factor_all = jnp.minimum(factor_all,
-                                 opts.max_step / jnp.abs(h))
+        # respect max_step before rescaling D so they stay consistent.
+        # max_step defaults to inf, and inf/|h| has an ±inf TANGENT under
+        # jvp (d(c/|h|) = -c·dh/h²); lax.min's JVP combines tangents by
+        # mask-multiplication, so inf·0 = NaN would poison h (debugged:
+        # jacfwd through solve_bdf on ẏ = const). Select a finite cap first.
+        cap = opts.max_step / jnp.abs(h)
+        cap = jnp.where(jnp.isfinite(cap), cap,
+                        jnp.asarray(jnp.finfo(dtype).max, dtype))
+        factor_all = jnp.minimum(factor_all, cap)
         rescale = factor_all != 1.0
         D_final = jax.lax.cond(
             jnp.any(rescale),

@@ -159,6 +159,18 @@ def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
     c_nodes = jnp.asarray(tab.c, dtype)
     npair = (s - 1) // 2
 
+    # attainable-correction floor: stage values ride on y's ulp grid, so the
+    # scaled Newton norm cannot drop below ~eps·|y|/scale. Lanes whose true
+    # contraction is moderate reach this floor with measured rate ≈ 1
+    # (successive corrections are rounding noise) and would loop until the
+    # divergence test kills them — observed on-chip at f32 rtol 1e-6 on
+    # heterogeneous-μ VdP sweeps (~1% of lanes NEWTON_STALL). At the floor
+    # the iterate is the best this arithmetic can represent: converged.
+    # Inactive in f64 (floor ≈ 1e-10·tol).
+    eps_n = jnp.finfo(dtype).eps
+    floor_tol = 2.0 * eps_n * cm.safe_sqrt(jnp.mean(
+        jnp.square(jnp.abs(y) / scale), axis=-1))
+
     w0 = jnp.einsum("ij,mjd->mid", ti_mat, z0, precision=_EINSUM_PRECISION)
     init = _NewtonState(
         w=w0, z=z0,
@@ -203,7 +215,7 @@ def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
             dws.append(sol[:, dim:])
         dw = jnp.stack(dws, axis=1)                     # [M, s, D]
 
-        dw_norm = jnp.sqrt(jnp.mean(
+        dw_norm = cm.safe_sqrt(jnp.mean(
             jnp.square(dw / scale[:, None, :]), axis=(1, 2)))
         have_rate = ns.k > 0
         rate = jnp.where(have_rate & (ns.dw_norm_old > 0),
@@ -214,7 +226,8 @@ def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
         # reference simplified_newton.py:113-135)
         steps_left = (max_iter - ns.k).astype(dtype)
         safe_rate = jnp.clip(rate, 1e-16, 1.0 - 1e-16)
-        diverged = have_rate & (
+        at_floor = dw_norm <= floor_tol
+        diverged = have_rate & ~at_floor & (
             (rate >= 1.0)
             | (safe_rate ** steps_left / (1.0 - safe_rate) * dw_norm > tol))
         fail_now = ns.running & (fail_nan | diverged)
@@ -226,6 +239,7 @@ def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
 
         conv_now = apply & (
             (dw_norm == 0.0)
+            | at_floor
             | (have_rate & (rate < 1.0)
                & (safe_rate / (1.0 - safe_rate) * dw_norm < tol)))
 
@@ -362,8 +376,9 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             jnew = jac_fn(st.t, st.y, args)
             return jnp.where(needj[:, None, None], jnew, st.jac)
 
-        jmat = jax.lax.cond(jnp.any(needj), do_jac, lambda _: st.jac,
-                            operand=None)
+        with jax.named_scope("radau.jacobian"):
+            jmat = jax.lax.cond(jnp.any(needj), do_jac, lambda _: st.jac,
+                                operand=None)
         current_jac = st.current_jac | needj
 
         # ---- factorization (gated) ---------------------------------------
@@ -385,8 +400,9 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             return (st.lu_real, st.piv_real, st.lu_cplx, st.piv_cplx,
                     jnp.ones((m,), bool), st.h_fact)
 
-        lu_r, piv_r, lu_c, piv_c, fact_ok, h_fact = jax.lax.cond(
-            jnp.any(needf), do_fact, keep_fact, operand=None)
+        with jax.named_scope("radau.factorize"):
+            lu_r, piv_r, lu_c, piv_c, fact_ok, h_fact = jax.lax.cond(
+                jnp.any(needf), do_fact, keep_fact, operand=None)
 
         singular = st.active & ~fact_ok
 
@@ -406,9 +422,10 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             hw = jnp.abs(h)[:, None] ** ind_exp[None, :]
             scale_n = scale_n / hw
         run_newton = st.active & fact_ok
-        ns = _newton(tab, f, st.t, st.y, h, z0, scale_n, newton_tol,
-                     lu_r, piv_r, lu_c, piv_c, run_newton, max_iter, args,
-                     mass=mass)
+        with jax.named_scope("radau.newton"):
+            ns = _newton(tab, f, st.t, st.y, h, z0, scale_n, newton_tol,
+                         lu_r, piv_r, lu_c, piv_c, run_newton, max_iter,
+                         args, mass=mass)
         conv = run_newton & ns.converged
         newton_fail = run_newton & ~ns.converged
 
@@ -436,7 +453,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                                                       jnp.abs(y_new))
         if use_index:
             scale_e = scale_e / (jnp.abs(h)[:, None] ** ind_exp[None, :])
-        enorm1 = jnp.sqrt(jnp.mean(jnp.square(err1 / scale_e), axis=-1))
+        enorm1 = cm.safe_sqrt(jnp.mean(jnp.square(err1 / scale_e), axis=-1))
         enorm1 = jnp.where(jnp.isfinite(enorm1), enorm1, 1e10)
 
         refine = conv & st.rejected & (enorm1 > 1.0)
@@ -444,7 +461,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         def do_refine(_):
             fe = f(st.t, st.y + err1, args)
             err2 = lu_solve(lu_r, piv_r, fe + ze)
-            en2 = jnp.sqrt(jnp.mean(jnp.square(err2 / scale_e), axis=-1))
+            en2 = cm.safe_sqrt(jnp.mean(jnp.square(err2 / scale_e), axis=-1))
             return jnp.where(refine, jnp.where(jnp.isfinite(en2), en2, 1e10),
                              enorm1)
 

@@ -381,7 +381,7 @@ def solve_radau_fused(f: Callable, t0, tf, y0, args=None,
                          * (err_old / enorm) ** 0.25, 1.0)
         base = jnp.minimum(1.0, mult) * enorm ** -0.25
         fac_rej = jnp.maximum(facl, safety * base)
-        fac_acc = jnp.minimum(facr, safety * base)
+        fac_acc = jnp.clip(safety * base, facl, facr)
         deadzone = accept & (fac_acc >= quot1) & (fac_acc < quot2)
         fac_acc = jnp.where(deadzone, 1.0, fac_acc)
 
@@ -401,8 +401,8 @@ def solve_radau_fused(f: Callable, t0, tf, y0, args=None,
                            jnp.where(reject_err, h_abs * fac_rej,
                                      jnp.where(newton_fail, h_abs * 0.5,
                                                h_abs)))
-        hmin = 16.0 * eps * jnp.maximum(jnp.abs(t_new), 1.0)
-        underflow = active & (h_next < hmin) & ~done
+        # Hairer's t-relative underflow test (cf. solve/radau.py)
+        underflow = active & (0.1 * h_next <= eps * jnp.abs(t_new)) & ~done
 
         status = R("status")
         status = jnp.where(done, float(cm.SUCCESS), status)

@@ -260,14 +260,14 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         err1 = lu_solve(lu_r, piv_r, st.f0 + ze)
         scale_e = opts.atol + opts.rtol * jnp.maximum(jnp.abs(st.y),
                                                       jnp.abs(y_new))
-        enorm1 = jnp.sqrt(jnp.mean(jnp.square(err1 / scale_e), axis=-1))
+        enorm1 = cm.safe_sqrt(jnp.mean(jnp.square(err1 / scale_e), axis=-1))
         enorm1 = jnp.where(jnp.isfinite(enorm1), enorm1, 1e10)
         refine = conv & st.rejected & (enorm1 > 1.0)
 
         def do_refine(_):
             fe = f(st.t, st.y + err1, args)
             err2 = lu_solve(lu_r, piv_r, fe + ze)
-            en2 = jnp.sqrt(jnp.mean(jnp.square(err2 / scale_e), axis=-1))
+            en2 = cm.safe_sqrt(jnp.mean(jnp.square(err2 / scale_e), axis=-1))
             return jnp.where(refine, jnp.where(jnp.isfinite(en2), en2, 1e10),
                              enorm1)
 
@@ -288,7 +288,8 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
                          * (st.err_old / enorm_safe) ** expo, 1.0)
         base_factor = jnp.minimum(1.0, mult) * enorm_safe ** -expo
         fac_rej = jnp.maximum(opts.min_factor, safety * base_factor)
-        fac_acc = jnp.minimum(opts.max_factor, safety * base_factor)
+        fac_acc = jnp.clip(safety * base_factor, opts.min_factor,
+                           opts.max_factor)
         recompute_jac = accept & (niter > 2) & (rate > opts.jac_recompute)
         deadzone = accept & ~recompute_jac & (fac_acc >= opts.quot1) & \
             (fac_acc < opts.quot2)
@@ -353,8 +354,10 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
                           jnp.where(accept, 0, st.nsing))
         stall = st.active & (nsing >= 7)
         exceeded = st.active & (stats["nsteps"] >= opts.max_steps) & ~done
-        hmin = 16.0 * eps * jnp.maximum(jnp.abs(t_new), 1.0)
-        underflow = st.active & (h_next_abs < hmin) & ~done
+        # Hairer's t-relative underflow test (an absolute floor rejects
+        # legitimate tiny f32 steps; cf. solve/radau.py)
+        underflow = st.active & (0.1 * h_next_abs <= eps * jnp.abs(t_new)) \
+            & ~done
 
         status = st.status
         status = jnp.where(done, cm.SUCCESS, status).astype(jnp.int8)

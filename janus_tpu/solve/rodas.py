@@ -238,7 +238,7 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         # ---- error estimate: the 6th increment is the embedded diff ------
         scale = opts.atol + opts.rtol * jnp.maximum(jnp.abs(st.y),
                                                     jnp.abs(y_new))
-        enorm = jnp.sqrt(jnp.mean(jnp.square(k6 / scale), axis=-1))
+        enorm = cm.safe_sqrt(jnp.mean(jnp.square(k6 / scale), axis=-1))
         enorm = jnp.where(jnp.isfinite(enorm) & jnp.all(
             jnp.isfinite(y_new), axis=-1), enorm, 1e10)
         enorm = jnp.maximum(enorm, 1e-16)

@@ -158,8 +158,10 @@ def solve_ros4(f: Callable, t0, tf, y0, args=None,
         h_next_abs = jnp.minimum(jnp.abs(h) * fac, opts.max_step)
         h_next = jnp.where(st.active, h_next_abs * jnp.sign(h), st.h)
         exceeded = st.active & (stats["nsteps"] >= opts.max_steps) & ~done
-        hmin = 16.0 * eps * jnp.maximum(jnp.abs(t_new), 1.0)
-        underflow = st.active & (h_next_abs < hmin) & ~done
+        # Hairer's t-relative underflow test (an absolute floor rejects
+        # legitimate tiny f32 steps; cf. solve/radau.py)
+        underflow = st.active & (0.1 * h_next_abs <= eps * jnp.abs(t_new)) \
+            & ~done
 
         status = st.status
         status = jnp.where(done, cm.SUCCESS, status).astype(jnp.int8)

@@ -233,11 +233,11 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                 ytemp = ytemp + d
                 fy1 = f(st.t + 2.0 * hsub, ytemp, args)
                 if k <= 1:
-                    del1 = jnp.sqrt(jnp.mean(jnp.square(d / scale), axis=-1))
+                    del1 = cm.safe_sqrt(jnp.mean(jnp.square(d / scale), axis=-1))
                     dytemp = f(x1, ytemp, args)
                     dd = dytemp - mdot(d) / hsub[:, None]
                     d2v = lu_solve(lu, piv, dd)
-                    del2 = jnp.sqrt(jnp.mean(jnp.square(d2v / scale),
+                    del2 = cm.safe_sqrt(jnp.mean(jnp.square(d2v / scale),
                                              axis=-1))
                     theta_k = del2 / jnp.maximum(1.0, del1)
                     theta_k = jnp.where(jnp.isfinite(theta_k), theta_k, 2.0)
@@ -283,7 +283,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
             if k >= 1:
                 live = need & ~stab_fail
                 diff = row[k] - row[k - 1]
-                err_k = jnp.sqrt(jnp.mean(jnp.square(diff / scale), axis=-1))
+                err_k = cm.safe_sqrt(jnp.mean(jnp.square(diff / scale), axis=-1))
                 err_k = jnp.where(jnp.isfinite(err_k), err_k, 1e10)
                 err_k = jnp.maximum(err_k, 1e-18)
 

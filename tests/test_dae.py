@@ -54,6 +54,45 @@ def test_singular_mass_batched():
     np.testing.assert_allclose(sol.y[1, 0], np.exp(-1.0), rtol=1e-7)
 
 
+def test_index3_pendulum():
+    """Index-3 Cartesian pendulum (the canonical NIND3 test, Hairer II.VII):
+    x' = vx, y' = vy, vx' = -lam*x, vy' = -lam*y - g, 0 = x²+y²-1, with
+    M = diag(1,1,1,1,0), NIND1=2, NIND2=2, NIND3=1. Oracle: the angle ODE
+    th'' = -g sin th (x = sin th, y = -cos th) integrated by dopri853."""
+    g = 9.81
+    mass = jnp.diag(jnp.array([1.0, 1.0, 1.0, 1.0, 0.0]))
+
+    def f(t, y, args):
+        x, yy, vx, vy, lam = (y[..., i] for i in range(5))
+        return jnp.stack([vx, vy, -lam * x, -lam * yy - g,
+                          x * x + yy * yy - 1.0], axis=-1)
+
+    # start at theta = pi/2 (horizontal), at rest: consistent lam = 0
+    y0 = jnp.array([[1.0, 0.0, 0.0, 0.0, 0.0]])
+    tf = 1.2
+    sol = solve_radau(f, 0.0, tf, y0, mass=mass,
+                      options=Options(rtol=1e-8, atol=1e-10, nind1=2,
+                                      nind2=2, nind3=1))
+    assert int(sol.status[0]) == SUCCESS
+
+    from janus_tpu.solve import solve_ivp
+
+    def angle(t, th, args):
+        return jnp.stack([th[..., 1], -g * jnp.sin(th[..., 0])], axis=-1)
+
+    ref = solve_ivp(angle, (0.0, tf), jnp.array([[jnp.pi / 2, 0.0]]),
+                    method="dopri853",
+                    options=Options(rtol=1e-12, atol=1e-14))
+    th = float(ref.y[0, 0])
+    np.testing.assert_allclose(np.asarray(sol.y[0, :2]),
+                               [np.sin(th), -np.cos(th)],
+                               rtol=1e-5, atol=1e-6)
+    # constraint and its hidden derivative both hold at the endpoint
+    x, yy, vx, vy = (float(sol.y[0, i]) for i in range(4))
+    assert abs(x * x + yy * yy - 1.0) < 1e-7
+    assert abs(x * vx + yy * vy) < 1e-5
+
+
 def test_index2_dae():
     """Index-2: x' = z, 0 = x − sin t ⇒ x = sin t, z = cos t (z enters only
     through the differential equation). Needs the nind2 error weighting."""
