@@ -35,16 +35,22 @@ def _measure_cpu_baseline(mu, tf, rtol, atol, n_probe=8):
 
     y0 = np.array([2.0, 0.0])
     eps = 1e-5
-    t0 = time.perf_counter()
-    for _ in range(n_probe):
-        run_one(y0)                      # value
-        for j in range(2):               # FD sensitivity column pair
-            e = np.zeros(2)
-            e[j] = eps
-            run_one(y0 + e)
-            run_one(y0 - e)
-    dt = time.perf_counter() - t0
-    return n_probe / dt                  # trajectories(+sens)/sec on CPU
+    # best-of repeats: the CPU rate is sensitive to transient host load, and
+    # an under-measured baseline would inflate vs_baseline. Taking the
+    # FASTEST observed rate is conservative for the reported ratio.
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_probe):
+            run_one(y0)                  # value
+            for j in range(2):           # FD sensitivity column pair
+                e = np.zeros(2)
+                e[j] = eps
+                run_one(y0 + e)
+                run_one(y0 - e)
+        dt = time.perf_counter() - t0
+        best = max(best, n_probe / dt)
+    return best                          # trajectories(+sens)/sec on CPU
 
 
 def main():
@@ -71,8 +77,11 @@ def main():
     y0 = jnp.tile(jnp.array([[2.0, 0.0]], dtype), (batch, 1))
     mus = jnp.full((batch,), mu, dtype)
     # pivot-free stage LU: identical runtime on these strongly diagonally
-    # dominant iteration matrices, far faster XLA:TPU compiles
-    opts = Options(rtol=rtol, atol=atol, pivoting=False, compensated=on_tpu)
+    # dominant iteration matrices, far faster XLA:TPU compiles.
+    # s=5 (Radau9): measured 1.4x over Radau5 at rtol 1e-6 on chip (half the
+    # steps, same success/accuracy); s=7 stage systems lose f32 Newton.
+    opts = Options(rtol=rtol, atol=atol, pivoting=False, compensated=on_tpu,
+                   min_stages=5, max_stages=5)
 
     def final_state(y0, mus):
         sol = solve_radau(vdp_rhs, 0.0, tf, y0, args=mus, options=opts,
@@ -121,8 +130,17 @@ def main():
     t_hi = timed(run_hi, n_hi)
     dt = max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
 
+    def with_stats(y0, mus):
+        sol = solve_radau(vdp_rhs, 0.0, tf, y0, args=mus, options=opts,
+                          jac=vdp_jac)
+        return sol.status, sol.stats
+
     yT, status, sens = jax.jit(with_sens)(y0, mus)
     np.asarray(yT)
+    _, st_stats = jax.jit(with_stats)(y0, mus)
+    naccept = np.asarray(st_stats["naccept"], np.float64)
+    nsteps = np.asarray(st_stats["nsteps"], np.float64)
+    accept_fraction = float(np.mean(naccept / np.maximum(nsteps, 1)))
 
     ok = float(jnp.mean((status == 1).astype(jnp.float32)))
     traj_per_sec = batch / dt
@@ -138,6 +156,7 @@ def main():
         "unit": "traj/s",
         "vs_baseline": round(vs_baseline, 2),
         "success_fraction": ok,
+        "accept_fraction": round(accept_fraction, 4),
         "seconds_per_solve": round(dt, 4),
     }))
 

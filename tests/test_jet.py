@@ -200,3 +200,32 @@ def test_matmul_einsum_use_highest_precision(rng):
         for p in precs:
             assert p is not None and all(
                 pi == jax.lax.Precision.HIGHEST for pi in p), p
+
+
+def test_jet_f32_on_chip_dtype(rng):
+    """On-chip-dtype regression: jet arithmetic in float32 must stay at f32
+    accuracy (the HIGHEST-precision contractions prevent XLA:TPU demoting
+    f32 einsums to bf16 — here we pin the numerics in the dtype the chip
+    actually uses, vs an f64 oracle)."""
+    a64 = make_jet(rng, (16, 8), n=3)
+    b64 = make_jet(rng, (8, 4), n=3)
+    to32 = lambda j: J.Jet(jnp.asarray(j.r, jnp.float32),
+                           jnp.asarray(j.d, jnp.float32))
+    a32, b32 = to32(a64), to32(b64)
+
+    out64 = J.matmul(a64, b64)
+    out32 = J.matmul(a32, b32)
+    # f32 matmul over K=8 accumulations: ~1e-6 relative; bf16 demotion
+    # would show up at ~1e-2
+    np.testing.assert_allclose(np.asarray(out32.r), np.asarray(out64.r),
+                               rtol=3e-6, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(out32.d), np.asarray(out64.d),
+                               rtol=3e-5, atol=3e-5)
+
+    g = lambda z: jnp.tanh(z) * jnp.exp(-0.5 * z) + z * z
+    l64 = J.lift(g, a64)
+    l32 = J.lift(g, a32)
+    np.testing.assert_allclose(np.asarray(l32.r), np.asarray(l64.r),
+                               rtol=3e-6, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(l32.d), np.asarray(l64.d),
+                               rtol=3e-5, atol=3e-5)
