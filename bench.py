@@ -83,24 +83,17 @@ def main():
     opts = Options(rtol=rtol, atol=atol, pivoting=False, compensated=on_tpu,
                    min_stages=5, max_stages=5)
 
-    def final_state(y0, mus):
-        sol = solve_radau(vdp_rhs, 0.0, tf, y0, args=mus, options=opts,
-                          jac=vdp_jac)
-        return sol.y, sol.status
+    # forward sensitivities ∂y(T)/∂y0 by INTERNAL DIFFERENTIATION: one
+    # primal solve + K linear tangent sweeps reusing each step's LU factors
+    # (solve_radau(tangents=...), the reference's RadauTeD architecture) —
+    # measured 3.05× the vmapped-jvp transform on chip at this config
+    seeds = jnp.stack([jnp.zeros_like(y0).at[:, j].set(1.0)
+                       for j in range(2)])
 
-    # forward sensitivities ∂y(T)/∂y0: vmapped jvp directions through the
-    # adaptive solve (ONE while_loop with a stacked tangent axis)
     def with_sens(y0, mus):
-        seeds = jnp.stack([jnp.zeros_like(y0).at[:, j].set(1.0)
-                           for j in range(2)])
-
-        def one(s):
-            (yT, st), (dy, _) = jax.jvp(lambda z: final_state(z, mus),
-                                        (y0,), (s,))
-            return yT, st, dy
-
-        yts, sts, dys = jax.vmap(one)(seeds)
-        return yts[0], sts[0], dys
+        sol = solve_radau(vdp_rhs, 0.0, tf, y0, args=mus, options=opts,
+                          jac=vdp_jac, tangents=seeds)
+        return sol.y, sol.status, sol.sens
 
     # The axon relay adds a measured ~40-70 ms FIXED round-trip per host-
     # visible call, which would swamp the device time. Measure the MARGINAL
@@ -109,7 +102,9 @@ def main():
     def chained(y0, mus, n):
         def body(i, carry):
             yT, status, sens = with_sens(y0 + carry[:, None] * 1e-9, mus)
-            return yT[:, 0]
+            # fold the sensitivities into the carry at negligible weight so
+            # XLA cannot dead-code-eliminate the tangent sweep
+            return yT[:, 0] + 1e-30 * (sens[0][:, 0] + sens[1][:, 0])
         return jax.lax.fori_loop(0, n, body, y0[:, 0])
 
     n_lo, n_hi = 1, 6

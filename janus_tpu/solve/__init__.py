@@ -58,7 +58,7 @@ def _check_features(method: str, jac, mass, events, t_eval):
 def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               options: Optional[Options] = None, t_eval=None,
               events=None, jac: Optional[Callable] = None, mass=None,
-              **opt_kw) -> Solution:
+              tangents=None, **opt_kw) -> Solution:
     """Batched initial-value-problem solve.
 
     f       : batched RHS ``f(t[M], y[M,D], args) -> [M,D]``
@@ -78,6 +78,10 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
     jac     : optional analytic Jacobian ``jac(t, y, args) -> [M,D,D]``
               (implicit methods; default: forward-mode AD)
     mass    : optional mass matrix [D,D] or [M,D,D] (DAE form M·y' = f)
+    tangents: optional [K, M, D] seed directions — first-class forward
+              sensitivities by internal differentiation (fixed-stage radau
+              only; returned in Solution.sens; measured ~3× the vmapped-jvp
+              transform). Any method also differentiates via jax.jvp.
 
     Feature support per method is the FEATURES table; unsupported
     combinations raise instead of being silently ignored.
@@ -94,6 +98,10 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         raise ValueError(f"unknown method {method!r}; "
                          f"known: {sorted(FEATURES) + sorted(_ALIASES)}")
     _check_features(canonical, jac, mass, events, t_eval)
+    if tangents is not None and canonical != "radau":
+        raise ValueError("tangents= (internal-differentiation sensitivities)"
+                         " is supported by the fixed-stage 'radau' methods "
+                         "only; use jax.jvp through the solve otherwise")
 
     if canonical in ("dopri5", "dopri853"):
         from janus_tpu.solve.dopri import TABLEAUS, solve_erk
@@ -107,12 +115,16 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
             # variable order by default: stages 1..7
             options = options.replace(min_stages=1, max_stages=7)
         if options.min_stages != options.max_stages:
+            if tangents is not None:
+                raise ValueError("tangents= requires a fixed stage count "
+                                 "(min_stages == max_stages)")
             from janus_tpu.solve.radaup import solve_radau_vo
             return solve_radau_vo(f, t0, tf, y0, args, options, t_eval,
                                   jac=jac, mass=mass, events=events)
         from janus_tpu.solve.radau import solve_radau
         return solve_radau(f, t0, tf, y0, args, options, t_eval,
-                           jac=jac, mass=mass, events=events)
+                           jac=jac, mass=mass, events=events,
+                           tangents=tangents)
     if canonical == "radau_fused":
         from janus_tpu.solve.radau_fused import solve_radau_fused
         return solve_radau_fused(f, t0, tf, y0, args, options)

@@ -38,6 +38,8 @@ class Solution:
     event_y: Optional[jnp.ndarray] = None   # [M, D] state at event
     event_idx: Optional[jnp.ndarray] = None  # [M] which event fired (-1 = none)
     dyn: Optional[Dict[str, jnp.ndarray]] = None  # per-step playback (DynTe)
+    sens: Optional[jnp.ndarray] = None  # [K, M, D] internal-differentiation
+    #                                     tangents (solve_radau(tangents=...))
 
     @property
     def success(self):

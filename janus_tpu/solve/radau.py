@@ -78,6 +78,7 @@ class _NewtonState:
 class _RadauState:
     t: jnp.ndarray
     y: jnp.ndarray
+    yd: Any                   # [K, M, D] tangent state (0-size when unused)
     t_lo: jnp.ndarray         # [M] double-word remainders (compensated mode;
     y_lo: jnp.ndarray         # [M, D] zeros when Options.compensated is off)
     f0: jnp.ndarray
@@ -261,13 +262,114 @@ def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
     return out
 
 
+def _tangent_stages(tab, f, t, y, h, z, yd, tol, lu_r, piv_r,
+                    lu_c, piv_c, mask, args, mass=None, max_iter=7):
+    """Internal differentiation (Bock's IND; the reference's RadauTeD /
+    solve_LUdual role, radauted_impl.hpp:1901-1936): tangent collocation
+    stages for K seed directions through ONE accepted primal step, reusing
+    the step's LU factors.
+
+    The tangent system Zd_i = h Σ_j a_ij·J_j·(yd + Zd_j) is LINEAR; it is
+    solved by the same transformed simplified iteration as the primal
+    Newton (matrices already factored), converging at the primal's
+    contraction rate. f is linearized ONCE per stage (s jvp closures); each
+    iteration then costs s·K linear-map applications + K transformed
+    back-substitutions — no fresh factorizations, no extra f evaluations.
+    """
+    k_dirs, m, dim = yd.shape
+    s = tab.s
+    dtype = y.dtype
+    t_mat = jnp.asarray(tab.t_mat, dtype)
+    ti_mat = jnp.asarray(tab.ti_mat, dtype)
+    c_nodes = jnp.asarray(tab.c, dtype)
+    npair = (s - 1) // 2
+
+    def mdot(w):
+        if mass is None:
+            return w
+        return jnp.einsum("...ij,k...j->k...i", mass, w,
+                          precision=_EINSUM_PRECISION) \
+            if mass.ndim == 2 else jnp.einsum(
+                "mij,kmj->kmi", mass, w, precision=_EINSUM_PRECISION)
+
+    # linearize the rhs at each converged stage point (one f eval each)
+    lins = []
+    for i in range(s):
+        ti = t + c_nodes[i] * h
+        yi = y + z[:, i, :]
+        _, lin = jax.linearize(lambda yy: f(ti, yy, args), yi)
+        lins.append(lin)
+
+    def solve_k(rhs):                       # [K, M, D] -> [K, M, D]
+        return jax.vmap(lambda b: lu_solve(lu_r, piv_r, b))(rhs)
+
+    def solve_kc(p, rhs):                   # complex pair p
+        return jax.vmap(lambda b: lu_solve(lu_c[:, p], piv_c[:, p], b))(rhs)
+
+    init = (jnp.zeros((k_dirs, m, s, dim), dtype),   # wd (transformed)
+            jnp.zeros((k_dirs, m, s, dim), dtype),   # zd
+            jnp.zeros((), jnp.int32),
+            jnp.ones((), bool))
+
+    def cond_t(st):
+        return st[3] & (st[2] < max_iter)
+
+    def body_t(st):
+        wd, zd, k, _ = st
+        fd = jnp.stack([jax.vmap(lins[i])(yd + zd[:, :, i, :])
+                        for i in range(s)], axis=2)          # [K, M, s, D]
+        tif = jnp.einsum("ij,kmjd->kmid", ti_mat, fd,
+                         precision=_EINSUM_PRECISION)
+        mw = mdot(wd.reshape(k_dirs, m * s, dim)).reshape(k_dirs, m, s, dim) \
+            if mass is not None else wd
+        rhs_r = tif[:, :, 0] - (float(tab.mu_real) / h)[None, :, None] \
+            * mw[:, :, 0]
+        dws = [solve_k(rhs_r)]
+        for p in range(npair):
+            mu = tab.mu_complex[p]
+            mur, mui = float(mu.real), float(mu.imag)
+            w1 = mw[:, :, 1 + 2 * p]
+            w2 = mw[:, :, 2 + 2 * p]
+            fr = tif[:, :, 1 + 2 * p] - (mur * w1 - mui * w2) / h[None, :, None]
+            fi = tif[:, :, 2 + 2 * p] - (mur * w2 + mui * w1) / h[None, :, None]
+            sol = solve_kc(p, jnp.concatenate([fr, fi], axis=-1))
+            dws.append(sol[..., :dim])
+            dws.append(sol[..., dim:])
+        dw = jnp.stack(dws, axis=2)                          # [K, M, s, D]
+        wd_new = wd + dw
+        zd_new = jnp.einsum("ij,kmjd->kmid", t_mat, wd_new,
+                            precision=_EINSUM_PRECISION)
+        # converge RELATIVE to the tangent magnitude (primal error scales
+        # don't apply: sensitivities can be orders larger than y)
+        scale_d = 1.0 + jnp.abs(yd)[:, :, None, :]           # [K, M, 1, D]
+        dn = cm.safe_sqrt(jnp.mean(jnp.square(dw / scale_d), axis=(0, 2, 3)))
+        keep_going = jnp.any(mask & (dn > tol) & jnp.isfinite(dn))
+        return (wd_new, zd_new, k + 1, keep_going)
+
+    _, zd, _, _ = jax.lax.while_loop(cond_t, body_t, init)
+    return zd
+
+
 def solve_radau(f: Callable, t0, tf, y0, args=None,
                 options: Optional[Options] = None, t_eval=None,
                 jac: Optional[Callable] = None, mass=None,
-                events=None) -> cm.Solution:
-    """Batched adaptive Radau IIA solve (fixed stage count = options.min_stages)."""
+                events=None, tangents=None) -> cm.Solution:
+    """Batched adaptive Radau IIA solve (fixed stage count = options.min_stages).
+
+    tangents: optional [K, M, D] seed directions for FIRST-CLASS forward
+    sensitivities by internal differentiation (one primal solve + K linear
+    tangent sweeps per accepted step reusing the step's LU factors — the
+    reference's RadauTeD architecture, radauted_impl.hpp:620-2929, instead
+    of K vmapped re-solves). Result in ``Solution.sens`` [K, M, D] =
+    directional ∂y(T)/∂y0·seed_k along the SAME step sequence as the primal
+    (Bock's IND). Not combinable with events or t_eval.
+    """
     opts = options if options is not None else Options()
     specs = normalize_events(events)
+    use_sens = tangents is not None
+    if use_sens and (specs or t_eval is not None):
+        raise ValueError("solve_radau: tangents= cannot be combined with "
+                         "events or t_eval")
     s = opts.min_stages
     tab = radau_tableau(s)
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
@@ -320,9 +422,17 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     stats = cm.zero_stats(m, ("nfev", "njev", "nlu", "nsteps", "naccept",
                               "nreject", "nnewton"))
     stats["nfev"] = stats["nfev"] + 2
+    if use_sens:
+        yd0 = jnp.asarray(tangents, dtype)
+        if yd0.ndim != 3 or yd0.shape[1:] != (m, dim):
+            raise ValueError(f"tangents must be [K, {m}, {dim}], got "
+                             f"{yd0.shape}")
+    else:
+        yd0 = jnp.zeros((0, m, dim), dtype)
+
     already_done = t0 == tf
     state = _RadauState(
-        t=t0, y=y0,
+        t=t0, y=y0, yd=yd0,
         t_lo=jnp.zeros((m,), dtype), y_lo=jnp.zeros((m, dim), dtype),
         f0=f0, h=h,
         jac=jnp.zeros((m, dim, dim), dtype),
@@ -510,6 +620,20 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         f_new = jax.lax.cond(jnp.any(accept), do_fnew, lambda _: st.f0,
                              operand=None)
 
+        # ---- internal-differentiation tangent sweep (gated) ---------------
+        if use_sens:
+            def do_tan(_):
+                zd = _tangent_stages(tab, f, st.t, st.y, h, ns.z, st.yd,
+                                     newton_tol, lu_r, piv_r, lu_c, piv_c,
+                                     accept, args, mass=mass)
+                return jnp.where(accept[None, :, None],
+                                 st.yd + zd[:, :, -1, :], st.yd)
+
+            yd_new = jax.lax.cond(jnp.any(accept), do_tan, lambda _: st.yd,
+                                  operand=None)
+        else:
+            yd_new = st.yd
+
         # ---- dense output & warm-start polynomial -------------------------
         q_new = jnp.einsum("msd,sq->mqd", ns.z, p_mat, precision=_EINSUM_PRECISION)  # [M, θ-power q, D]
         q_poly = jnp.where(accept[:, None, None], q_new, st.q_poly)
@@ -543,7 +667,8 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         done = accept & last
 
         stats = dict(st.stats)
-        stats["nfev"] = stats["nfev"] + ns.nfev + accept + refine
+        stats["nfev"] = stats["nfev"] + ns.nfev + accept + refine \
+            + (accept * s if use_sens else 0)
         stats["njev"] = stats["njev"] + needj
         stats["nlu"] = stats["nlu"] + needf * (1 + npair)
         stats["nsteps"] = stats["nsteps"] + (run_newton | singular)
@@ -575,6 +700,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             t=jnp.where(accept, jnp.where(terminate, t_ev, t_new), st.t),
             y=jnp.where(accept[:, None],
                         jnp.where(terminate[:, None], y_ev, y_new), st.y),
+            yd=yd_new,
             t_lo=jnp.where(accept & ~terminate, t_lo_new, st.t_lo * ~terminate),
             y_lo=jnp.where((accept & ~terminate)[:, None], y_lo_new,
                            st.y_lo * (~terminate)[:, None]),
@@ -614,4 +740,5 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         event_y=final.ev["event_y"] if specs else None,
         event_idx=final.ev["event_idx"] if specs else None,
         dyn=final.dyn,
+        sens=final.yd if use_sens else None,
     )
