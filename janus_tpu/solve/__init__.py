@@ -58,7 +58,7 @@ def _check_features(method: str, jac, mass, events, t_eval):
 def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               options: Optional[Options] = None, t_eval=None,
               events=None, jac: Optional[Callable] = None, mass=None,
-              tangents=None, **opt_kw) -> Solution:
+              tangents=None, args_tangents=None, **opt_kw) -> Solution:
     """Batched initial-value-problem solve.
 
     f       : batched RHS ``f(t[M], y[M,D], args) -> [M,D]``
@@ -98,7 +98,8 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         raise ValueError(f"unknown method {method!r}; "
                          f"known: {sorted(FEATURES) + sorted(_ALIASES)}")
     _check_features(canonical, jac, mass, events, t_eval)
-    if tangents is not None and canonical != "radau":
+    if (tangents is not None or args_tangents is not None) \
+            and canonical != "radau":
         raise ValueError("tangents= (internal-differentiation sensitivities)"
                          " is supported by the fixed-stage 'radau' methods "
                          "only; use jax.jvp through the solve otherwise")
@@ -115,7 +116,7 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
             # variable order by default: stages 1..7
             options = options.replace(min_stages=1, max_stages=7)
         if options.min_stages != options.max_stages:
-            if tangents is not None:
+            if tangents is not None or args_tangents is not None:
                 raise ValueError("tangents= requires a fixed stage count "
                                  "(min_stages == max_stages)")
             from janus_tpu.solve.radaup import solve_radau_vo
@@ -124,7 +125,7 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         from janus_tpu.solve.radau import solve_radau
         return solve_radau(f, t0, tf, y0, args, options, t_eval,
                            jac=jac, mass=mass, events=events,
-                           tangents=tangents)
+                           tangents=tangents, args_tangents=args_tangents)
     if canonical == "radau_fused":
         from janus_tpu.solve.radau_fused import solve_radau_fused
         return solve_radau_fused(f, t0, tf, y0, args, options)

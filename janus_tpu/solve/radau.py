@@ -263,7 +263,8 @@ def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
 
 
 def _tangent_stages(tab, f, t, y, h, z, yd, tol, lu_r, piv_r,
-                    lu_c, piv_c, mask, args, mass=None, max_iter=7):
+                    lu_c, piv_c, mask, args, mass=None, max_iter=7,
+                    args_d=None):
     """Internal differentiation (Bock's IND; the reference's RadauTeD /
     solve_LUdual role, radauted_impl.hpp:1901-1936): tangent collocation
     stages for K seed directions through ONE accepted primal step, reusing
@@ -292,13 +293,31 @@ def _tangent_stages(tab, f, t, y, h, z, yd, tol, lu_r, piv_r,
             if mass.ndim == 2 else jnp.einsum(
                 "mij,kmj->kmi", mass, w, precision=_EINSUM_PRECISION)
 
-    # linearize the rhs at each converged stage point (one f eval each)
+    # linearize the rhs at each converged stage point (one f eval each);
+    # with parameter tangents (args_d, leading axis K) linearize jointly in
+    # (y, args) so the forcing ∂f/∂θ·dθ enters every stage residual
     lins = []
     for i in range(s):
         ti = t + c_nodes[i] * h
         yi = y + z[:, i, :]
-        _, lin = jax.linearize(lambda yy: f(ti, yy, args), yi)
-        lins.append(lin)
+        if args_d is None:
+            _, lin = jax.linearize(lambda yy: f(ti, yy, args), yi)
+            lins.append(lambda dy, _k, _lin=lin: _lin(dy))
+        else:
+            _, lin = jax.linearize(lambda yy, aa: f(ti, yy, aa), yi, args)
+            lins.append(lambda dy, da, _lin=lin: _lin(dy, da))
+
+    if args_d is None:
+        args_d_rows = [None] * k_dirs
+    else:
+        args_d_rows = [jax.tree_util.tree_map(lambda a: a[k], args_d)
+                       for k in range(k_dirs)]
+
+    def apply_lin(i, dys):                  # dys [K, M, D] -> [K, M, D]
+        if args_d is None:
+            return jax.vmap(lambda dy: lins[i](dy, None))(dys)
+        return jnp.stack([lins[i](dys[k], args_d_rows[k])
+                          for k in range(k_dirs)])
 
     def solve_k(rhs):                       # [K, M, D] -> [K, M, D]
         return jax.vmap(lambda b: lu_solve(lu_r, piv_r, b))(rhs)
@@ -316,7 +335,7 @@ def _tangent_stages(tab, f, t, y, h, z, yd, tol, lu_r, piv_r,
 
     def body_t(st):
         wd, zd, k, _ = st
-        fd = jnp.stack([jax.vmap(lins[i])(yd + zd[:, :, i, :])
+        fd = jnp.stack([apply_lin(i, yd + zd[:, :, i, :])
                         for i in range(s)], axis=2)          # [K, M, s, D]
         tif = jnp.einsum("ij,kmjd->kmid", ti_mat, fd,
                          precision=_EINSUM_PRECISION)
@@ -353,7 +372,8 @@ def _tangent_stages(tab, f, t, y, h, z, yd, tol, lu_r, piv_r,
 def solve_radau(f: Callable, t0, tf, y0, args=None,
                 options: Optional[Options] = None, t_eval=None,
                 jac: Optional[Callable] = None, mass=None,
-                events=None, tangents=None) -> cm.Solution:
+                events=None, tangents=None,
+                args_tangents=None) -> cm.Solution:
     """Batched adaptive Radau IIA solve (fixed stage count = options.min_stages).
 
     tangents: optional [K, M, D] seed directions for FIRST-CLASS forward
@@ -362,14 +382,17 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     reference's RadauTeD architecture, radauted_impl.hpp:620-2929, instead
     of K vmapped re-solves). Result in ``Solution.sens`` [K, M, D] =
     directional ∂y(T)/∂y0·seed_k along the SAME step sequence as the primal
-    (Bock's IND). Not combinable with events or t_eval.
+    (Bock's IND). args_tangents: optional pytree matching ``args`` with a
+    leading K axis — parameter seed directions dθ_k (the reference's dual
+    params); combine with ``tangents`` (same K) or pass alone (y0 seeds
+    zero). Not combinable with events or t_eval.
     """
     opts = options if options is not None else Options()
     specs = normalize_events(events)
-    use_sens = tangents is not None
+    use_sens = tangents is not None or args_tangents is not None
     if use_sens and (specs or t_eval is not None):
-        raise ValueError("solve_radau: tangents= cannot be combined with "
-                         "events or t_eval")
+        raise ValueError("solve_radau: tangents=/args_tangents= cannot be "
+                         "combined with events or t_eval")
     s = opts.min_stages
     tab = radau_tableau(s)
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
@@ -423,12 +446,25 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                               "nreject", "nnewton"))
     stats["nfev"] = stats["nfev"] + 2
     if use_sens:
-        yd0 = jnp.asarray(tangents, dtype)
-        if yd0.ndim != 3 or yd0.shape[1:] != (m, dim):
-            raise ValueError(f"tangents must be [K, {m}, {dim}], got "
-                             f"{yd0.shape}")
+        if args_tangents is not None:
+            args_d = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype), args_tangents)
+            k_args = jax.tree_util.tree_leaves(args_d)[0].shape[0]
+        else:
+            args_d, k_args = None, None
+        if tangents is not None:
+            yd0 = jnp.asarray(tangents, dtype)
+            if yd0.ndim != 3 or yd0.shape[1:] != (m, dim):
+                raise ValueError(f"tangents must be [K, {m}, {dim}], got "
+                                 f"{yd0.shape}")
+            if k_args is not None and k_args != yd0.shape[0]:
+                raise ValueError(f"tangents K={yd0.shape[0]} != "
+                                 f"args_tangents K={k_args}")
+        else:
+            yd0 = jnp.zeros((k_args, m, dim), dtype)
     else:
         yd0 = jnp.zeros((0, m, dim), dtype)
+        args_d = None
 
     already_done = t0 == tf
     state = _RadauState(
@@ -625,7 +661,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             def do_tan(_):
                 zd = _tangent_stages(tab, f, st.t, st.y, h, ns.z, st.yd,
                                      newton_tol, lu_r, piv_r, lu_c, piv_c,
-                                     accept, args, mass=mass)
+                                     accept, args, mass=mass, args_d=args_d)
                 return jnp.where(accept[None, :, None],
                                  st.yd + zd[:, :, -1, :], st.yd)
 

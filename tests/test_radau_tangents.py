@@ -106,3 +106,59 @@ def test_tangents_excludes_events_and_teval():
     with pytest.raises(ValueError):
         solve_radau(vdp_rhs, 0.0, 1.0, y0, args=5.0, tangents=seeds,
                     events=Event(lambda t, y, a: y[:, 0], terminal=True))
+
+
+def test_ind_parameter_sensitivity():
+    """args_tangents: dy(T)/dmu for stiff VdP vs jvp-through-solve and FD.
+    Mixed case: direction 0 = pure parameter seed, direction 1 = pure y0
+    seed — one IND solve carries both."""
+    tf = 0.6
+    m = 2
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (m, 1))
+    mus = jnp.array([20.0, 80.0])
+    opts = Options(rtol=1e-9, atol=1e-12)
+
+    seeds_y = jnp.stack([jnp.zeros((m, 2)),
+                         jnp.zeros((m, 2)).at[:, 0].set(1.0)])
+    seeds_mu = jnp.stack([jnp.ones((m,)), jnp.zeros((m,))])
+
+    sol = solve_radau(vdp_rhs, 0.0, tf, y0, args=mus, options=opts,
+                      jac=vdp_jac, tangents=seeds_y, args_tangents=seeds_mu)
+    assert bool(jnp.all(sol.status == SUCCESS))
+
+    def final(z, mm):
+        return solve_radau(vdp_rhs, 0.0, tf, z, args=mm, options=opts,
+                           jac=vdp_jac).y
+
+    # direction 0: d/dmu (all lanes)
+    _, dmu = jax.jvp(final, (y0, mus), (jnp.zeros_like(y0),
+                                        jnp.ones_like(mus)))
+    np.testing.assert_allclose(np.asarray(sol.sens[0]), np.asarray(dmu),
+                               rtol=3e-4, atol=1e-8)
+    eps = 1e-6
+    fd = (final(y0, mus + eps) - final(y0, mus - eps)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(sol.sens[0]), np.asarray(fd),
+                               rtol=5e-4, atol=1e-6)
+
+    # direction 1: d/dy1(0)
+    _, dy0 = jax.jvp(final, (y0, mus),
+                     (jnp.zeros_like(y0).at[:, 0].set(1.0),
+                      jnp.zeros_like(mus)))
+    np.testing.assert_allclose(np.asarray(sol.sens[1]), np.asarray(dy0),
+                               rtol=3e-4, atol=1e-7)
+
+
+def test_ind_args_only():
+    """args_tangents alone (y0 seeds implicit zero)."""
+    def f(t, y, a):
+        return -a[:, None] * y
+
+    y0 = jnp.array([[2.0, 1.0]])
+    a = jnp.array([0.8])
+    sol = solve_radau(f, 0.0, 1.0, y0, args=a,
+                      options=Options(rtol=1e-10, atol=1e-13),
+                      args_tangents=jnp.ones((1, 1)))
+    assert int(sol.status[0]) == SUCCESS
+    # y = y0 e^{-a t}; dy/da = -t y
+    want = -1.0 * np.asarray(y0[0]) * np.exp(-0.8)
+    np.testing.assert_allclose(np.asarray(sol.sens[0, 0]), want, rtol=1e-7)
