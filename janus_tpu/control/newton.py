@@ -49,8 +49,15 @@ def fd_or_ad_jacobian(f: Callable, x, mode: str = "ad"):
 
 def newton_solve(f: Callable, x0, tol: float = 1e-8, max_iter: int = 50,
                  jac_mode: str = "ad", max_backtracks: int = 8,
-                 armijo: float = 1e-4) -> NewtonResult:
-    """Solve f(x) = 0 for a batch of instances; f: [M,N] -> [M,N]."""
+                 armijo: float = 1e-4,
+                 jac: Optional[Callable] = None) -> NewtonResult:
+    """Solve f(x) = 0 for a batch of instances; f: [M,N] -> [M,N].
+
+    jac: optional user Jacobian ``jac(x) -> [M, N, N]`` replacing the AD/FD
+    default — e.g. built from ``solve_radau(tangents=...)`` internal
+    differentiation for shooting residuals (one primal solve instead of N
+    jvp re-solves; see tests/test_radau_tangents.py).
+    """
     x0 = jnp.atleast_2d(x0)
     m, n = x0.shape
     dtype = x0.dtype
@@ -66,7 +73,8 @@ def newton_solve(f: Callable, x0, tol: float = 1e-8, max_iter: int = 50,
 
     def body(s):
         x, fn, convd, it, running = s
-        jmat = fd_or_ad_jacobian(f, x, jac_mode)
+        jmat = jac(x) if jac is not None else fd_or_ad_jacobian(f, x,
+                                                                jac_mode)
         lu, piv = lu_factor(jmat)
         ok = lu_ok(lu)
         step = lu_solve(lu, piv, -f(x))

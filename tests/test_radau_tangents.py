@@ -162,3 +162,42 @@ def test_ind_args_only():
     # y = y0 e^{-a t}; dy/da = -t y
     want = -1.0 * np.asarray(y0[0]) * np.exp(-0.8)
     np.testing.assert_allclose(np.asarray(sol.sens[0, 0]), want, rtol=1e-7)
+
+
+def test_shooting_newton_with_ind_jacobian():
+    """Boundary-value shooting with the Newton Jacobian built from ONE IND
+    solve (identity tangents) instead of N jvp re-solves: hit y-target for
+    a batch of damped oscillators; must match the AD-Jacobian Newton."""
+    from janus_tpu.control import newton_solve
+
+    m, d = 3, 2
+    target = jnp.asarray(np.array([[0.3, -0.1], [0.0, 0.5], [-0.2, -0.2]]))
+    ks = jnp.array([1.0, 2.0, 4.0])
+    tf = 1.3
+
+    def rhs(t, y, k):
+        return jnp.stack([y[..., 1], -k * y[..., 0] - 0.2 * y[..., 1]],
+                         axis=-1)
+
+    opts = Options(rtol=1e-10, atol=1e-13)
+    seeds = _identity_seeds(m, d)
+
+    def residual(x):
+        return solve_radau(rhs, 0.0, tf, x, args=ks, options=opts).y - target
+
+    def ind_jac(x):
+        sol = solve_radau(rhs, 0.0, tf, x, args=ks, options=opts,
+                          tangents=seeds)
+        return jnp.transpose(sol.sens, (1, 2, 0))     # [M, D(out), D(in)]
+
+    x0 = jnp.zeros((m, d))
+    r_ind = newton_solve(residual, x0, tol=1e-9, jac=ind_jac)
+    r_ad = newton_solve(residual, x0, tol=1e-9)
+    assert bool(jnp.all(r_ind.converged)) and bool(jnp.all(r_ad.converged))
+    np.testing.assert_allclose(np.asarray(r_ind.x), np.asarray(r_ad.x),
+                               rtol=1e-7, atol=1e-9)
+    # both hit the target
+    np.testing.assert_allclose(
+        np.asarray(solve_radau(rhs, 0.0, tf, r_ind.x, args=ks,
+                               options=opts).y),
+        np.asarray(target), rtol=1e-7, atol=1e-8)
