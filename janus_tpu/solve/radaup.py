@@ -74,8 +74,16 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
                    events=None) -> cm.Solution:
     opts = options if options is not None else Options()
     specs = normalize_events(events)
+    # f32: the s=7 (order-13) stage systems lose the simplified Newton
+    # (measured on chip at rtol 1e-6 — success 0; the transformed 2D×2D
+    # complex blocks are too ill-conditioned at eps=1.2e-7). Cap the order
+    # ladder at s=5 unless the caller pinned stages explicitly.
+    max_stages = opts.max_stages
+    if (jnp.asarray(y0).dtype == jnp.float32 and max_stages > 5
+            and opts.min_stages < max_stages):
+        max_stages = 5
     orders = tuple(s for s in (1, 3, 5, 7)
-                   if opts.min_stages <= s <= opts.max_stages)
+                   if opts.min_stages <= s <= max_stages)
     if len(orders) < 2:
         from janus_tpu.solve.radau import solve_radau
         return solve_radau(f, t0, tf, y0, args, options, t_eval, jac, mass,

@@ -60,3 +60,15 @@ def test_radaup_dense_and_events():
                    method="radaup", args=omega, rtol=1e-9, atol=1e-12,
                    events=Event(g, terminal=True))
     np.testing.assert_allclose(se.event_t[0], np.pi / 2, rtol=1e-7)
+
+
+def test_f32_caps_order_ladder():
+    """f32 lanes must not be raised to s=7 (order-13 stage systems lose the
+    f32 Newton — measured on chip); the ladder caps at s=5 and the stiff
+    solve succeeds."""
+    m = 16
+    mus = jnp.asarray(np.logspace(0.5, 3.0, m), jnp.float32)
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]], jnp.float32), (m, 1))
+    sol = solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="radaup", args=mus,
+                    options=Options(rtol=1e-5, atol=1e-8, pivoting=False))
+    assert float(jnp.mean((sol.status == SUCCESS).astype(jnp.float32))) == 1.0
