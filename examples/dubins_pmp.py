@@ -12,6 +12,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
 
+import jax
+
+# written for f64 tolerances: enable x64 off-chip (on TPU prefer the f32
+# configs in the newer examples)
+if jax.default_backend() != "tpu":
+    jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 
