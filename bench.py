@@ -10,9 +10,23 @@ on the same problem/tolerances on this host's CPU, extrapolated to the batch.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _pinned_baseline():
+    """Idle-host CPU oracle rate pinned in BASELINE_PINNED.json (provenance
+    inside). Live re-measurement varies 5x with transient host load, which
+    would make the headline ratio meaningless run-to-run."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BASELINE_PINNED.json")
+    try:
+        with open(p) as fh:
+            return float(json.load(fh)["cpu_traj_per_sec"])
+    except Exception:
+        return None
 
 
 def _measure_cpu_baseline(mu, tf, rtol, atol, n_probe=8):
@@ -140,8 +154,12 @@ def main():
     ok = float(jnp.mean((status == 1).astype(jnp.float32)))
     traj_per_sec = batch / dt
 
-    cpu_rate = _measure_cpu_baseline(mu, tf, max(rtol, 1e-6),
+    cpu_live = _measure_cpu_baseline(mu, tf, max(rtol, 1e-6),
                                      max(atol, 1e-9))
+    cpu_pinned = _pinned_baseline()
+    # headline denominator: the pinned idle-host rate (stable, conservative);
+    # live rate reported alongside for cross-checking
+    cpu_rate = cpu_pinned if cpu_pinned is not None else cpu_live
     vs_baseline = traj_per_sec / cpu_rate
 
     print(json.dumps({
@@ -150,6 +168,9 @@ def main():
         "value": round(traj_per_sec, 2),
         "unit": "traj/s",
         "vs_baseline": round(vs_baseline, 2),
+        "vs_baseline_live": round(traj_per_sec / cpu_live, 2),
+        "cpu_baseline_source": ("pinned" if cpu_pinned is not None
+                                else "live"),
         "success_fraction": ok,
         "accept_fraction": round(accept_fraction, 4),
         "seconds_per_solve": round(dt, 4),

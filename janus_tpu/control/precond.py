@@ -115,10 +115,12 @@ def tridiag_solve(dl, d, du, b):
     return jnp.moveaxis(xs, 0, -1)
 
 
-def tridiag_precond(f: Callable, x) -> Callable:
-    """Right-preconditioner from J's tridiagonal part at ``x`` (3 colored
-    jvp's + Thomas sweeps). Exact for tridiagonal J (1-D 3-point stencils);
-    colored approximation otherwise."""
+def tridiag_bands(f: Callable, x):
+    """The three diagonals (dl, d, du) of J at ``x`` from 3 colored jvp's.
+
+    f: [M, N] -> [M, N]. Exact for tridiagonal J (1-D 3-point stencils);
+    colored (folded) approximation otherwise. dl[...,0] and du[...,-1] are 0.
+    """
     m, n = x.shape
     nc = min(3, n)
     cols = probe_colored_jacobian(f, x, nc)                    # [nc, M, N]
@@ -132,9 +134,14 @@ def tridiag_precond(f: Callable, x) -> Callable:
             (j[:, None] >= 0) & (j[:, None] < n)
         return jnp.sum(jnp.where(onehot[None], pick, 0.0), axis=-1)
 
-    dmain = diag_at(0)
-    du = diag_at(1)        # J[i, i+1]; masked to 0 at i = n-1
-    dl = diag_at(-1)       # J[i, i-1] (Thomas: multiplies x[i-1]); 0 at i = 0
+    return diag_at(-1), diag_at(0), diag_at(1)
+
+
+def tridiag_precond(f: Callable, x) -> Callable:
+    """Right-preconditioner from J's tridiagonal part at ``x`` (3 colored
+    jvp's + Thomas sweeps). Exact for tridiagonal J (1-D 3-point stencils);
+    colored approximation otherwise."""
+    dl, dmain, du = tridiag_bands(f, x)
     bad = ~jnp.all(jnp.isfinite(dmain) & (dmain != 0.0), axis=-1,
                    keepdims=True)
     dmain = jnp.where(bad, jnp.ones_like(dmain), dmain)

@@ -64,13 +64,25 @@ def dual_solve_ivp(f: Callable, tspan, y0, method: str = "radau",
     tf_is_jet = isinstance(tf, Jet)
     from janus_tpu.solve import Options as _Options
     _opt_fields = set(_Options.__dataclass_fields__)
-    if (method in ("radau", "radau5", "radau9", "radau13") and not tf_is_jet
-            and not (set(kw) - {"jac", "mass"} - _opt_fields)):
-        o = options if options is not None else _Options()
-        o = o.replace(**{k: v for k, v in kw.items() if k in _opt_fields})
-        kw = {k: v for k, v in kw.items() if k in ("jac", "mass")}
-        options = o
-        if o.min_stages == o.max_stages:
+    if method in ("radau", "radau5", "radau9", "radau13"):
+        blockers = []
+        if tf_is_jet:
+            blockers.append("tf carries tangents")
+        extra_kw = set(kw) - {"jac", "mass", "t_eval"} - _opt_fields
+        if extra_kw:
+            blockers.append(f"kwargs {sorted(extra_kw)} (events need the "
+                            "transform path: the fast path does not expose "
+                            "event-time tangents of t)")
+        if not blockers:
+            o = options if options is not None else _Options()
+            o = o.replace(**{k: v for k, v in kw.items() if k in _opt_fields})
+            kw = {k: v for k, v in kw.items()
+                  if k in ("jac", "mass", "t_eval")}
+            options = o
+            if o.min_stages != o.max_stages:
+                blockers.append("variable stage count "
+                                "(min_stages != max_stages)")
+        if not blockers:
             args_has_d = any(isinstance(a, Jet)
                              for a in jax.tree_util.tree_leaves(
                                  args, is_leaf=lambda x: isinstance(x, Jet)))
@@ -81,6 +93,11 @@ def dual_solve_ivp(f: Callable, tspan, y0, method: str = "radau",
                             **kw)
             dtz = jnp.zeros((n,) + sol.t.shape, sol.t.dtype)
             return Jet(sol.y, sol.sens), Jet(sol.t, dtz), sol
+        import warnings
+        warnings.warn(
+            "dual_solve_ivp: falling back to the vmapped-jvp transform "
+            f"(~3x slower than internal differentiation) because: "
+            f"{'; '.join(blockers)}", stacklevel=2)
 
     def primal(y0p, tfp, argsp):
         sol = solve_ivp(f, (t0, tfp), y0p, method=method, args=argsp,

@@ -1,0 +1,139 @@
+"""Batched GMRES for the implicit-stage systems of stiff solvers.
+
+The reference swaps PETSc-GMRES closures in place of dense LU for the Radau
+stage systems (reference src/python/odesolvers/src/odesolvers/linsolve.py:61-110
+``decom_rc_gmres``, consumed by prepare_step.py:36-48) — that is what makes it
+usable on method-of-lines PDE lines (examples/cpp/meinhart_pseudo_transient.cpp).
+This is the TPU-native equivalent: a fixed-iteration-count right-preconditioned
+GMRES(k) whose Arnoldi/Givens recurrences are unrolled at trace time (static
+shapes, no data-dependent control flow) and whose inner products are batched
+over the M lanes — every lane runs the same k iterations in lockstep, the
+VPU/MXU stay full, and compile time is O(k²) small ops instead of the unrolled
+dense LU's O(D²).
+
+Breakdown-safe: zero residual or lucky breakdown produce zero rotations and a
+finite (already-converged) solution rather than NaN.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def gmres_batched(matvec: Callable, b, precond: Optional[Callable] = None,
+                  iters: int = 20):
+    """Solve A x = b per batch lane with right-preconditioned GMRES(k).
+
+    matvec : v [M, N] -> A·v [M, N]   (each lane's independent operator)
+    b      : [M, N]
+    precond: optional v -> P⁻¹·v      (right preconditioning: A·P⁻¹ u = b)
+    iters  : k, the (static) Arnoldi depth — there is no restart; pick k
+             large enough for the preconditioned spectrum.
+
+    Returns (x [M, N], resnorm [M]) where resnorm is the Givens residual
+    estimate ‖b − A·x‖₂ per lane.
+    """
+    pc = precond if precond is not None else (lambda v: v)
+    dtype = b.dtype
+
+    def nrm(v):
+        return jnp.sqrt(jnp.sum(v * v, axis=-1))
+
+    def safe(x):
+        return jnp.where(x == 0.0, jnp.ones_like(x), x)
+
+    beta = nrm(b)                                    # [M]
+    v_basis = [b / safe(beta)[:, None]]
+    r_cols = []                                      # R's upper columns
+    cs, sn = [], []
+    g = []                                           # rotated rhs entries
+    gj = beta
+    for j in range(iters):
+        w = matvec(pc(v_basis[j]))
+        # modified Gram–Schmidt
+        hcol = []
+        for i in range(j + 1):
+            hij = jnp.sum(w * v_basis[i], axis=-1)
+            hcol.append(hij)
+            w = w - hij[:, None] * v_basis[i]
+        hnext = nrm(w)
+        v_basis.append(w / safe(hnext)[:, None])
+        # previous Givens rotations on the new column
+        hc = list(hcol)
+        for i in range(j):
+            t1 = cs[i] * hc[i] + sn[i] * hc[i + 1]
+            t2 = -sn[i] * hc[i] + cs[i] * hc[i + 1]
+            hc[i], hc[i + 1] = t1, t2
+        # new rotation eliminating the subdiagonal
+        denom = jnp.sqrt(hc[j] ** 2 + hnext ** 2)
+        c = jnp.where(denom == 0.0, jnp.ones_like(denom), hc[j] / safe(denom))
+        s = jnp.where(denom == 0.0, jnp.zeros_like(denom),
+                      hnext / safe(denom))
+        cs.append(c)
+        sn.append(s)
+        hc[j] = c * hc[j] + s * hnext
+        r_cols.append(hc)
+        g.append(c * gj)
+        gj = -s * gj
+    # back substitution R y = g (R unit-free upper triangular, [M] entries)
+    y = [jnp.zeros_like(beta)] * iters
+    for j in reversed(range(iters)):
+        acc = g[j]
+        for i in range(j + 1, iters):
+            acc = acc - r_cols[i][j] * y[i]
+        y[j] = acc / safe(r_cols[j][j])
+    u = sum(y[j][:, None] * v_basis[j] for j in range(iters))
+    x = pc(u)
+    return x, jnp.abs(gj)
+
+
+def _cdiv(ar, ai, br, bi):
+    den = br * br + bi * bi
+    den = jnp.where(den == 0.0, jnp.ones_like(den), den)
+    return (ar * br + ai * bi) / den, (ai * br - ar * bi) / den
+
+
+def tridiag_solve_complex(dl, d, du, b):
+    """Batched complex Thomas sweep in split-real form.
+
+    dl, d, du, b: pairs (re, im) of [..., N] arrays (dl[...,0], du[...,-1]
+    ignored). Sequential in N via two lax.scan sweeps whose steps are
+    [...]-vectorized (same shape as control.precond.tridiag_solve, lifted to
+    complex arithmetic). No pivoting — preconditioner use.
+    """
+    dlr, dli = dl
+    dr, di = d
+    dur, dui = du
+    br, bi = b
+    batch = dr.shape[:-1]
+    z = jnp.zeros(batch, dr.dtype)
+
+    def fwd(carry, inp):
+        cpr, cpi, dpr, dpi = carry
+        a_r, a_i, m_r, m_i, u_r, u_i, f_r, f_i = inp
+        # denom = d - dl*cp
+        tr = m_r - (a_r * cpr - a_i * cpi)
+        ti = m_i - (a_r * cpi + a_i * cpr)
+        ncpr, ncpi = _cdiv(u_r, u_i, tr, ti)
+        # dp = (b - dl*dp_prev) / denom
+        sr = f_r - (a_r * dpr - a_i * dpi)
+        si = f_i - (a_r * dpi + a_i * dpr)
+        ndpr, ndpi = _cdiv(sr, si, tr, ti)
+        return (ncpr, ncpi, ndpr, ndpi), (ncpr, ncpi, ndpr, ndpi)
+
+    inp = tuple(jnp.moveaxis(a, -1, 0)
+                for a in (dlr, dli, dr, di, dur, dui, br, bi))
+    _, (cpr, cpi, dpr, dpi) = lax.scan(fwd, (z, z, z, z), inp)
+
+    def bwd(carry, inp):
+        xr, xi = carry
+        c_r, c_i, p_r, p_i = inp
+        nxr = p_r - (c_r * xr - c_i * xi)
+        nxi = p_i - (c_r * xi + c_i * xr)
+        return (nxr, nxi), (nxr, nxi)
+
+    _, (xr, xi) = lax.scan(bwd, (z, z), (cpr, cpi, dpr, dpi), reverse=True)
+    return jnp.moveaxis(xr, 0, -1), jnp.moveaxis(xi, 0, -1)

@@ -35,7 +35,8 @@ FEATURES = {
 _ALIASES = {
     "rk45": "dopri5", "dop853": "dopri853",
     "radau5": "radau", "radau9": "radau", "radau13": "radau",
-    "ndf": "bdf", "ros4": "grk4t", "rosenbrock": "grk4t",
+    "ndf": "bdf", "bdf_classic": "bdf",
+    "ros4": "grk4t", "rosenbrock": "grk4t",
 }
 
 
@@ -69,6 +70,8 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               'radaup'                               (per-lane variable order)
               'radau_fused'                          (one-Pallas-kernel step)
               'bdf'                                  (variable-order NDF 1-5)
+              'bdf_classic'                          (same, classical BDF
+                                                      error constants)
               'bdf2' | 'seulex'                      (BDF2 / extrapolation)
               'rodas' | 'grk4t'                      (Rosenbrock: RODAS4 /
                                                       Kaps-Rentrop GRK4T)
@@ -119,6 +122,9 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
             if tangents is not None or args_tangents is not None:
                 raise ValueError("tangents= requires a fixed stage count "
                                  "(min_stages == max_stages)")
+            if options.stage_solver != "lu":
+                raise ValueError("stage_solver='gmres' is supported by the "
+                                 "fixed-stage 'radau' methods only")
             from janus_tpu.solve.radaup import solve_radau_vo
             return solve_radau_vo(f, t0, tf, y0, args, options, t_eval,
                                   jac=jac, mass=mass, events=events)
@@ -151,8 +157,15 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
     raise AssertionError("unreachable")
 
 
+def radau_adjoint(*a, **kw):
+    """Reverse-differentiable adaptive Radau final state (continuous
+    adjoint); see janus_tpu.solve.adjoint.radau_adjoint."""
+    from janus_tpu.solve.adjoint import radau_adjoint as _impl
+    return _impl(*a, **kw)
+
+
 __all__ = [
-    "solve_ivp", "Solution", "Options", "FEATURES",
+    "solve_ivp", "Solution", "Options", "FEATURES", "radau_adjoint",
     "RUNNING", "SUCCESS", "MAX_STEPS", "STEP_UNDERFLOW", "NEWTON_STALL",
     "EVENT_TERMINATED",
 ]

@@ -40,6 +40,10 @@ class Solution:
     dyn: Optional[Dict[str, jnp.ndarray]] = None  # per-step playback (DynTe)
     sens: Optional[jnp.ndarray] = None  # [K, M, D] internal-differentiation
     #                                     tangents (solve_radau(tangents=...))
+    mesh: Optional[Dict[str, jnp.ndarray]] = None  # accepted-step mesh rings
+    #                       (internal: solve_radau(_mesh_size=S) for adjoint)
+    sens_ys: Optional[jnp.ndarray] = None  # [K, M, T, D] dense tangent
+    #                         samples (solve_radau(tangents=..., t_eval=...))
 
     @property
     def success(self):
@@ -167,6 +171,20 @@ def derived_newton_tol(dtype, rtol):
     import jax.numpy as jnp
     return float(min(0.03, max(10 * float(jnp.finfo(dtype).eps) / rtol,
                                rtol ** 0.5)))
+
+
+def index_weights(opts, dim, dtype):
+    """Hairer's higher-index DAE weighting (reference NbrInd1-3,
+    radaute.hpp:52-96): index-2/3 components get error and Newton norms
+    scaled by h / h² — returns (exponent vector [D], use_index flag).
+    Components must be ordered [index-1 | index-2 | index-3]."""
+    import numpy as np
+    ind_exp = np.zeros(dim)
+    if opts.nind2 or opts.nind3:
+        n1 = opts.nind1 if opts.nind1 else dim - opts.nind2 - opts.nind3
+        ind_exp[n1:n1 + opts.nind2] = 1.0
+        ind_exp[n1 + opts.nind2:n1 + opts.nind2 + opts.nind3] = 2.0
+    return jnp.asarray(ind_exp, dtype), bool(opts.nind2 or opts.nind3)
 
 
 def two_sum(a, b):

@@ -285,7 +285,7 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         if use_dense:
             out_ys = cm.collect_dense(out_ys, t_eval, s.t, h, upd, interp)
 
-        ev, terminate, t_ev, y_ev = handle_events(
+        ev, terminate, t_ev, y_ev, _ev_idx = handle_events(
             specs, s.ev, s.t, h, s.y, s.t + h, y1, interp, upd, args)
 
         dyn = record_step(s.dyn, s.active, s.t, h, enorm,

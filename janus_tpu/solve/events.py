@@ -65,13 +65,14 @@ def handle_events(specs, ev_state, t_old, h, y_old, t_new, y_new, interp,
     """Detect/locate events on accepted steps.
 
     interp: theta [M,K] -> y [M,K,D] (the step's continuous extension).
-    Returns (new_ev_state, terminate [M], t_event [M], y_event [M,D]).
+    Returns (new_ev_state, terminate [M], t_event [M], y_event [M,D],
+    idx [M] — which event fired THIS step, 0 when none).
     """
     m = t_old.shape[0]
     dtype = t_old.dtype
     if not specs:
         false = jnp.zeros((m,), bool)
-        return ev_state, false, t_new, y_new
+        return ev_state, false, t_new, y_new, jnp.zeros((m,), jnp.int32)
 
     n_ev = len(specs)
     g_old = ev_state["g"]
@@ -138,4 +139,4 @@ def handle_events(specs, ev_state, t_old, h, y_old, t_new, y_new, interp,
         "event_idx": jnp.where(fresh, idx, ev_state["event_idx"]),
     }
     terminate = hit & terminal[idx]
-    return new_state, terminate, t_ev, y_ev
+    return new_state, terminate, t_ev, y_ev, idx

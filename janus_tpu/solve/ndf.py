@@ -393,7 +393,7 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         if use_dense:
             out_ys = cm.collect_dense(out_ys, t_eval, st.t, h, accept, interp)
 
-        ev, terminate, t_ev, y_ev = handle_events(
+        ev, terminate, t_ev, y_ev, _ev_idx = handle_events(
             specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
 
         # ---- bookkeeping --------------------------------------------------

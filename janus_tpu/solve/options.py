@@ -62,6 +62,18 @@ class Options:
     # faster and safe for the strongly diagonally-dominant iteration
     # matrices (gamma/h·M − J) of very stiff regimes)
     pivoting: bool = _static(True)
+    # stage linear solver for the radau collocation systems: "lu" = dense
+    # unrolled batched LU (D up to a few tens); "gmres" = matrix-free
+    # batched GMRES(k) with a tridiagonal Thomas preconditioner — the
+    # large-D method-of-lines path (the reference's decom_rc_gmres role,
+    # odesolvers/linsolve.py:61-110). gmres_iters is the static Arnoldi
+    # depth k (no restart; no data-dependent control flow on TPU).
+    stage_solver: str = _static("lu")
+    gmres_iters: int = _static(20)
+    # accepted-step mesh capacity for the continuous-adjoint backward pass
+    # (solve.adjoint.radau_adjoint); gradients are NaN-poisoned if a lane
+    # exceeds it. Memory: [M, adjoint_steps, s+1, D] floats.
+    adjoint_steps: int = _static(256)
     # DAE index partition (Hairer NbrInd1-3, reference radaute.hpp:52-96):
     # state components must be ordered [index-1 | index-2 | index-3];
     # 0 ⇒ nind1 = D (pure ODE / index-1)

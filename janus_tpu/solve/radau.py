@@ -83,7 +83,9 @@ class _RadauState:
     y_lo: jnp.ndarray         # [M, D] zeros when Options.compensated is off)
     f0: jnp.ndarray
     h: jnp.ndarray            # signed current step size
-    jac: jnp.ndarray          # [M, D, D]
+    jac: jnp.ndarray          # [M, D, D] (gmres mode: [M, 3, D] tri bands)
+    t_lin: jnp.ndarray        # [M] Jacobian linearization point (gmres
+    y_lin: jnp.ndarray        # [M, D] matrix-free J·v rides jvp at this)
     lu_real: jnp.ndarray      # [M, D, D]
     piv_real: jnp.ndarray     # [M, D]
     lu_cplx: jnp.ndarray      # [M, P, 2D, 2D]
@@ -105,8 +107,11 @@ class _RadauState:
     status: jnp.ndarray
     stats: dict
     out_ys: Any
+    out_sd: Any               # [K, M, T, D] dense tangent samples (0-d unused)
     ev: Any
     dyn: Any
+    mesh: Any                 # accepted-step rings for the adjoint backward
+    #                           pass ({} when _mesh_size == 0)
 
 
 def _factorize(tab, h, jac, mass=None, pivot=True):
@@ -140,10 +145,20 @@ def _factorize(tab, h, jac, mass=None, pivot=True):
 
 
 def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
-            run_mask, max_iter, args, mass=None):
+            run_mask, max_iter, args, mass=None, solver=None):
     """Batched simplified Newton on the transformed collocation system.
     With a mass matrix M the collocation system is M·Z = h·A·F (DAE form,
-    reference NbrInd1-3 support radaute.hpp:52-96): residuals use M·w."""
+    reference NbrInd1-3 support radaute.hpp:52-96): residuals use M·w.
+
+    solver: optional (solve_real, solve_cplx) closures replacing the dense
+    LU back-substitutions — solve_real(b[M,D]) and solve_cplx(p, b[M,2D])
+    solve the real / p-th split-complex transformed stage system (the
+    GMRES stage-solver path; reference decom_rc_gmres role)."""
+    if solver is None:
+        solve_real = lambda b: lu_solve(lu_r, piv_r, b)          # noqa: E731
+        solve_cplx = lambda p, b: lu_solve(lu_c[:, p], piv_c[:, p], b)  # noqa: E731
+    else:
+        solve_real, solve_cplx = solver
 
     def mdot(w):
         if mass is None:
@@ -200,7 +215,7 @@ def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
         # transformed residuals and solves
         tif = jnp.einsum("ij,mjd->mid", ti_mat, fmat, precision=_EINSUM_PRECISION)   # [M, s, D]
         rhs_r = tif[:, 0, :] - (float(tab.mu_real) / h)[:, None] * mdot(ns.w[:, 0, :])
-        dw_r = lu_solve(lu_r, piv_r, rhs_r)
+        dw_r = solve_real(rhs_r)
         dws = [dw_r]
         for p in range(npair):
             mu = tab.mu_complex[p]
@@ -210,8 +225,7 @@ def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
             # mu·(w1 + i·w2): real = Re·w1 − Im·w2, imag = Re·w2 + Im·w1
             fr = tif[:, 1 + 2 * p, :] - (mur * w1 - mui * w2) / h[:, None]
             fi = tif[:, 2 + 2 * p, :] - (mur * w2 + mui * w1) / h[:, None]
-            sol = lu_solve(lu_c[:, p], piv_c[:, p],
-                           jnp.concatenate([fr, fi], axis=-1))
+            sol = solve_cplx(p, jnp.concatenate([fr, fi], axis=-1))
             dws.append(sol[:, :dim])
             dws.append(sol[:, dim:])
         dw = jnp.stack(dws, axis=1)                     # [M, s, D]
@@ -285,13 +299,11 @@ def _tangent_stages(tab, f, t, y, h, z, yd, tol, lu_r, piv_r,
     c_nodes = jnp.asarray(tab.c, dtype)
     npair = (s - 1) // 2
 
-    def mdot(w):
+    def mdot(w):                                 # w: [K, M, s, D]
         if mass is None:
             return w
-        return jnp.einsum("...ij,k...j->k...i", mass, w,
-                          precision=_EINSUM_PRECISION) \
-            if mass.ndim == 2 else jnp.einsum(
-                "mij,kmj->kmi", mass, w, precision=_EINSUM_PRECISION)
+        eq = "ij,kmsj->kmsi" if mass.ndim == 2 else "mij,kmsj->kmsi"
+        return jnp.einsum(eq, mass, w, precision=_EINSUM_PRECISION)
 
     # linearize the rhs at each converged stage point (one f eval each);
     # with parameter tangents (args_d, leading axis K) linearize jointly in
@@ -339,8 +351,7 @@ def _tangent_stages(tab, f, t, y, h, z, yd, tol, lu_r, piv_r,
                         for i in range(s)], axis=2)          # [K, M, s, D]
         tif = jnp.einsum("ij,kmjd->kmid", ti_mat, fd,
                          precision=_EINSUM_PRECISION)
-        mw = mdot(wd.reshape(k_dirs, m * s, dim)).reshape(k_dirs, m, s, dim) \
-            if mass is not None else wd
+        mw = mdot(wd)
         rhs_r = tif[:, :, 0] - (float(tab.mu_real) / h)[None, :, None] \
             * mw[:, :, 0]
         dws = [solve_k(rhs_r)]
@@ -369,11 +380,95 @@ def _tangent_stages(tab, f, t, y, h, z, yd, tol, lu_r, piv_r,
     return zd
 
 
+def _gmres_stage_solver(tab, f, t_lin, y_lin, args, bands, h, mass, iters):
+    """Matrix-free transformed-stage solvers for stage_solver='gmres'.
+
+    The reference's decom_rc_gmres role (odesolvers/linsolve.py:61-110): in
+    place of dense LU factors of (γ/h·M − J), each stage system is solved by
+    batched GMRES(k) whose operator applies J·v as a jvp of the rhs at the
+    FROZEN linearization point (t_lin, y_lin) — J is never materialized —
+    preconditioned by a (complex) tridiagonal Thomas sweep built from the
+    3-probe bands (the 1-D method-of-lines stencil structure).
+    bands: [M, 3, D] = (dl, d, du) of J at the linearization point.
+    """
+    from janus_tpu.control.precond import tridiag_solve
+    from janus_tpu.linalg.gmres import gmres_batched, tridiag_solve_complex
+
+    m, dim = y_lin.shape
+    j_dl, j_d, j_du = bands[:, 0], bands[:, 1], bands[:, 2]
+
+    def jv(v):
+        return jax.jvp(lambda yy: f(t_lin, yy, args), (y_lin,), (v,))[1]
+
+    if mass is None:
+        mdotv = lambda v: v                                    # noqa: E731
+        m_dl = jnp.zeros_like(j_dl)
+        m_d = jnp.ones_like(j_d)
+        m_du = jnp.zeros_like(j_du)
+    else:
+        mm = mass if mass.ndim == 3 else jnp.broadcast_to(
+            mass, (m, dim, dim))
+        mdotv = lambda v: jnp.einsum("mij,mj->mi", mm, v,      # noqa: E731
+                                     precision=_EINSUM_PRECISION)
+        z1 = jnp.zeros((m, 1), mm.dtype)
+        m_d = jnp.diagonal(mm, axis1=-2, axis2=-1)
+        m_dl = jnp.concatenate(
+            [z1, jnp.diagonal(mm, offset=-1, axis1=-2, axis2=-1)], axis=-1)
+        m_du = jnp.concatenate(
+            [jnp.diagonal(mm, offset=1, axis1=-2, axis2=-1), z1], axis=-1)
+
+    gam = float(tab.mu_real) / h                               # [M]
+
+    def solve_real(b):
+        mv = lambda v: gam[:, None] * mdotv(v) - jv(v)         # noqa: E731
+        a_dl = gam[:, None] * m_dl - j_dl
+        a_d = gam[:, None] * m_d - j_d
+        a_du = gam[:, None] * m_du - j_du
+        ok = jnp.all(jnp.isfinite(a_d) & (a_d != 0.0), axis=-1,
+                     keepdims=True)
+        pc_d = jnp.where(ok, a_d, 1.0)
+        pc_dl = jnp.where(ok, a_dl, 0.0)
+        pc_du = jnp.where(ok, a_du, 0.0)
+        pc = lambda v: tridiag_solve(pc_dl, pc_d, pc_du, v)    # noqa: E731
+        x, _ = gmres_batched(mv, b, pc, iters)
+        return x
+
+    def solve_cplx(p, b2):
+        mu = tab.mu_complex[p]
+        gr = float(mu.real) / h                                # [M]
+        gi = float(mu.imag) / h
+
+        def mv(v):
+            vr, vi = v[:, :dim], v[:, dim:]
+            mvr, mvi = mdotv(vr), mdotv(vi)
+            outr = gr[:, None] * mvr - gi[:, None] * mvi - jv(vr)
+            outi = gr[:, None] * mvi + gi[:, None] * mvr - jv(vi)
+            return jnp.concatenate([outr, outi], axis=-1)
+
+        a_dlr = gr[:, None] * m_dl - j_dl
+        a_dli = gi[:, None] * m_dl
+        a_dr = gr[:, None] * m_d - j_d
+        a_di = gi[:, None] * m_d
+        a_dur = gr[:, None] * m_du - j_du
+        a_dui = gi[:, None] * m_du
+
+        def pc(v):
+            xr, xi = tridiag_solve_complex(
+                (a_dlr, a_dli), (a_dr, a_di), (a_dur, a_dui),
+                (v[:, :dim], v[:, dim:]))
+            return jnp.concatenate([xr, xi], axis=-1)
+
+        x, _ = gmres_batched(mv, b2, pc, iters)
+        return x
+
+    return solve_real, solve_cplx
+
+
 def solve_radau(f: Callable, t0, tf, y0, args=None,
                 options: Optional[Options] = None, t_eval=None,
                 jac: Optional[Callable] = None, mass=None,
                 events=None, tangents=None,
-                args_tangents=None) -> cm.Solution:
+                args_tangents=None, _mesh_size: int = 0) -> cm.Solution:
     """Batched adaptive Radau IIA solve (fixed stage count = options.min_stages).
 
     tangents: optional [K, M, D] seed directions for FIRST-CLASS forward
@@ -385,14 +480,29 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     (Bock's IND). args_tangents: optional pytree matching ``args`` with a
     leading K axis — parameter seed directions dθ_k (the reference's dual
     params); combine with ``tangents`` (same K) or pass alone (y0 seeds
-    zero). Not combinable with events or t_eval.
+    zero).
+
+    Tangents combine with t_eval (``Solution.sens_ys`` [K,M,T,D]: the
+    tangent of the collocation interpolant, the reference's dual dense
+    output ntrprad-on-TensorDual, radauted_impl.hpp:1714-1743) and with
+    events: a lane terminated by an event returns the TOTAL derivative at
+    the event, yd(t*) + f(t*,y*)·dt* with the implicit-function correction
+    dt* = −(g_y·yd)/(g_t + g_y·f) (the reference's EventZeroFcn on dual
+    trajectories, radauted_impl.hpp:2306).
     """
     opts = options if options is not None else Options()
     specs = normalize_events(events)
     use_sens = tangents is not None or args_tangents is not None
-    if use_sens and (specs or t_eval is not None):
-        raise ValueError("solve_radau: tangents=/args_tangents= cannot be "
-                         "combined with events or t_eval")
+    if opts.stage_solver not in ("lu", "gmres"):
+        raise ValueError(f"unknown stage_solver {opts.stage_solver!r}")
+    use_gmres = opts.stage_solver == "gmres"
+    if use_gmres and use_sens:
+        raise ValueError("tangents= (internal differentiation) requires the "
+                         "LU stage solver; stage_solver='gmres' targets "
+                         "large-D systems where IND should use jax.jvp")
+    if use_gmres and jac is not None:
+        raise ValueError("stage_solver='gmres' is matrix-free (J·v by jvp, "
+                         "3-probe tridiagonal preconditioner); drop jac=")
     s = opts.min_stages
     tab = radau_tableau(s)
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
@@ -400,7 +510,14 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     dtype = y0.dtype
     npair = (s - 1) // 2
 
-    jac_fn = jac if jac is not None else default_jacobian(f)
+    if use_gmres:
+        from janus_tpu.control.precond import tridiag_bands
+
+        def jac_fn(t, y, a):       # [M, 3, D] tridiagonal preconditioner bands
+            dl, d, du = tridiag_bands(lambda yy: f(t, yy, a), y)
+            return jnp.stack([dl, d, du], axis=1)
+    else:
+        jac_fn = jac if jac is not None else default_jacobian(f)
     newton_tol = (opts.newton_tol if opts.newton_tol > 0
                   else cm.derived_newton_tol(dtype, opts.rtol))
     max_iter = opts.newton_max_iter
@@ -410,13 +527,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
 
     # index-2/3 components get their error (and Newton) weights scaled by
     # h / h² (Hairer's higher-index DAE mechanism)
-    ind_exp = np.zeros(dim)
-    if opts.nind2 or opts.nind3:
-        n1 = opts.nind1 if opts.nind1 else dim - opts.nind2 - opts.nind3
-        ind_exp[n1:n1 + opts.nind2] = 1.0
-        ind_exp[n1 + opts.nind2:n1 + opts.nind2 + opts.nind3] = 2.0
-    ind_exp = jnp.asarray(ind_exp, dtype)
-    use_index = bool(opts.nind2 or opts.nind3)
+    ind_exp, use_index = cm.index_weights(opts, dim, dtype)
 
     f0 = f(t0, y0, args)
     if opts.h0 == 0.0:
@@ -466,16 +577,36 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         yd0 = jnp.zeros((0, m, dim), dtype)
         args_d = None
 
+    if use_sens and use_dense:
+        out_sd = jnp.where(at_t0[None, :, :, None], yd0[:, :, None, :],
+                           jnp.nan)
+    else:
+        out_sd = jnp.zeros((), dtype)
+
+    if _mesh_size:
+        # accepted-step rings for the continuous-adjoint backward pass
+        # (solve.adjoint): step start t, signed h, start state, and the
+        # dense-output polynomial coefficients of every accepted step
+        mesh0 = {"t": jnp.zeros((m, _mesh_size), dtype),
+                 "h": jnp.zeros((m, _mesh_size), dtype),
+                 "y": jnp.zeros((m, _mesh_size, dim), dtype),
+                 "q": jnp.zeros((m, _mesh_size, s, dim), dtype)}
+    else:
+        mesh0 = {}
+
     already_done = t0 == tf
     state = _RadauState(
         t=t0, y=y0, yd=yd0,
         t_lo=jnp.zeros((m,), dtype), y_lo=jnp.zeros((m, dim), dtype),
         f0=f0, h=h,
-        jac=jnp.zeros((m, dim, dim), dtype),
-        lu_real=jnp.zeros((m, dim, dim), dtype),
-        piv_real=jnp.zeros((m, dim), jnp.int32),
-        lu_cplx=jnp.zeros((m, npair, 2 * dim, 2 * dim), dtype),
-        piv_cplx=jnp.zeros((m, npair, 2 * dim), jnp.int32),
+        jac=jnp.zeros((m, 3, dim) if use_gmres else (m, dim, dim), dtype),
+        t_lin=t0, y_lin=y0,
+        lu_real=jnp.zeros((m, 0, 0) if use_gmres else (m, dim, dim), dtype),
+        piv_real=jnp.zeros((m, 0) if use_gmres else (m, dim), jnp.int32),
+        lu_cplx=jnp.zeros((m, npair, 0, 0) if use_gmres
+                          else (m, npair, 2 * dim, 2 * dim), dtype),
+        piv_cplx=jnp.zeros((m, npair, 0) if use_gmres
+                           else (m, npair, 2 * dim), jnp.int32),
         h_fact=jnp.zeros((m,), dtype),
         current_jac=jnp.zeros((m,), bool),
         need_jac=jnp.ones((m,), bool),
@@ -489,10 +620,11 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         have_sol=jnp.zeros((m,), bool),
         active=~already_done,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
-        stats=stats, out_ys=out_ys,
+        stats=stats, out_ys=out_ys, out_sd=out_sd,
         ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
         dyn=init_dyn(m, opts.record_steps, dtype,
                      dim if opts.record_states else 0),
+        mesh=mesh0,
     )
 
     eps = jnp.finfo(dtype).eps
@@ -526,29 +658,41 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             jmat = jax.lax.cond(jnp.any(needj), do_jac, lambda _: st.jac,
                                 operand=None)
         current_jac = st.current_jac | needj
+        t_lin = jnp.where(needj, st.t, st.t_lin)
+        y_lin = jnp.where(needj[:, None], st.y, st.y_lin)
 
-        # ---- factorization (gated) ---------------------------------------
+        # ---- factorization (gated; gmres mode has nothing to factor) -----
         needf = st.active & (needj | (h != st.h_fact))
 
-        def do_fact(_):
-            lr, pr, lc, pc, ok = _factorize(tab, h, jmat, mass, opts.pivoting)
-            sel = needf
-            return (
-                jnp.where(sel[:, None, None], lr, st.lu_real),
-                jnp.where(sel[:, None], pr, st.piv_real),
-                jnp.where(sel[:, None, None, None], lc, st.lu_cplx),
-                jnp.where(sel[:, None, None], pc, st.piv_cplx),
-                jnp.where(sel, ok, jnp.ones_like(ok)),
-                jnp.where(sel, h, st.h_fact),
-            )
+        if use_gmres:
+            lu_r, piv_r = st.lu_real, st.piv_real
+            lu_c, piv_c = st.lu_cplx, st.piv_cplx
+            fact_ok = jnp.all(jnp.isfinite(jmat), axis=(1, 2))
+            h_fact = jnp.where(needf, h, st.h_fact)
+            solver = _gmres_stage_solver(tab, f, t_lin, y_lin, args, jmat,
+                                         h, mass, opts.gmres_iters)
+        else:
+            def do_fact(_):
+                lr, pr, lc, pc, ok = _factorize(tab, h, jmat, mass,
+                                                opts.pivoting)
+                sel = needf
+                return (
+                    jnp.where(sel[:, None, None], lr, st.lu_real),
+                    jnp.where(sel[:, None], pr, st.piv_real),
+                    jnp.where(sel[:, None, None, None], lc, st.lu_cplx),
+                    jnp.where(sel[:, None, None], pc, st.piv_cplx),
+                    jnp.where(sel, ok, jnp.ones_like(ok)),
+                    jnp.where(sel, h, st.h_fact),
+                )
 
-        def keep_fact(_):
-            return (st.lu_real, st.piv_real, st.lu_cplx, st.piv_cplx,
-                    jnp.ones((m,), bool), st.h_fact)
+            def keep_fact(_):
+                return (st.lu_real, st.piv_real, st.lu_cplx, st.piv_cplx,
+                        jnp.ones((m,), bool), st.h_fact)
 
-        with jax.named_scope("radau.factorize"):
-            lu_r, piv_r, lu_c, piv_c, fact_ok, h_fact = jax.lax.cond(
-                jnp.any(needf), do_fact, keep_fact, operand=None)
+            with jax.named_scope("radau.factorize"):
+                lu_r, piv_r, lu_c, piv_c, fact_ok, h_fact = jax.lax.cond(
+                    jnp.any(needf), do_fact, keep_fact, operand=None)
+            solver = None
 
         singular = st.active & ~fact_ok
 
@@ -571,7 +715,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         with jax.named_scope("radau.newton"):
             ns = _newton(tab, f, st.t, st.y, h, z0, scale_n, newton_tol,
                          lu_r, piv_r, lu_c, piv_c, run_newton, max_iter,
-                         args, mass=mass)
+                         args, mass=mass, solver=solver)
         conv = run_newton & ns.converged
         newton_fail = run_newton & ~ns.converged
 
@@ -594,7 +738,8 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         if mass is not None:
             ze = jnp.einsum("...ij,m...j->m...i" if mass.ndim == 2 else "mij,mj->mi",
                             mass, ze, precision=_EINSUM_PRECISION)
-        err1 = lu_solve(lu_r, piv_r, st.f0 + ze)
+        err1 = (solver[0](st.f0 + ze) if use_gmres
+                else lu_solve(lu_r, piv_r, st.f0 + ze))
         scale_e = opts.atol + opts.rtol * jnp.maximum(jnp.abs(st.y),
                                                       jnp.abs(y_new))
         if use_index:
@@ -606,7 +751,8 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
 
         def do_refine(_):
             fe = f(st.t, st.y + err1, args)
-            err2 = lu_solve(lu_r, piv_r, fe + ze)
+            err2 = (solver[0](fe + ze) if use_gmres
+                    else lu_solve(lu_r, piv_r, fe + ze))
             en2 = cm.safe_sqrt(jnp.mean(jnp.square(err2 / scale_e), axis=-1))
             return jnp.where(refine, jnp.where(jnp.isfinite(en2), en2, 1e10),
                              enorm1)
@@ -658,17 +804,28 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
 
         # ---- internal-differentiation tangent sweep (gated) ---------------
         if use_sens:
+            k_dirs = yd0.shape[0]
+
             def do_tan(_):
                 zd = _tangent_stages(tab, f, st.t, st.y, h, ns.z, st.yd,
                                      newton_tol, lu_r, piv_r, lu_c, piv_c,
                                      accept, args, mass=mass, args_d=args_d)
-                return jnp.where(accept[None, :, None],
-                                 st.yd + zd[:, :, -1, :], st.yd)
+                ydn = jnp.where(accept[None, :, None],
+                                st.yd + zd[:, :, -1, :], st.yd)
+                # tangent of the collocation interpolant: same θ-polynomial
+                # in Zd (dense dual output; reference ntrprad on TensorDual)
+                qd = jnp.einsum("kmsd,sq->kmqd", zd, p_mat,
+                                precision=_EINSUM_PRECISION)
+                return ydn, qd
 
-            yd_new = jax.lax.cond(jnp.any(accept), do_tan, lambda _: st.yd,
-                                  operand=None)
+            def skip_tan(_):
+                return st.yd, jnp.zeros((k_dirs, m, s, dim), dtype)
+
+            yd_new, qd = jax.lax.cond(jnp.any(accept), do_tan, skip_tan,
+                                      operand=None)
         else:
             yd_new = st.yd
+            qd = None
 
         # ---- dense output & warm-start polynomial -------------------------
         q_new = jnp.einsum("msd,sq->mqd", ns.z, p_mat, precision=_EINSUM_PRECISION)  # [M, θ-power q, D]
@@ -683,13 +840,70 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         if use_dense:
             out_ys = cm.collect_dense(out_ys, t_eval, st.t, h, accept, interp)
 
-        ev, terminate, t_ev, y_ev = handle_events(
+        out_sd = st.out_sd
+        if use_sens and use_dense:
+            def collect_k(o_k, qd_k, yd_k):
+                def interp_k(theta):                    # [M,T] -> [M,T,D]
+                    tp = jnp.stack([theta ** (q + 1) for q in range(s)],
+                                   axis=-1)
+                    return yd_k[:, None, :] + jnp.einsum(
+                        "mtq,mqd->mtd", tp, qd_k,
+                        precision=_EINSUM_PRECISION)
+                return cm.collect_dense(o_k, t_eval, st.t, h, accept,
+                                        interp_k)
+
+            out_sd = jax.vmap(collect_k)(st.out_sd, qd, st.yd)
+
+        ev, terminate, t_ev, y_ev, ev_idx = handle_events(
             specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
+
+        if use_sens and specs:
+            # total derivative at an event: the event time t* moves with the
+            # seed direction — dt* = −(g_y·yd)/(g_t + g_y·f), so the lane's
+            # terminal sensitivity is yd(t*) + f(t*, y*)·dt* (implicit-
+            # function correction; reference EventZeroFcn on duals :2306)
+            theta_ev = jnp.clip((t_ev - st.t) / h, 0.0, 1.0)
+            tp_ev = jnp.stack([theta_ev ** (q + 1) for q in range(s)],
+                              axis=-1)                  # [M, s]
+            yd_ev = st.yd + jnp.einsum("kmqd,mq->kmd", qd, tp_ev,
+                                       precision=_EINSUM_PRECISION)
+            f_ev = f(t_ev, y_ev, args)
+            sens_sel = yd_ev
+            for j, spec in enumerate(specs):
+                gfun = (lambda tt, yy, _sp=spec: _sp.fn(tt, yy, args))
+                _, gdot = jax.jvp(gfun, (t_ev, y_ev),
+                                  (jnp.ones_like(t_ev), f_ev))
+                gy_yd = jax.vmap(lambda yk: jax.jvp(
+                    gfun, (t_ev, y_ev),
+                    (jnp.zeros_like(t_ev), yk))[1])(yd_ev)      # [K, M]
+                dts = -gy_yd / jnp.where(gdot == 0.0, 1.0, gdot)[None]
+                corr_j = yd_ev + dts[:, :, None] * f_ev[None]
+                sens_sel = jnp.where((ev_idx == j)[None, :, None], corr_j,
+                                     sens_sel)
+            yd_new = jnp.where(terminate[None, :, None], sens_sel, yd_new)
 
         dyn = record_step(st.dyn, run_newton | singular, st.t, h, enorm,
                           ns.niter, accept,
                           y=jnp.where(accept[:, None], y_new, st.y)
                           if opts.record_states else None)
+
+        if _mesh_size:
+            # record the accepted step into slot naccept (scatter-add with
+            # mode='drop': each slot written once, overflow steps dropped —
+            # the adjoint pass detects naccept > capacity and poisons)
+            rows = jnp.arange(m)
+            idx = st.stats["naccept"]
+            af = accept.astype(dtype)
+            mesh = {
+                "t": st.mesh["t"].at[rows, idx].add(af * st.t, mode="drop"),
+                "h": st.mesh["h"].at[rows, idx].add(af * h, mode="drop"),
+                "y": st.mesh["y"].at[rows, idx].add(
+                    af[:, None] * st.y, mode="drop"),
+                "q": st.mesh["q"].at[rows, idx].add(
+                    af[:, None, None] * q_new, mode="drop"),
+            }
+        else:
+            mesh = st.mesh
 
         # ---- state update -------------------------------------------------
         h_next_abs = jnp.where(accept, h_abs * fac_acc,
@@ -742,7 +956,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                            st.y_lo * (~terminate)[:, None]),
             f0=f_new,
             h=h_next,
-            jac=jmat,
+            jac=jmat, t_lin=t_lin, y_lin=y_lin,
             lu_real=lu_r, piv_real=piv_r, lu_cplx=lu_c, piv_cplx=piv_c,
             # deadzone lanes keep factors; everyone else refactors next time
             h_fact=jnp.where(accept & ~deadzone, 0.0,
@@ -764,7 +978,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             h_prev=jnp.where(accept, h, st.h_prev),
             have_sol=st.have_sol | accept,
             active=active, status=status, stats=stats, out_ys=out_ys,
-            ev=ev, dyn=dyn,
+            out_sd=out_sd, ev=ev, dyn=dyn, mesh=mesh,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -777,4 +991,6 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         event_idx=final.ev["event_idx"] if specs else None,
         dyn=final.dyn,
         sens=final.yd if use_sens else None,
+        mesh=final.mesh if _mesh_size else None,
+        sens_ys=final.out_sd if (use_sens and use_dense) else None,
     )

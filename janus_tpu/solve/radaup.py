@@ -81,6 +81,12 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
     max_stages = opts.max_stages
     if (jnp.asarray(y0).dtype == jnp.float32 and max_stages > 5
             and opts.min_stages < max_stages):
+        import warnings
+        warnings.warn("radaup: capping the variable-order ladder at s=5 "
+                      "(order 9) in float32 — the s=7 transformed stage "
+                      "systems lose the simplified Newton at eps=1.2e-7 "
+                      "(measured on chip); pin min_stages=max_stages=7 to "
+                      "override", stacklevel=2)
         max_stages = 5
     orders = tuple(s for s in (1, 3, 5, 7)
                    if opts.min_stages <= s <= max_stages)
@@ -96,6 +102,8 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
     m, dim = y0.shape
     dtype = y0.dtype
     jac_fn = jac if jac is not None else default_jacobian(f)
+    # index-2/3 DAE error/Newton weighting (shared with solve_radau)
+    ind_exp, use_index = cm.index_weights(opts, dim, dtype)
     newton_tol = (opts.newton_tol if opts.newton_tol > 0
                   else cm.derived_newton_tol(dtype, opts.rtol))
     max_iter = opts.newton_max_iter
@@ -180,6 +188,8 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         nfev_add = jnp.zeros((m,), jnp.int32)
         nlu_add = jnp.zeros((m,), jnp.int32)
         scale_n = opts.atol + opts.rtol * jnp.abs(st.y)
+        if use_index:
+            scale_n = scale_n / (jnp.abs(h)[:, None] ** ind_exp[None, :])
 
         for s in orders:
             tab = tabs[s]
@@ -229,7 +239,7 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
                              lu_r, piv_r, lu_c[:, :max(npair, 1)][:, :npair]
                              if npair else lu_c[:, :0],
                              piv_c[:, :npair] if npair else piv_c[:, :0],
-                             run_s, max_iter, args)
+                             run_s, max_iter, args, mass=mass)
                 yn = st.y + ns.z[:, -1, :]
                 e_vec = jnp.asarray(tab.e, dtype)
                 ze_s = jnp.einsum("s,msd->md", e_vec, ns.z,
@@ -265,9 +275,15 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         nf_fresh = (newton_fail & current_jac) | singular
 
         # ---- error estimate (shared: per-lane factor buffers) ------------
+        if mass is not None:
+            ze = jnp.einsum("...ij,m...j->m...i" if mass.ndim == 2
+                            else "mij,mj->mi", mass, ze,
+                            precision=_EINSUM_PRECISION)
         err1 = lu_solve(lu_r, piv_r, st.f0 + ze)
         scale_e = opts.atol + opts.rtol * jnp.maximum(jnp.abs(st.y),
                                                       jnp.abs(y_new))
+        if use_index:
+            scale_e = scale_e / (jnp.abs(h)[:, None] ** ind_exp[None, :])
         enorm1 = cm.safe_sqrt(jnp.mean(jnp.square(err1 / scale_e), axis=-1))
         enorm1 = jnp.where(jnp.isfinite(enorm1), enorm1, 1e10)
         refine = conv & st.rejected & (enorm1 > 1.0)
@@ -334,7 +350,7 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         if use_dense:
             out_ys = cm.collect_dense(out_ys, t_eval, st.t, h, accept, interp)
 
-        ev, terminate, t_ev, y_ev = handle_events(
+        ev, terminate, t_ev, y_ev, _ev_idx = handle_events(
             specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
 
         dyn = record_step(st.dyn, attempted | singular, st.t, h, enorm,

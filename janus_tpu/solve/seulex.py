@@ -25,11 +25,16 @@ style):
 - order targeting: per-lane hopt[k]/work[k] arrays and the NR kopt selection
   (work-ratio tests with KFAC1=0.7/KFAC2=0.9) via one-hot picks — no gathers;
 - mass matrix: substeps solve (M/h' − J) d = f (index-1 DAE form);
-- dense output/events: cubic Hermite on the step (LOW-ORDER relative to the
-  integrator's order ~k_targ+1: t_eval sampling is only ~O(h^4)-accurate —
-  use radau for high-order dense output; with a mass matrix the interpolant
-  degrades to linear because f is not y' on algebraic rows). The two extra
-  f-evals it needs are gated on ``any(accept)`` and counted in nfev.
+- dense output/events: extrapolation-consistent (the reference's fsave/dens
+  role, seulex_batch.py:24-26) — a parallel Aitken–Neville table of the
+  step-MIDPOINT substep values over the even-nseq levels yields an
+  extrapolated y(t+h/2) at the ladder's own accuracy; the interpolant is
+  then the quartic through (y0, f0, ymid, y1, f1) (error O(h^5) + midpoint
+  data error O(h^k), tracking the solve instead of plateauing at cubic-
+  Hermite O(h^4)). With a mass matrix: quadratic through (y0, ymid, y1)
+  (f is not y' on algebraic rows). Lanes accepting at levels k < 2 keep the
+  cubic-Hermite/linear fallback. The two extra f-evals are gated on
+  ``any(accept)`` and counted in nfev.
 """
 
 from __future__ import annotations
@@ -63,6 +68,13 @@ COST_FUNC = 1.0
 COST_JAC = 5.0
 COST_LU = 1.0
 COST_SOLVE = 1.0
+
+# quartic dense-output solve: given a0 = y0, a1 = h·f0, the remaining
+# coefficients satisfy  [[1,1,1],[2,3,4],[1/4,1/8,1/16]]·[a2,a3,a4] =
+# [y1−y0−a1, h·f1−a1, ymid−y0−a1/2]
+_QI = np.linalg.inv(np.array([[1.0, 1.0, 1.0],
+                              [2.0, 3.0, 4.0],
+                              [0.25, 0.125, 0.0625]]))
 
 
 def _nseq(kmax: int):
@@ -213,6 +225,16 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         hopt_cols = [h_abs]                  # level 0 placeholder
         work_cols = [jnp.full((m,), jnp.inf, dtype)]
         rows = []
+        # extrapolation-consistent dense output (the reference keeps
+        # fsave/dens arrays, seulex_batch.py:24-26): a PARALLEL Neville
+        # table of the step-midpoint substep values over the even-nseq
+        # levels; the accepted lane's extrapolated midpoint feeds a quartic
+        # interpolant whose accuracy tracks the ladder instead of
+        # plateauing at cubic-Hermite O(h^4)
+        rows_mid = []
+        even_nseq = []
+        ymid_acc = st.y
+        mid_ok = jnp.zeros((m,), bool)
 
         for k in range(K):
             nj = NSEQ[k]
@@ -243,24 +265,29 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                     theta_k = jnp.where(jnp.isfinite(theta_k), theta_k, 2.0)
                     ok = ok & (theta_k <= 1.0)
                 d = lu_solve(lu, piv, fy1)
+                ymid0 = ytemp          # after 1 substep == the nj=2 midpoint
 
                 def sub(nn, carry):
-                    yt, dd = carry
+                    yt, dd, ym = carry
                     yt = yt + dd
+                    # capture the step-midpoint substep (even nj only)
+                    ym = jnp.where(nn == nj // 2, yt, ym)
                     rhs = f(st.t + (nn + 1.0) * hsub, yt, args)
-                    return yt, lu_solve(lu, piv, rhs)
+                    return yt, lu_solve(lu, piv, rhs), ym
 
-                ytemp, d = jax.lax.fori_loop(2, nj, sub, (ytemp, d))
+                ytemp, d, ymid = jax.lax.fori_loop(2, nj, sub,
+                                                   (ytemp, d, ymid0))
                 yk = ytemp + d
                 ok = ok & jnp.all(jnp.isfinite(yk), axis=-1)
-                return yk, ok, theta_k
+                return yk, ok, theta_k, ymid
 
             def skip_level(_):
                 return (jnp.zeros((m, dim), dtype), jnp.ones((m,), bool),
-                        jnp.full((m,), -1.0, dtype))
+                        jnp.full((m,), -1.0, dtype),
+                        jnp.zeros((m, dim), dtype))
 
-            yk, okk, theta_k = jax.lax.cond(jnp.any(need), run_level,
-                                            skip_level, None)
+            yk, okk, theta_k, ymid_k = jax.lax.cond(jnp.any(need), run_level,
+                                                    skip_level, None)
             if k <= 1:
                 theta_new = jnp.where(need & (theta_k >= 0.0), theta_k,
                                       theta_new)
@@ -279,6 +306,14 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                 row.append(row[j] + (row[j] - rows[k - 1][j])
                            / (ratio - 1.0))
             rows.append(row)
+            if nj % 2 == 0:
+                rowm = [ymid_k]
+                for j in range(len(rows_mid)):
+                    ratio = nj / even_nseq[len(even_nseq) - 1 - j]
+                    rowm.append(rowm[j] + (rowm[j] - rows_mid[-1][j])
+                                / (ratio - 1.0))
+                rows_mid.append(rowm)
+                even_nseq.append(nj)
 
             if k >= 1:
                 live = need & ~stab_fail
@@ -320,6 +355,11 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                 accept = accept | conv
                 decided = decided | conv
                 y_acc = jnp.where(conv[:, None], row[k], y_acc)
+                if nj % 2 == 0:
+                    ymid_acc = jnp.where(conv[:, None], rows_mid[-1][-1],
+                                         ymid_acc)
+                    # level 0/1 midpoints are too raw; quartic needs k >= 2
+                    mid_ok = mid_ok | (conv & (k >= 2))
                 k_dec = jnp.where(conv, k, k_dec)
                 live = live & ~conv
 
@@ -379,13 +419,14 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
 
         h_kopt = _pick(H, kopt)
         h_kk = _pick(H, kk)
-        h_kkm1 = _pick(H, jnp.maximum(kk - 1, 0))
-        cost_kp1 = _pick(jnp.broadcast_to(cost[None, :], (m, K)),
-                         jnp.minimum(kk + 1, kmax))
+        # NR ms521 growth: when converging below target with cheap work,
+        # kopt = k+1 and hnew = hopt[k]·cost[kopt+1]/cost[k] (= cost[k+2])
+        cost_kp2 = _pick(jnp.broadcast_to(cost[None, :], (m, K)),
+                         jnp.minimum(kk + 2, kmax))
         cost_kk = _pick(jnp.broadcast_to(cost[None, :], (m, K)), kk)
         cost_kopt = _pick(jnp.broadcast_to(cost[None, :], (m, K)), kopt)
         h_grow = jnp.where((kk < st.k_targ) & (w_kk < KFAC2 * w_kkm1),
-                           h_kkm1 * cost_kp1 / cost_kk,
+                           h_kk * cost_kp2 / cost_kk,
                            h_kk * cost_kopt / cost_kk)
         kt_acc = jnp.where(st.rejected, jnp.minimum(kopt, kk), kopt)
         h_acc = jnp.where(st.rejected,
@@ -423,20 +464,41 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
             def interp(theta):
                 th = theta[..., None]
                 if mass is not None:
-                    # algebraic rows make f != y' — fall back to linear
-                    return (1 - th) * st.y[:, None] + th * y_new[:, None]
+                    # algebraic rows make f != y' — but the extrapolated
+                    # midpoint still gives a quadratic through
+                    # (y0, ymid, y1); linear when no midpoint is available
+                    lin = (1 - th) * st.y[:, None] + th * y_new[:, None]
+                    a1 = 4 * ymid_acc - y_new - 3 * st.y
+                    a2 = 2 * y_new + 2 * st.y - 4 * ymid_acc
+                    quad = (st.y[:, None] + a1[:, None] * th
+                            + a2[:, None] * th * th)
+                    return jnp.where(mid_ok[:, None, None], quad, lin)
                 h00 = (1 + 2 * th) * (1 - th) ** 2
                 h10 = th * (1 - th) ** 2
                 h01 = th * th * (3 - 2 * th)
                 h11 = th * th * (th - 1)
-                return (h00 * st.y[:, None] + h10 * hcol[:, None] * fy[:, None]
-                        + h01 * y_new[:, None]
-                        + h11 * hcol[:, None] * fn[:, None])
+                cubic = (h00 * st.y[:, None]
+                         + h10 * hcol[:, None] * fy[:, None]
+                         + h01 * y_new[:, None]
+                         + h11 * hcol[:, None] * fn[:, None])
+                # quartic through (y0, f0, ymid, y1, f1): interpolation
+                # error O(h^5) with midpoint data at the ladder's accuracy
+                b1 = hcol * fy
+                r1 = y_new - st.y - b1
+                r2 = hcol * fn - b1
+                r3 = ymid_acc - st.y - 0.5 * b1
+                a2 = (_QI[0, 0] * r1 + _QI[0, 1] * r2 + _QI[0, 2] * r3)
+                a3 = (_QI[1, 0] * r1 + _QI[1, 1] * r2 + _QI[1, 2] * r3)
+                a4 = (_QI[2, 0] * r1 + _QI[2, 1] * r2 + _QI[2, 2] * r3)
+                quart = (st.y[:, None] + b1[:, None] * th
+                         + a2[:, None] * th ** 2 + a3[:, None] * th ** 3
+                         + a4[:, None] * th ** 4)
+                return jnp.where(mid_ok[:, None, None], quart, cubic)
 
         if use_dense:
             out_ys = cm.collect_dense(out_ys, t_eval, st.t, h, accept, interp)
 
-        ev, terminate, t_ev, y_ev = handle_events(
+        ev, terminate, t_ev, y_ev, _ev_idx = handle_events(
             specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
 
         # ---- bookkeeping --------------------------------------------------

@@ -108,3 +108,92 @@ def test_index2_dae():
     assert int(sol.status[0]) == SUCCESS
     np.testing.assert_allclose(sol.y[0], [np.sin(2.0), np.cos(2.0)],
                                rtol=1e-7)
+
+
+def test_index2_dae_radaup():
+    """radaup honors nind2 (round-3: the index weighting moved into the
+    shared scale path — variable order no longer silently integrates
+    higher-index DAEs with the wrong error weights)."""
+    from janus_tpu.solve import solve_ivp
+
+    mass = jnp.diag(jnp.array([1.0, 0.0]))
+
+    def f(t, y, args):
+        x, z = y[..., 0], y[..., 1]
+        return jnp.stack([z, x - jnp.sin(t)], axis=-1)
+
+    sol = solve_ivp(f, (0.0, 2.0), jnp.array([[0.0, 1.0]]), method="radaup",
+                    mass=mass, options=Options(rtol=1e-8, atol=1e-11,
+                                               nind1=1, nind2=1))
+    assert int(sol.status[0]) == SUCCESS
+    np.testing.assert_allclose(sol.y[0], [np.sin(2.0), np.cos(2.0)],
+                               rtol=1e-6)
+
+
+def test_mass_matrix_radaup():
+    """radaup + mass matrix (regression: the variable-order Newton used to
+    drop the mass from the residuals)."""
+    from janus_tpu.solve import solve_ivp
+
+    mass = jnp.diag(jnp.array([1.0, 0.0]))
+
+    def f(t, y, args):
+        return jnp.stack([-y[..., 0], y[..., 1] - y[..., 0]], axis=-1)
+
+    sol = solve_ivp(f, (0.0, 2.0), jnp.array([[1.0, 1.0]]), method="radaup",
+                    mass=mass, options=Options(rtol=1e-9, atol=1e-12))
+    assert int(sol.status[0]) == SUCCESS
+    np.testing.assert_allclose(sol.y[0], np.exp(-2.0), rtol=1e-7)
+
+
+def _amplifier():
+    """Hairer-Wanner one-transistor amplifier (Solving ODEs II, the
+    'Amplifier' circuit; reference oracle family src/fortran/radau.f):
+    index-1 DAE with a NON-diagonal singular capacitance matrix."""
+    ub, uf, alpha, beta = 6.0, 0.026, 0.99, 1e-6
+    r0, rk = 1000.0, 9000.0
+    c1, c2, c3 = 1e-6, 2e-6, 3e-6
+    mass = jnp.asarray(np.array([
+        [-c1, c1, 0.0, 0.0, 0.0],
+        [c1, -c1, 0.0, 0.0, 0.0],
+        [0.0, 0.0, -c2, 0.0, 0.0],
+        [0.0, 0.0, 0.0, -c3, c3],
+        [0.0, 0.0, 0.0, c3, -c3]]))
+
+    def f(t, y, args):
+        ue = 0.4 * jnp.sin(200.0 * jnp.pi * t)
+        y1, y2, y3, y4, y5 = (y[..., i] for i in range(5))
+        g = beta * (jnp.exp(jnp.minimum((y2 - y3) / uf, 60.0)) - 1.0)
+        return jnp.stack([
+            (y1 - ue) / r0,
+            y2 * 2.0 / rk - ub / rk - (alpha - 1.0) * g,
+            y3 / rk - g,
+            (y4 - ub) / rk + alpha * g,
+            y5 / rk], axis=-1)
+
+    y0 = jnp.array([[0.0, ub / 2.0, ub / 2.0, ub, 0.0]])
+    return f, mass, y0
+
+
+def test_amplifier_circuit():
+    """The amplifier must amplify (|U5| swings well beyond the 0.4 V
+    input) and radau/rodas must agree — cross-implementation consistency,
+    the house oracle convention for problems without a scipy mass-matrix
+    reference."""
+    from janus_tpu.solve import solve_ivp
+
+    f, mass, y0 = _amplifier()
+    tf = 0.05
+    grid = jnp.linspace(0.01, tf, 30)
+    sr = solve_ivp(f, (0.0, tf), y0, method="radau", mass=mass,
+                   t_eval=grid, options=Options(rtol=1e-7, atol=1e-10,
+                                                h0=1e-6))
+    assert int(sr.status[0]) == SUCCESS
+    out = np.asarray(sr.ys[0, :, 4])
+    assert np.nanmax(np.abs(out)) > 0.8          # gain > 2x the 0.4 V input
+
+    so = solve_ivp(f, (0.0, tf), y0, method="rodas", mass=mass,
+                   options=Options(rtol=1e-6, atol=1e-9, h0=1e-6))
+    assert int(so.status[0]) == SUCCESS
+    np.testing.assert_allclose(np.asarray(so.y[0]), np.asarray(sr.y[0]),
+                               rtol=1e-3, atol=1e-5)

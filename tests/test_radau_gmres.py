@@ -1,0 +1,117 @@
+"""Krylov (GMRES) stage solves inside the stiff Radau integrator.
+
+stage_solver='gmres' (solve/radau.py _gmres_stage_solver) replaces the dense
+unrolled LU with matrix-free batched GMRES(k) + a tridiagonal Thomas
+preconditioner — the reference's decom_rc_gmres role
+(odesolvers/linsolve.py:61-110) that makes the stiff integrator usable on
+method-of-lines PDE lines (examples/cpp/meinhart_pseudo_transient.cpp).
+Oracle: scipy Radau at tighter tolerance on a 1-D reaction-diffusion line.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from janus_tpu.linalg.gmres import gmres_batched, tridiag_solve_complex
+from janus_tpu.solve import Options, SUCCESS, solve_ivp
+from janus_tpu.solve.radau import solve_radau
+
+
+def test_gmres_batched_solves_dense_system():
+    rng = np.random.default_rng(0)
+    m, n = 4, 12
+    a = jnp.asarray(rng.normal(size=(m, n, n)) + 5.0 * np.eye(n))
+    b = jnp.asarray(rng.normal(size=(m, n)))
+    mv = lambda v: jnp.einsum("mij,mj->mi", a, v)
+    x, res = gmres_batched(mv, b, iters=n)       # full Krylov space: exact
+    want = jnp.linalg.solve(a, b[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(x), np.asarray(want), rtol=1e-8,
+                               atol=1e-10)
+    assert float(jnp.max(res)) < 1e-8
+
+
+def test_tridiag_solve_complex_vs_dense():
+    rng = np.random.default_rng(1)
+    m, n = 3, 10
+    dl = rng.normal(size=(2, m, n))
+    d = rng.normal(size=(2, m, n)) + np.array([6.0, 0.0])[:, None, None]
+    du = rng.normal(size=(2, m, n))
+    b = rng.normal(size=(2, m, n))
+    xr, xi = tridiag_solve_complex(
+        (jnp.asarray(dl[0]), jnp.asarray(dl[1])),
+        (jnp.asarray(d[0]), jnp.asarray(d[1])),
+        (jnp.asarray(du[0]), jnp.asarray(du[1])),
+        (jnp.asarray(b[0]), jnp.asarray(b[1])))
+    for k in range(m):
+        t = np.diag(d[0, k] + 1j * d[1, k]) \
+            + np.diag(dl[0, k, 1:] + 1j * dl[1, k, 1:], -1) \
+            + np.diag(du[0, k, :-1] + 1j * du[1, k, :-1], 1)
+        want = np.linalg.solve(t, b[0, k] + 1j * b[1, k])
+        np.testing.assert_allclose(np.asarray(xr[k]), want.real, rtol=1e-9,
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.asarray(xi[k]), want.imag, rtol=1e-9,
+                                   atol=1e-11)
+
+
+def _mol_rhs(dx):
+    def rhs(t, y, args):
+        nu, r = args
+        left = jnp.pad(y[:, :-1], ((0, 0), (1, 0)))
+        right = jnp.pad(y[:, 1:], ((0, 0), (0, 1)))
+        lap = (left - 2 * y + right) / dx ** 2
+        return nu * lap + r * y * (1.0 - y)
+    return rhs
+
+
+def test_gmres_mol_reaction_diffusion_matches_scipy():
+    """D = 96 Fisher-KPP line (Dirichlet), two reaction rates — far beyond
+    the unrolled dense LU's trace budget; must match scipy Radau."""
+    from scipy.integrate import solve_ivp as ssolve
+
+    d = 96
+    dx = 1.0 / (d + 1)
+    xg = np.linspace(dx, 1.0 - dx, d)
+    rhs = _mol_rhs(dx)
+    m = 2
+    y0 = jnp.tile(jnp.asarray(np.exp(-100 * (xg - 0.3) ** 2))[None], (m, 1))
+    rates = jnp.array([1.0, 8.0])[:, None]
+    args = (0.01, rates)
+    tf = 0.4
+    opts = Options(rtol=1e-6, atol=1e-9, stage_solver="gmres", gmres_iters=25)
+    sol = solve_radau(rhs, 0.0, tf, y0, args=args, options=opts)
+    assert bool(jnp.all(sol.status == SUCCESS))
+
+    for i in range(m):
+        r = float(rates[i, 0])
+
+        def f1(t, y):
+            lap = np.empty_like(y)
+            lap[0] = (y[1] - 2 * y[0]) / dx ** 2
+            lap[-1] = (y[-2] - 2 * y[-1]) / dx ** 2
+            lap[1:-1] = (y[:-2] - 2 * y[1:-1] + y[2:]) / dx ** 2
+            return 0.01 * lap + r * y * (1 - y)
+
+        ref = ssolve(f1, (0, tf), np.asarray(y0[i]), method="Radau",
+                     rtol=1e-8, atol=1e-11)
+        assert ref.success
+        np.testing.assert_allclose(np.asarray(sol.y[i]), ref.y[:, -1],
+                                   rtol=1e-4, atol=1e-7)
+
+
+def test_gmres_feature_exclusions():
+    y0 = jnp.zeros((1, 4))
+    opts = Options(stage_solver="gmres")
+    f = lambda t, y, a: -y                       # noqa: E731
+    with pytest.raises(ValueError):              # analytic jac is dense-only
+        solve_radau(f, 0.0, 1.0, y0, options=opts,
+                    jac=lambda t, y, a: jnp.zeros((1, 4, 4)))
+    with pytest.raises(ValueError):              # IND tangents need LU
+        solve_radau(f, 0.0, 1.0, y0, options=opts,
+                    tangents=jnp.zeros((1, 1, 4)))
+    with pytest.raises(ValueError):              # variable order needs LU
+        solve_ivp(f, (0.0, 1.0), y0, method="radaup",
+                  options=opts.replace(min_stages=1, max_stages=7))
+    with pytest.raises(ValueError):              # adjoint factors with LU
+        from janus_tpu.solve.adjoint import radau_adjoint
+        radau_adjoint(f, (0.0, 1.0), y0, options=opts)

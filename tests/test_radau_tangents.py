@@ -80,6 +80,32 @@ def test_ind_with_mass_matrix():
                                atol=1e-8)
 
 
+def test_ind_with_batched_mass_matrix():
+    """Per-lane mass matrices [M,D,D] through the IND tangent sweep
+    (regression: the tangent mdot used to reshape wd to [K, M*s, D], which
+    the batched-mass einsum rejects at trace time)."""
+    m = 2
+    # lane 0: plain ODE mass = I; lane 1: index-1 DAE mass = diag(1, 0)
+    mass = jnp.stack([jnp.eye(2), jnp.diag(jnp.array([1.0, 0.0]))])
+
+    def f(t, y, args):
+        return jnp.stack([-y[..., 0], y[..., 1] - y[..., 0]], axis=-1)
+
+    y0 = jnp.array([[1.0, 0.3], [1.0, 1.0]])   # lane 1 consistent (y2 = y1)
+    seeds = _identity_seeds(m, 2)
+    opts = Options(rtol=1e-10, atol=1e-13)
+    sol = solve_radau(f, 0.0, 1.0, y0, mass=mass, options=opts,
+                      tangents=seeds)
+    assert bool(jnp.all(sol.status == SUCCESS))
+
+    def final(z):
+        return solve_radau(f, 0.0, 1.0, z, mass=mass, options=opts).y
+
+    J = jnp.stack([jax.jvp(final, (y0,), (seeds[k],))[1] for k in range(2)])
+    np.testing.assert_allclose(np.asarray(sol.sens), np.asarray(J),
+                               rtol=1e-5, atol=1e-8)
+
+
 def test_ind_reverse_time():
     def f(t, y, args):
         return -0.7 * y
@@ -95,17 +121,86 @@ def test_ind_reverse_time():
                                rtol=1e-7, atol=1e-9)
 
 
-def test_tangents_excludes_events_and_teval():
+def test_ind_dense_tangent_output():
+    """tangents + t_eval: Solution.sens_ys is the tangent of the collocation
+    interpolant (reference ntrprad on TensorDual); oracle = jvp through
+    dense solves at each grid point via the full transform."""
+    mu, tf = 5.0, 2.0
+    m = 2
+    y0 = jnp.array([[2.0, 0.0], [1.0, 0.5]])
+    mus = jnp.array([mu, 3.0])
+    opts = Options(rtol=1e-10, atol=1e-13)
+    seeds = _identity_seeds(m, 2)
+    grid = jnp.array([0.4, 1.0, 1.7])
+
+    sol = solve_radau(vdp_rhs, 0.0, tf, y0, args=mus, options=opts,
+                      jac=vdp_jac, tangents=seeds, t_eval=grid)
+    assert bool(jnp.all(sol.status == SUCCESS))
+    assert sol.sens_ys.shape == (2, m, 3, 2)
+    # dense primal consistency
+    assert sol.ys.shape == (m, 3, 2)
+
+    def at_grid(z):
+        s = solve_radau(vdp_rhs, 0.0, tf, z, args=mus, options=opts,
+                        jac=vdp_jac, t_eval=grid)
+        return s.ys
+
+    for k in range(2):
+        _, want = jax.jvp(at_grid, (y0,), (seeds[k],))
+        np.testing.assert_allclose(np.asarray(sol.sens_ys[k]),
+                                   np.asarray(want), rtol=5e-5, atol=1e-8)
+
+
+def test_ind_event_sensitivity_correction():
+    """Terminal event g = y − c on scalar decay y' = −a·y: y(t*) ≡ c for
+    every y0, so the TOTAL derivative dy(t*)/dy0 is exactly 0 — while the
+    uncorrected state tangent at t* is c/y0. Verifies the implicit-function
+    correction dt* = −(g_y·yd)/(g_t + g_y·f)."""
     from janus_tpu.solve.events import Event
 
-    y0 = jnp.array([[1.0, 0.0]])
+    a, c = 0.8, 0.5
+    y0 = jnp.array([[2.0]])
+    ev = Event(lambda t, y, args: y[:, 0] - c, terminal=True)
+    sol = solve_radau(lambda t, y, args: -a * y, 0.0, 10.0, y0,
+                      options=Options(rtol=1e-10, atol=1e-13),
+                      tangents=jnp.ones((1, 1, 1)), events=ev)
+    from janus_tpu.solve import EVENT_TERMINATED
+    assert int(sol.status[0]) == EVENT_TERMINATED
+    t_star = np.log(2.0 / c) / a
+    np.testing.assert_allclose(float(sol.t[0]), t_star, rtol=1e-8)
+    # uncorrected tangent would be c / y0 = 0.25; corrected is 0
+    np.testing.assert_allclose(float(sol.sens[0, 0, 0]), 0.0, atol=1e-7)
+
+
+def test_ind_event_sensitivity_vs_fd():
+    """Moving-event total derivative on VdP vs FD re-solves (the event time
+    shifts with y0; FD of y at the event captures the total derivative)."""
+    from janus_tpu.solve.events import Event
+
+    def rhs(t, y, a):
+        return jnp.stack([y[..., 1], -y[..., 0] - 0.3 * y[..., 1]], axis=-1)
+
+    tf = 10.0
+    opts = Options(rtol=1e-11, atol=1e-14)
+    ev = Event(lambda t, y, args: y[:, 0] - 0.2, terminal=True,
+               direction=-1.0)
+    y0 = jnp.array([[2.0, 0.0]])
     seeds = _identity_seeds(1, 2)
-    with pytest.raises(ValueError):
-        solve_radau(vdp_rhs, 0.0, 1.0, y0, args=5.0, tangents=seeds,
-                    t_eval=jnp.array([0.5]))
-    with pytest.raises(ValueError):
-        solve_radau(vdp_rhs, 0.0, 1.0, y0, args=5.0, tangents=seeds,
-                    events=Event(lambda t, y, a: y[:, 0], terminal=True))
+
+    sol = solve_radau(rhs, 0.0, tf, y0, options=opts,
+                      tangents=seeds, events=ev)
+    from janus_tpu.solve import EVENT_TERMINATED
+    assert int(sol.status[0]) == EVENT_TERMINATED
+
+    eps = 1e-6
+    for k in range(2):
+        sp = solve_radau(rhs, 0.0, tf, y0 + eps * seeds[k],
+                         options=opts, events=ev)
+        sm = solve_radau(rhs, 0.0, tf, y0 - eps * seeds[k],
+                         options=opts, events=ev)
+        fd = (sp.y - sm.y) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(sol.sens[k]), np.asarray(fd),
+                                   rtol=5e-5, atol=1e-8)
 
 
 def test_ind_parameter_sensitivity():
