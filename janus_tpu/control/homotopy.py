@@ -30,10 +30,18 @@ class HomotopyResult:
 
 def homotopy(g: Callable, x0, dlam0: float = 0.1, tol: float = 1e-8,
              newton_iters: int = 8, max_steps: int = 200,
-             dlam_min: float = 1e-6, jac_mode: str = "ad") -> HomotopyResult:
+             dlam_min: float = 1e-6, jac_mode: str = "ad",
+             dlam_fn: Callable = None) -> HomotopyResult:
     """Track g(x, λ)=0 from λ=0 to λ=1.
 
     g: batched ``g(x [M,N], lam [M]) -> [M,N]``; x0 must satisfy g(x0, 0)≈0.
+    dlam_fn: optional continuation-step policy ``(x [M,N], lam [M],
+    dlam [M]) -> dlam_next [M]`` consulted after each ACCEPTED point —
+    the hook for a LEARNED step controller (the reference's SSSC-ML role,
+    sssc_ml_vdp.py / sssc_dnn_vdp_model.py DeltaNet: an MLP trained on
+    solver-generated data predicts the largest safe Δλ). Failed corrections
+    still halve Δλ regardless of the policy (safety). Default: the reactive
+    grow rule min(1.5·Δλ, 0.25).
     """
     x0 = jnp.atleast_2d(x0)
     m, n = x0.shape
@@ -65,8 +73,12 @@ def homotopy(g: Callable, x0, dlam0: float = 0.1, tol: float = 1e-8,
         adv = running & ok
         x_new = jnp.where(adv[:, None], x_cand, x)
         lam_new = jnp.where(adv, lam_try, lam)
-        dlam_new = jnp.where(adv, jnp.minimum(dlam * 1.5, 0.25),
-                             dlam * 0.5)
+        if dlam_fn is None:
+            dlam_grow = jnp.minimum(dlam * 1.5, 0.25)
+        else:
+            dlam_grow = jnp.clip(dlam_fn(x_new, lam_new, dlam),
+                                 dlam_min, 1.0)
+        dlam_new = jnp.where(adv, dlam_grow, dlam * 0.5)
         dlam_new = jnp.where(running, dlam_new, dlam)
         it_new = it + running
         done = running & (lam_new >= 1.0)
