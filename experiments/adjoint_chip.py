@@ -8,6 +8,16 @@ matched gradient accuracy, on the stiff VdP problem the framework targets.
 Timing per the axon-relay rules (CLAUDE.md): chained iterations inside one
 jit, marginal cost between two chain lengths, inputs perturbed per rep,
 results forced with np.asarray.
+
+MEASURED (TPU v5e-1, f32, 8192 lanes, rtol 1e-4 compensated, Radau9,
+adjoint_steps 64/96; gradients agree with the fixed-grid path to ~1e-8):
+- mu=1e3: adjoint 19.5 ms/grad-step (420k traj-grads/s); fixed rk4 is
+  still explicit-stable at n=2048 (8.1 ms) -> adjoint 0.4x there.
+- mu=1e4: adjoint 26.2 ms vs fixed n=12288 71.3 ms -> 2.7x.
+- mu=1e5: adjoint 41.6 ms vs fixed n=122880 494 ms -> 11.9x.
+The fixed grid's cost is linear in stiffness (explicit stability bound
+h <~ 2.8/(3 mu)); the adaptive adjoint's is ~logarithmic — it is the only
+reverse-mode path that does not degrade as stiffness grows.
 """
 import time
 

@@ -53,16 +53,24 @@ NEWTON_MAXITER = 4
 _KAPPA_NDF = np.array([0.0, -0.1850, -1.0 / 9.0, -0.0823, -0.0415, 0.0])
 
 
+# NOTE on contraction style: every tiny batched contraction here is written
+# as broadcast-multiply-sum, NOT einsum. XLA:TPU lowers batched einsums like
+# [M,6,6]x[M,6,6] onto the MXU padded to 128x128 tiles (~1e-4 utilization):
+# measured 134 us per call at M=8192, vs ~0 (fully fused VPU elementwise)
+# for the identical broadcast-sum form — this single lowering detail was 10x
+# of NDF's on-chip step cost (round 3; see CLAUDE.md).
+
+
 def _pick(vec, idx):
     """vec[idx] for a tiny constant vector via one-hot (no gather)."""
     oh = (idx[:, None] == jnp.arange(vec.shape[0])[None, :]).astype(vec.dtype)
-    return jnp.einsum("mk,k->m", oh, vec, precision=_EINSUM_PRECISION)
+    return jnp.sum(oh * vec[None, :], axis=1)
 
 
 def _pick_slot(D, k):
     """D[:, k, :] with per-lane slot index k, via one-hot."""
     oh = (k[:, None] == jnp.arange(D.shape[1])[None, :]).astype(D.dtype)
-    return jnp.einsum("mk,mkd->md", oh, D, precision=_EINSUM_PRECISION)
+    return jnp.sum(oh[:, :, None] * D, axis=1)
 
 
 def _r_matrix(order, factor, dtype):
@@ -94,8 +102,8 @@ def _change_D(D, order, factor):
     dtype = D.dtype
     rf = _r_matrix(order, factor, dtype)
     r1 = _r_matrix(order, jnp.ones_like(factor), dtype)
-    ru = jnp.einsum("mij,mjk->mik", rf, r1, precision=_EINSUM_PRECISION)
-    d6 = jnp.einsum("mjk,mjd->mkd", ru, D[:, :_K], precision=_EINSUM_PRECISION)
+    ru = jnp.sum(rf[:, :, :, None] * r1[:, None, :, :], axis=2)  # [M, K, K]
+    d6 = jnp.sum(ru[:, :, :, None] * D[:, :_K, None, :], axis=1)
     return jnp.concatenate([d6, D[:, _K:]], axis=1)
 
 
@@ -214,8 +222,7 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         ge1 = (slot_idx[None, :] >= 1) & le
         gamma_w = jnp.where(ge1, gamma_slots[None, :], 0.0)
         alpha_ord = _pick(alpha, st.order)
-        psi = jnp.einsum("mk,mkd->md", gamma_w, D,
-                         precision=_EINSUM_PRECISION) / alpha_ord[:, None]
+        psi = jnp.sum(gamma_w[:, :, None] * D, axis=1) / alpha_ord[:, None]
         c = h / alpha_ord
         t_new = st.t + h
         scale_n = opts.atol + opts.rtol * jnp.abs(y_pred)
@@ -386,9 +393,8 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
                      / ((iidx + 1.0) * h[:, None, None]))
                 cp = jnp.cumprod(x, axis=-1)
                 w = jnp.where(kmask[:, None, :], cp, 0.0)
-                return D_hist[:, 0][:, None, :] + jnp.einsum(
-                    "mtk,mkd->mtd", w, D_hist[:, 1:_K],
-                    precision=_EINSUM_PRECISION)
+                return D_hist[:, 0][:, None, :] + jnp.sum(
+                    w[:, :, :, None] * D_hist[:, None, 1:_K, :], axis=2)
 
         if use_dense:
             out_ys = cm.collect_dense(out_ys, t_eval, st.t, h, accept, interp)
