@@ -29,7 +29,30 @@ Design notes (TPU-first):
   Jacobians are never materialized for the quadrature (VecOpDual's concern);
 - invertible mass matrices use the substitution ν = M⁻ᵀλ: Mᵀν' = −Jᵀν with
   ν(T) = M⁻ᵀ∂L/∂y(T) and ∂L/∂y0 = Mᵀν(t0). Singular-mass (DAE) adjoints are
-  not defined by this route and raise.
+  not defined by this route and raise;
+- ``Options(stage_solver="gmres")`` carries through to the backward pass:
+  the adjoint stage systems (γ/h_b·I + Jᵀ) are solved by the same batched
+  GMRES machinery with Jᵀ·v as a vjp PULL (reverse mode is the natural
+  direction here — no transpose probes needed) and the TRANSPOSED 3-probe
+  tridiagonal Thomas preconditioner, so large-D (method-of-lines) models
+  train with reverse-mode gradients without materializing any Jacobian;
+- semi-explicit index-1 DAEs (``n_alg`` trailing algebraic variables,
+  mass = blockdiag(A, 0) with A invertible) get the Cao-Li-Petzold adjoint:
+  the backward stage systems (γ/h_b·Mᵀ + Jᵀ) already handle singular M —
+  only the TERMINAL data is DAE-specific. With J = [[f_x, f_z], [g_x, g_z]]:
+  ν_x(T) = A⁻ᵀ(ȳ_x − g_xᵀg_z⁻ᵀȳ_z) (an algebraic cotangent rides the
+  constraint manifold, dz = −g_z⁻¹g_x dx), ν_z(T) = −g_z⁻ᵀf_zᵀν_x(T) (the
+  adjoint DAE's own consistency condition), and the terminal velocity in
+  dL/dT is (ẋ, −g_z⁻¹g_x ẋ). ∂L/∂y0 = Mᵀν(t0) is zero on algebraic slots
+  (consistent-IC convention: z0 is not a free input). The reference forwards
+  duals through index-1 mass matrices but has no reverse mode at all;
+- terminal events differentiate by the implicit-function jump at t*: with
+  ẏ* = M⁻¹f(t*, y*) and w = (ȳ·ẏ* + t̄)/(g_t + g_y·ẏ*), the adjoint starts
+  from λ(t*) = ȳ − w·g_yᵀ, parameters get the direct −w·g_θ term, and the
+  backward sweep's FIRST step is the per-lane partial step t* → t_n on the
+  containing step's collocation polynomial (θ_end = (t*−t_n)/h_n). The
+  reference locates events on dual trajectories (EventZeroFcn,
+  radauted_impl.hpp:2306) — forward mode only; this is its reverse twin.
 
 Accuracy contract: gradients match jvp/FD through the solve to O(rtol)
 (discretize-then-optimize vs optimize-then-discretize differ by the local
@@ -54,29 +77,94 @@ from janus_tpu.solve.radau_tables import radau_tableau
 
 def radau_adjoint(f: Callable, tspan, y0, args=None,
                   options: Optional[Options] = None,
-                  jac: Optional[Callable] = None, mass=None):
+                  jac: Optional[Callable] = None, mass=None, t_eval=None,
+                  events=None, n_alg: int = 0):
     """Reverse-differentiable batched adaptive Radau solve.
 
-    Returns the final state y(T) [M, D]. ``jax.grad``/``jax.vjp`` of any
-    function of the result flows through the continuous adjoint w.r.t. y0,
-    every inexact leaf of ``args``, t0, and tf. Forward-mode (jvp) requests
-    fall through to the solver's ordinary jvp path.
+    Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
+    trajectory ys [M, T, D]. ``jax.grad``/``jax.vjp`` of any function of the
+    result flows through the continuous adjoint w.r.t. y0, every inexact
+    leaf of ``args``, t0, tf, and (in t_eval mode) the sample times.
+    Forward-mode (jvp) requests fall through to the solver's ordinary jvp
+    path.
 
-    mass: optional INVERTIBLE mass matrix [D,D] or [M,D,D]. Singular (DAE)
-    mass has no continuous adjoint of this form; invertibility is not
-    detectable at trace time and is the caller's responsibility.
+    t_eval: optional strictly monotonic 1-D grid of sample times inside
+    (t0, tf], ordered in the direction of integration. The solve is CHAINED
+    over the segments t0 → t_eval[0] → … → t_eval[-1] (each segment an
+    adaptive solve warm-started with the previous segment's step proposal),
+    so samples are exact solve endpoints and the reverse sweep injects each
+    sample's cotangent at exactly its time — the trajectory-fitting
+    (loss = Σ_j L_j(y(t_j))) training path. tspan's tf only fixes the
+    direction; integration stops at t_eval[-1] (include tf in t_eval to get
+    the endpoint). Memory: the reverse pass stores one accepted-step mesh of
+    ``options.adjoint_steps`` slots PER SEGMENT — size adjoint_steps for the
+    per-segment step budget, not the whole span.
+
+    mass: optional mass matrix [D,D] or [M,D,D]. Must be invertible unless
+    ``n_alg > 0`` (invertibility is not detectable at trace time and is the
+    caller's responsibility).
+
+    n_alg: number of TRAILING algebraic variables for a semi-explicit
+    index-1 DAE — mass must be blockdiag(A, 0) with A [D−n_alg square]
+    invertible, and the last n_alg rows of f the algebraic constraints
+    g(t, x, z) = 0 (y0 consistent). Gradients w.r.t. y0 live on the
+    differential slots only (algebraic slots of the returned cotangent are
+    zero: z0 is determined by consistency, not a free input). See the module
+    docstring for the adjoint-DAE terminal conditions.
+
+    events: optional TERMINAL event spec(s) (``Event`` / callable / sequence;
+    every spec must have terminal=True). Returns ``(y_term, t_term)`` —
+    per-lane state and time at the first event crossing (or at tf for lanes
+    that never cross) — and BOTH are reverse-differentiable: d t*/dθ and the
+    event-time motion's effect on y* flow through the implicit-function jump
+    (see module docstring). Lanes that never trigger get the ordinary
+    terminal adjoint. Not combinable with t_eval.
     """
     opts = options if options is not None else Options()
     if opts.min_stages != opts.max_stages:
         raise ValueError("radau_adjoint needs a fixed stage count "
                          "(Options.min_stages == max_stages)")
-    if opts.stage_solver != "lu":
-        raise ValueError("radau_adjoint's backward pass factors the adjoint "
-                         "stage systems with the dense LU; "
-                         "stage_solver='gmres' is not supported")
+    if n_alg:
+        if mass is None:
+            raise ValueError("n_alg > 0 (index-1 DAE adjoint) needs the "
+                             "singular mass = blockdiag(A, 0)")
+        if events is not None:
+            raise ValueError("n_alg > 0 with events is not supported (the "
+                             "event jump needs the DAE's constrained ẏ*)")
     t0, tf = tspan
-    run = _build_adjoint(f, opts, jac, mass)
-    return run(t0, tf, y0, args)
+    if events is not None:
+        if t_eval is not None:
+            raise ValueError("radau_adjoint: events and t_eval are mutually "
+                             "exclusive")
+        run = _build_adjoint(f, opts, jac_user=jac, mass=mass, events=events)
+        y, t_term, _ = run(t0, tf, y0, args, None)
+        return y, t_term
+    run = _build_adjoint(f, opts, jac_user=jac, mass=mass, n_alg=n_alg)
+    if t_eval is None:
+        y, _, _ = run(t0, tf, y0, args, None)
+        return y
+
+    if jnp.ndim(t0) != 0 or jnp.ndim(tf) != 0:
+        raise ValueError("radau_adjoint(t_eval=...) chains segments over a "
+                         "shared grid; t0/tf must be scalars")
+    t_eval = jnp.asarray(t_eval)
+    if t_eval.ndim != 1 or t_eval.shape[0] < 1:
+        raise ValueError("t_eval must be a non-empty 1-D grid")
+    t0b, _, y0b = cm.broadcast_batch(t0, tf, y0)
+    dtype = y0b.dtype
+    t_eval = t_eval.astype(dtype)
+    t_lo = jnp.concatenate([jnp.full((1,), t0, dtype), t_eval[:-1]])
+    t_hi = t_eval
+    h_carry0 = jnp.zeros(t0b.shape, dtype)     # 0 ⇒ automatic initial step
+
+    def seg(carry, bounds):
+        y, h = carry
+        ta, tb = bounds
+        y2, _, h2 = run(ta, tb, y, args, h)
+        return (y2, h2), y2
+
+    (_, _), ys = jax.lax.scan(seg, (y0b, h_carry0), (t_lo, t_hi))
+    return jnp.swapaxes(ys, 0, 1)              # [M, T, D]
 
 
 def _split_diff(args):
@@ -95,27 +183,37 @@ def _split_diff(args):
     return dleaves, rebuild, leaves, treedef, diff_idx
 
 
-def _build_adjoint(f, opts, jac_user, mass):
+def _build_adjoint(f, opts, jac_user, mass, events=None, n_alg=0):
+    from janus_tpu.solve.events import normalize_events
     cap = opts.adjoint_steps
+    specs = normalize_events(events)
+    if any(not e.terminal for e in specs):
+        raise ValueError("radau_adjoint(events=...) requires every event "
+                         "terminal (non-terminal crossings don't enter the "
+                         "returned (y_term, t_term))")
 
     @jax.custom_vjp
-    def run(t0, tf, y0, args):
+    def run(t0, tf, y0, args, h0):
         sol = solve_radau(f, t0, tf, y0, args=args, options=opts,
-                          jac=jac_user, mass=mass)
-        return sol.y
+                          jac=jac_user, mass=mass, events=events, _h0=h0)
+        return sol.y, sol.t, sol.h_next
 
-    def fwd(t0, tf, y0, args):
+    def fwd(t0, tf, y0, args, h0):
         sol = solve_radau(f, t0, tf, y0, args=args, options=opts,
-                          jac=jac_user, mass=mass, _mesh_size=cap)
-        res = (sol.mesh, sol.stats["naccept"], t0, tf, y0, args, sol.y)
-        return sol.y, res
+                          jac=jac_user, mass=mass, events=events,
+                          _mesh_size=cap, _h0=h0)
+        ev_idx = sol.event_idx if specs else None
+        res = (sol.mesh, sol.stats["naccept"], t0, tf, y0, args, sol.y,
+               sol.t, ev_idx, h0)
+        return (sol.y, sol.t, sol.h_next), res
 
-    def bwd(res, ybar):
-        mesh, nacc, t0, tf, y0, args, yT = res
+    def bwd(res, out_bar):
+        ybar, tbar, _ = out_bar      # h_next is a non-differentiable knob
+        mesh, nacc, t0, tf, y0, args, yT, t_term, ev_idx, h0 = res
         t0b, tfb, y0b = cm.broadcast_batch(t0, tf, y0)
         lam0, gleaves, t0bar, tfbar = _adjoint_sweep(
-            f, opts, jac_user, mass, mesh, nacc, t0b, tfb, y0b, args, yT,
-            ybar)
+            f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb, t_term,
+            ev_idx, y0b, args, yT, ybar, tbar, n_alg)
         # reduce cotangents back to the primal input shapes
         t0_ct = jnp.sum(t0bar) if jnp.ndim(t0) == 0 else t0bar
         tf_ct = jnp.sum(tfbar) if jnp.ndim(tf) == 0 else tfbar
@@ -127,14 +225,15 @@ def _build_adjoint(f, opts, jac_user, mass):
         for i, g in zip(diff_idx, gleaves):
             out[i] = g
         args_ct = jax.tree_util.tree_unflatten(treedef, out)
-        return (t0_ct, tf_ct, y0_ct, args_ct)
+        h0_ct = None if h0 is None else jnp.zeros_like(h0)
+        return (t0_ct, tf_ct, y0_ct, args_ct, h0_ct)
 
     run.defvjp(fwd, bwd)
     return run
 
 
-def _adjoint_sweep(f, opts, jac_user, mass, mesh, nacc, t0b, tfb, y0b, args,
-                   yT, ybar):
+def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
+                   t_term, ev_idx, y0b, args, yT, ybar, tbar, n_alg=0):
     """Backward lax.scan over the stored accepted-step mesh."""
     m, dim = yT.shape
     dtype = yT.dtype
@@ -148,6 +247,12 @@ def _adjoint_sweep(f, opts, jac_user, mass, mesh, nacc, t0b, tfb, y0b, args,
     ti_mat = jnp.asarray(tab.ti_mat, dtype)
     tol = (opts.newton_tol if opts.newton_tol > 0
            else cm.derived_newton_tol(dtype, opts.rtol))
+    use_gmres = opts.stage_solver == "gmres"
+    if use_gmres and mass is not None:
+        raise ValueError("stage_solver='gmres' adjoint requires mass=None "
+                         "(ν(T) = M⁻ᵀλ(T) needs a dense mass solve)")
+    if use_gmres and jac_user is not None:
+        raise ValueError("stage_solver='gmres' is matrix-free; drop jac=")
 
     dleaves, rebuild, _, _, _ = _split_diff(args)
 
@@ -168,19 +273,87 @@ def _adjoint_sweep(f, opts, jac_user, mass, mesh, nacc, t0b, tfb, y0b, args,
             eq = "mij,msj->msi" if w.ndim == 3 else "mij,mj->mi"
             return jnp.einsum(eq, massT, w, precision=_EINSUM_PRECISION)
 
-        mTb = jnp.broadcast_to(massT, (m, dim, dim))
-        luM, pivM = lu_factor(mTb, pivot=True)
-        lam_init = lu_solve(luM, pivM, ybar)         # ν(T) = M⁻ᵀ λ(T)
+        if not n_alg:                # singular mass is never factored whole
+            mTb = jnp.broadcast_to(massT, (m, dim, dim))
+            luM, pivM = lu_factor(mTb, pivot=True)
     else:
         massT = None
         mdotT = lambda w: w                          # noqa: E731
-        lam_init = ybar
 
-    # tf cotangent: dL/dT = λ(T)ᵀ y'(T) = ν(T)ᵀ f(T, y(T))
-    f_T = f2(tfb, yT, dleaves)
-    tfbar = jnp.sum(lam_init * f_T, axis=-1)
+    # terminal velocity ẏ(t_term) = M⁻¹ f(t_term, y_term)
+    f_T = f2(t_term, yT, dleaves)
+    if n_alg:
+        # semi-explicit index-1: J = [[f_x, f_z], [g_x, g_z]] at (T, y(T));
+        # ẋ = A⁻¹f_x-rows, ż = −g_z⁻¹(g_t + g_x ẋ)
+        n1 = dim - n_alg
+        jmat_T = jac_fn(t_term, yT, dleaves)
+        fz = jmat_T[:, :n1, n1:]
+        gx = jmat_T[:, n1:, :n1]
+        gzT = jnp.swapaxes(jmat_T[:, n1:, n1:], -1, -2)
+        lu_gz, piv_gz = lu_factor(jmat_T[:, n1:, n1:], pivot=True)
+        lu_gzT, piv_gzT = lu_factor(gzT, pivot=True)
+        a_blk = jnp.broadcast_to(jnp.asarray(mass, dtype),
+                                 (m, dim, dim))[:, :n1, :n1]
+        lu_a, piv_a = lu_factor(a_blk, pivot=True)
+        lu_aT, piv_aT = lu_factor(jnp.swapaxes(a_blk, -1, -2), pivot=True)
+        xdot = lu_solve(lu_a, piv_a, f_T[:, :n1])
+        g_t = jax.jvp(lambda tt: f2(tt, yT, dleaves), (t_term,),
+                      (jnp.ones_like(t_term),))[1][:, n1:]
+        zdot = -lu_solve(lu_gz, piv_gz, g_t + jnp.einsum(
+            "mai,mi->ma", gx, xdot, precision=_EINSUM_PRECISION))
+        ydot_T = jnp.concatenate([xdot, zdot], axis=-1)
+    elif mass is not None:
+        mb = jnp.broadcast_to(jnp.asarray(mass, dtype), (m, dim, dim))
+        luMf, pivMf = lu_factor(mb, pivot=True)
+        ydot_T = lu_solve(luMf, pivMf, f_T)
+    else:
+        ydot_T = f_T
 
+    tbar_in = jnp.zeros((m,), dtype) if tbar is None else \
+        jnp.broadcast_to(jnp.asarray(tbar, dtype), (m,))
     grads0 = [jnp.zeros(l.shape, l.dtype) for l in dleaves]
+    lam_T = ybar
+    if specs:
+        # implicit-function jump at the terminating event (module docstring):
+        # λ(t*) = ȳ − w·g_yᵀ, grads += −w·g_θ, w = (ȳ·ẏ* + t̄)/(g_t + g_y·ẏ*)
+        is_ev = ev_idx >= 0
+        lam_corr = ybar
+        for j, spec in enumerate(specs):
+            gfun = (lambda tt, yy, dl, _sp=spec: _sp.fn(tt, yy, rebuild(dl)))
+            zeros_dl = [jnp.zeros_like(l) for l in dleaves]
+            _, den = jax.jvp(gfun, (t_term, yT, dleaves),
+                             (jnp.ones_like(t_term), ydot_T, zeros_dl))
+            w = (jnp.sum(ybar * ydot_T, axis=-1) + tbar_in) \
+                / jnp.where(den == 0.0, 1.0, den)
+            wj = jnp.where((ev_idx == j) & is_ev, w, 0.0)
+            _, pull = jax.vjp(gfun, t_term, yT, dleaves)
+            _, yg, dg = pull(-wj)
+            lam_corr = lam_corr + jnp.where((ev_idx == j)[:, None], yg, 0.0)
+            grads0 = [a + b for a, b in zip(grads0, dg)]
+        lam_T = jnp.where(is_ev[:, None], lam_corr, ybar)
+        # lanes stopped by an event don't see tf at all
+        tfbar = jnp.where(is_ev, 0.0,
+                          jnp.sum(ybar * ydot_T, axis=-1) + tbar_in)
+    else:
+        # tf cotangent: dL/dT = λ(T)ᵀ ẏ(T) (+ the t_term output's cotangent)
+        tfbar = jnp.sum(ybar * ydot_T, axis=-1) + tbar_in
+
+    # ν(t_term) = M⁻ᵀ λ(t_term)
+    if n_alg:
+        # consistent adjoint-DAE terminal data (module docstring):
+        # ν_x = A⁻ᵀ(ȳ_x − g_xᵀg_z⁻ᵀȳ_z), g_zᵀν_z = −f_zᵀν_x
+        u = lu_solve(lu_gzT, piv_gzT, lam_T[:, n1:])
+        ybar_x_eff = lam_T[:, :n1] - jnp.einsum(
+            "mai,ma->mi", gx, u, precision=_EINSUM_PRECISION)
+        nu_x = lu_solve(lu_aT, piv_aT, ybar_x_eff)
+        nu_z = -lu_solve(lu_gzT, piv_gzT, jnp.einsum(
+            "mia,mi->ma", fz, nu_x, precision=_EINSUM_PRECISION))
+        lam_init = jnp.concatenate([nu_x, nu_z], axis=-1)
+    elif mass is not None:
+        lam_init = lu_solve(luM, pivM, lam_T)
+    else:
+        lam_init = lam_T
+
     bad0 = nacc > cap                                 # mesh overflow
 
     def step(carry, k):
@@ -191,23 +364,42 @@ def _adjoint_sweep(f, opts, jac_user, mass, mesh, nacc, t0b, tfb, y0b, args,
         hn = jnp.take(mesh["h"], k, axis=1)           # [M] signed primal h
         yn = jnp.take(mesh["y"], k, axis=1)           # [M, D]
         qq = jnp.take(mesh["q"], k, axis=1)           # [M, s, D]
-        t_end = tn + hn
-        hb = jnp.where(live, -hn, -1.0)               # signed backward step
-
-        # primal interpolant at the backward stage nodes τ_i = t_end + c_i·h_b
-        # ⇒ θ_i = 1 − c_i on the primal step polynomial
-        theta = 1.0 - c_nodes                         # [s]
-        powers = jnp.stack([theta ** (q + 1) for q in range(s)], axis=-1)
-        ys = yn[:, None, :] + jnp.einsum("sq,mqd->msd", powers, qq,
-                                         precision=_EINSUM_PRECISION)
+        if specs:
+            # event lanes: the LAST recorded step contains t* — the backward
+            # sweep's first step is the PARTIAL step t* → t_n on that step's
+            # polynomial, θ_end = (t*−t_n)/h_n (floored: a root exactly at a
+            # step start would otherwise produce h_eff = 0 in γ/h_b)
+            raw = (t_term - tn) / jnp.where(hn == 0.0, 1.0, hn)
+            th_end = jnp.where((k == nacc - 1) & (ev_idx >= 0),
+                               jnp.clip(raw, 1e-6, 1.0), 1.0)
+            h_eff = hn * th_end
+            t_end = tn + h_eff
+            hb = jnp.where(live, -h_eff, -1.0)        # signed backward step
+            th_i = th_end[:, None] * (1.0 - c_nodes)[None, :]     # [M, s]
+            powers = jnp.stack([th_i ** (q + 1) for q in range(s)], axis=-1)
+            ys = yn[:, None, :] + jnp.einsum("msq,mqd->msd", powers, qq,
+                                             precision=_EINSUM_PRECISION)
+            pe = jnp.stack([th_end ** (q + 1) for q in range(s)], axis=-1)
+            y_end = yn + jnp.einsum("mq,mqd->md", pe, qq,
+                                    precision=_EINSUM_PRECISION)
+        else:
+            # primal interpolant at the backward stage nodes
+            # τ_i = t_end + c_i·h_b ⇒ θ_i = 1 − c_i on the step polynomial
+            h_eff = hn
+            t_end = tn + hn
+            hb = jnp.where(live, -hn, -1.0)           # signed backward step
+            theta = 1.0 - c_nodes                     # [s]
+            powers = jnp.stack([theta ** (q + 1) for q in range(s)], axis=-1)
+            ys = yn[:, None, :] + jnp.einsum("sq,mqd->msd", powers, qq,
+                                             precision=_EINSUM_PRECISION)
+            y_end = yn + jnp.sum(qq, axis=1)          # poly(1)
         taus = t_end[:, None] + c_nodes[None, :] * hb[:, None]
-        y_end = yn + jnp.sum(qq, axis=1)              # poly(1)
 
         # dead lanes: substitute safe (finite) evaluation points
         ys = jnp.where(live[:, None, None], ys, yT[:, None, :])
-        taus = jnp.where(live[:, None], taus, tfb[:, None])
+        taus = jnp.where(live[:, None], taus, t_term[:, None])
         y_end = jnp.where(live[:, None], y_end, yT)
-        t_end_s = jnp.where(live, t_end, tfb)
+        t_end_s = jnp.where(live, t_end, t_term)
 
         # per-stage vjp pulls: y-only (iteration) and (y, θ) (quadrature)
         pulls_y, pulls_full = [], []
@@ -221,10 +413,31 @@ def _adjoint_sweep(f, opts, jac_user, mass, mesh, nacc, t0b, tfb, y0b, args,
 
         # frozen iteration matrix: (γ/h_b·Mᵀ + Jᵀ) from J at the step's
         # later end (where the backward step starts)
-        jmat = jac_fn(t_end_s, y_end, dleaves)        # [M, D, D]
-        jac_adj = -jnp.swapaxes(jmat, -1, -2)
-        lu_r, piv_r, lu_c, piv_c, ok = _factorize(
-            tab, hb, jac_adj, massT, opts.pivoting)
+        if use_gmres:
+            # matrix-free: Jᵀ·v by a vjp pull at the frozen point; Thomas
+            # preconditioner bands of −Jᵀ by transposing the 3-probe bands
+            # ((Jᵀ)_dl[i] = J_du[i−1], (Jᵀ)_du[i] = J_dl[i+1])
+            from janus_tpu.control.precond import tridiag_bands
+            from janus_tpu.solve.radau import _gmres_core, _gmres_mass_ops
+            dl, d, du = tridiag_bands(
+                lambda yy: f2(t_end_s, yy, dleaves), y_end)
+            z1 = jnp.zeros((m, 1), dtype)
+            bands_adj = -jnp.stack(
+                [jnp.concatenate([z1, du[:, :-1]], axis=1), d,
+                 jnp.concatenate([dl[:, 1:], z1], axis=1)], axis=1)
+            pull_lin = jax.vjp(
+                lambda yy: f2(t_end_s, yy, dleaves), y_end)[1]
+            jv_adj = lambda v: -pull_lin(v)[0]        # noqa: E731
+            solve_real, solve_cplx = _gmres_core(
+                tab, jv_adj, bands_adj, hb,
+                _gmres_mass_ops(None, m, dim, bands_adj[:, 1]),
+                opts.gmres_iters)
+            ok = jnp.ones((m,), bool)
+        else:
+            jmat = jac_fn(t_end_s, y_end, dleaves)    # [M, D, D]
+            jac_adj = -jnp.swapaxes(jmat, -1, -2)
+            lu_r, piv_r, lu_c, piv_c, ok = _factorize(
+                tab, hb, jac_adj, massT, opts.pivoting)
 
         # transformed simplified iteration on the LINEAR adjoint stage system
         lam_e = lam
@@ -245,15 +458,17 @@ def _adjoint_sweep(f, opts, jac_user, mass, mesh, nacc, t0b, tfb, y0b, args,
                              precision=_EINSUM_PRECISION)
             mw = mdotT(w)
             rhs_r = tif[:, 0] - (float(tab.mu_real) / hb)[:, None] * mw[:, 0]
-            dws = [lu_solve(lu_r, piv_r, rhs_r)]
+            dws = [solve_real(rhs_r) if use_gmres
+                   else lu_solve(lu_r, piv_r, rhs_r)]
             for p in range(npair):
                 mu = tab.mu_complex[p]
                 mur, mui = float(mu.real), float(mu.imag)
                 w1, w2 = mw[:, 1 + 2 * p], mw[:, 2 + 2 * p]
                 fr = tif[:, 1 + 2 * p] - (mur * w1 - mui * w2) / hb[:, None]
                 fi = tif[:, 2 + 2 * p] - (mur * w2 + mui * w1) / hb[:, None]
-                sol = lu_solve(lu_c[:, p], piv_c[:, p],
-                               jnp.concatenate([fr, fi], axis=-1))
+                rhs2 = jnp.concatenate([fr, fi], axis=-1)
+                sol = (solve_cplx(p, rhs2) if use_gmres
+                       else lu_solve(lu_c[:, p], piv_c[:, p], rhs2))
                 dws.append(sol[:, :dim])
                 dws.append(sol[:, dim:])
             dw = jnp.stack(dws, axis=1)
@@ -271,9 +486,9 @@ def _adjoint_sweep(f, opts, jac_user, mass, mesh, nacc, t0b, tfb, y0b, args,
         lam = jnp.where(live[:, None], lam_n, lam)
         bad = bad | (live & ~ok)
 
-        # quadrature: ∂L/∂θ += h_n Σ_i b_i · (∂f/∂θ)ᵀ ν(τ_i)
+        # quadrature: ∂L/∂θ += h_eff Σ_i b_i · (∂f/∂θ)ᵀ ν(τ_i)
         for i in range(s):
-            wgt = jnp.where(live, hn * b_w[i], 0.0)   # [M]
+            wgt = jnp.where(live, h_eff * b_w[i], 0.0)  # [M]
             lam_i = lam_e + z[:, i, :]
             contrib = pulls_full[i]((wgt[:, None] * lam_i))[1]
             grads = [ga + gc for ga, gc in zip(grads, contrib)]

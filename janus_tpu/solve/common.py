@@ -44,6 +44,9 @@ class Solution:
     #                       (internal: solve_radau(_mesh_size=S) for adjoint)
     sens_ys: Optional[jnp.ndarray] = None  # [K, M, T, D] dense tangent
     #                         samples (solve_radau(tangents=..., t_eval=...))
+    h_next: Optional[jnp.ndarray] = None  # [M] controller's signed step
+    #     proposal at termination (warm start for segment chaining: the
+    #     adjoint t_eval path threads it into the next segment's _h0)
 
     @property
     def success(self):

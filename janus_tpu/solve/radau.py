@@ -380,43 +380,37 @@ def _tangent_stages(tab, f, t, y, h, z, yd, tol, lu_r, piv_r,
     return zd
 
 
-def _gmres_stage_solver(tab, f, t_lin, y_lin, args, bands, h, mass, iters):
-    """Matrix-free transformed-stage solvers for stage_solver='gmres'.
+def _gmres_mass_ops(mass, m, dim, like):
+    """(mdotv, dl, d, du) for the mass term of the GMRES stage operator."""
+    if mass is None:
+        return (lambda v: v, jnp.zeros_like(like), jnp.ones_like(like),
+                jnp.zeros_like(like))
+    mm = mass if mass.ndim == 3 else jnp.broadcast_to(mass, (m, dim, dim))
+    mdotv = lambda v: jnp.einsum("mij,mj->mi", mm, v,          # noqa: E731
+                                 precision=_EINSUM_PRECISION)
+    z1 = jnp.zeros((m, 1), mm.dtype)
+    m_d = jnp.diagonal(mm, axis1=-2, axis2=-1)
+    m_dl = jnp.concatenate(
+        [z1, jnp.diagonal(mm, offset=-1, axis1=-2, axis2=-1)], axis=-1)
+    m_du = jnp.concatenate(
+        [jnp.diagonal(mm, offset=1, axis1=-2, axis2=-1), z1], axis=-1)
+    return mdotv, m_dl, m_d, m_du
 
-    The reference's decom_rc_gmres role (odesolvers/linsolve.py:61-110): in
-    place of dense LU factors of (γ/h·M − J), each stage system is solved by
-    batched GMRES(k) whose operator applies J·v as a jvp of the rhs at the
-    FROZEN linearization point (t_lin, y_lin) — J is never materialized —
-    preconditioned by a (complex) tridiagonal Thomas sweep built from the
-    3-probe bands (the 1-D method-of-lines stencil structure).
-    bands: [M, 3, D] = (dl, d, du) of J at the linearization point.
+
+def _gmres_core(tab, jv, bands, h, mass_ops, iters):
+    """Batched GMRES solvers for the transformed stage systems γ_q/h·M − J.
+
+    jv applies J·v matrix-free; bands [M, 3, D] are J's tridiagonal
+    (dl, d, du) for the Thomas preconditioner; mass_ops is
+    ``_gmres_mass_ops`` output. Shared by the forward stage solves and the
+    continuous-adjoint backward solves (there J := −Jᵀ, M := Mᵀ, h := h_b).
     """
     from janus_tpu.control.precond import tridiag_solve
     from janus_tpu.linalg.gmres import gmres_batched, tridiag_solve_complex
 
-    m, dim = y_lin.shape
+    dim = bands.shape[-1]
     j_dl, j_d, j_du = bands[:, 0], bands[:, 1], bands[:, 2]
-
-    def jv(v):
-        return jax.jvp(lambda yy: f(t_lin, yy, args), (y_lin,), (v,))[1]
-
-    if mass is None:
-        mdotv = lambda v: v                                    # noqa: E731
-        m_dl = jnp.zeros_like(j_dl)
-        m_d = jnp.ones_like(j_d)
-        m_du = jnp.zeros_like(j_du)
-    else:
-        mm = mass if mass.ndim == 3 else jnp.broadcast_to(
-            mass, (m, dim, dim))
-        mdotv = lambda v: jnp.einsum("mij,mj->mi", mm, v,      # noqa: E731
-                                     precision=_EINSUM_PRECISION)
-        z1 = jnp.zeros((m, 1), mm.dtype)
-        m_d = jnp.diagonal(mm, axis1=-2, axis2=-1)
-        m_dl = jnp.concatenate(
-            [z1, jnp.diagonal(mm, offset=-1, axis1=-2, axis2=-1)], axis=-1)
-        m_du = jnp.concatenate(
-            [jnp.diagonal(mm, offset=1, axis1=-2, axis2=-1), z1], axis=-1)
-
+    mdotv, m_dl, m_d, m_du = mass_ops
     gam = float(tab.mu_real) / h                               # [M]
 
     def solve_real(b):
@@ -464,11 +458,32 @@ def _gmres_stage_solver(tab, f, t_lin, y_lin, args, bands, h, mass, iters):
     return solve_real, solve_cplx
 
 
+def _gmres_stage_solver(tab, f, t_lin, y_lin, args, bands, h, mass, iters):
+    """Matrix-free transformed-stage solvers for stage_solver='gmres'.
+
+    The reference's decom_rc_gmres role (odesolvers/linsolve.py:61-110): in
+    place of dense LU factors of (γ/h·M − J), each stage system is solved by
+    batched GMRES(k) whose operator applies J·v as a jvp of the rhs at the
+    FROZEN linearization point (t_lin, y_lin) — J is never materialized —
+    preconditioned by a (complex) tridiagonal Thomas sweep built from the
+    3-probe bands (the 1-D method-of-lines stencil structure).
+    bands: [M, 3, D] = (dl, d, du) of J at the linearization point.
+    """
+    m, dim = y_lin.shape
+
+    def jv(v):
+        return jax.jvp(lambda yy: f(t_lin, yy, args), (y_lin,), (v,))[1]
+
+    mass_ops = _gmres_mass_ops(mass, m, dim, bands[:, 1])
+    return _gmres_core(tab, jv, bands, h, mass_ops, iters)
+
+
 def solve_radau(f: Callable, t0, tf, y0, args=None,
                 options: Optional[Options] = None, t_eval=None,
                 jac: Optional[Callable] = None, mass=None,
                 events=None, tangents=None,
-                args_tangents=None, _mesh_size: int = 0) -> cm.Solution:
+                args_tangents=None, _mesh_size: int = 0,
+                _h0=None) -> cm.Solution:
     """Batched adaptive Radau IIA solve (fixed stage count = options.min_stages).
 
     tangents: optional [K, M, D] seed directions for FIRST-CLASS forward
@@ -530,7 +545,19 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     ind_exp, use_index = cm.index_weights(opts, dim, dtype)
 
     f0 = f(t0, y0, args)
-    if opts.h0 == 0.0:
+    if _h0 is not None:
+        # signed per-lane warm start (segment chaining in solve.adjoint);
+        # lanes with _h0 == 0 fall back to the automatic initial step, and
+        # the in-loop boundary clamp bounds the rest by |tf - t|
+        direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
+        if mass is None:
+            h_auto = cm.initial_step(f, t0, y0, f0, tf, s, opts.rtol,
+                                     opts.atol, args, opts.max_step)
+        else:
+            h_auto = jnp.minimum(1e-3, jnp.abs(tf - t0) * 1e-2) * direction
+        h_mag = jnp.abs(jnp.broadcast_to(jnp.asarray(_h0, dtype), (m,)))
+        h = jnp.where(h_mag > 0, h_mag * direction, h_auto)
+    elif opts.h0 == 0.0:
         if mass is None:
             h = cm.initial_step(f, t0, y0, f0, tf, s, opts.rtol, opts.atol,
                                 args, opts.max_step)
@@ -993,4 +1020,5 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         sens=final.yd if use_sens else None,
         mesh=final.mesh if _mesh_size else None,
         sens_ys=final.out_sd if (use_sens and use_dense) else None,
+        h_next=final.h,
     )

@@ -20,6 +20,17 @@ from janus_tpu.solve.adjoint import radau_adjoint
 from janus_tpu.solve.fixed import odeint_fixed
 
 
+@pytest.fixture(autouse=True)
+def _clear_caches_each_test():
+    """This file compiles ~17 large custom-vjp programs; the XLA:CPU
+    compiler segfaults (exit 139 in backend_compile_and_load) late in a
+    single process once too many live executables accumulate (same
+    pathology the module-scoped conftest fixture works around). Clear
+    per-test here — every test compiles fresh programs anyway."""
+    yield
+    jax.clear_caches()
+
+
 def test_adjoint_matches_fd_y0_and_params_stiff_vdp():
     m = 3
     y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (m, 1))
@@ -175,3 +186,306 @@ def test_adjoint_primal_matches_solve_radau():
     sol = solve_radau(vdp_rhs, 0.0, 0.8, y0, args=mu, options=opts)
     np.testing.assert_allclose(np.asarray(yT), np.asarray(sol.y), rtol=0,
                                atol=0)
+
+
+def test_adjoint_t_eval_trajectory_fit_matches_fd():
+    """Trajectory-fitting loss: Σ_j w_j·|y(t_j)|² sampled by the chained
+    t_eval mode; gradients w.r.t. y0 and θ must match FD re-solves."""
+    m = 2
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (m, 1))
+    mus = jnp.array([30.0, 100.0])
+    opts = Options(rtol=1e-9, atol=1e-12)
+    ts = jnp.array([0.3, 0.7, 1.0, 1.4])
+    w = jnp.arange(1.0, 5.0)[None, :, None]
+
+    def loss(z, mm):
+        ys = radau_adjoint(vdp_rhs, (0.0, 1.4), z, args=mm, options=opts,
+                           jac=vdp_jac, t_eval=ts)
+        return jnp.sum(w * ys ** 2)
+
+    g_y0, g_mu = jax.grad(loss, argnums=(0, 1))(y0, mus)
+    eps = 1e-6
+    for i in range(m):
+        e = jnp.zeros((m,)).at[i].set(eps)
+        fd = (loss(y0, mus + e) - loss(y0, mus - e)) / (2 * eps)
+        np.testing.assert_allclose(float(g_mu[i]), float(fd), rtol=2e-4)
+        for j in range(2):
+            e2 = jnp.zeros((m, 2)).at[i, j].set(eps)
+            fd = (loss(y0 + e2, mus) - loss(y0 - e2, mus)) / (2 * eps)
+            np.testing.assert_allclose(float(g_y0[i, j]), float(fd),
+                                       rtol=2e-4, atol=1e-8)
+
+
+def test_adjoint_t_eval_primal_matches_dense_output():
+    """Chained-segment samples sit on the same solution the one-pass dense
+    output interpolates: agreement to solve tolerance."""
+    from janus_tpu.solve.radau import solve_radau
+    y0 = jnp.array([[2.0, 0.0], [1.0, 0.5]])
+    mu = jnp.array([20.0, 60.0])
+    opts = Options(rtol=1e-9, atol=1e-12)
+    ts = jnp.array([0.2, 0.5, 0.9, 1.3])
+    ys = radau_adjoint(vdp_rhs, (0.0, 1.3), y0, args=mu, options=opts,
+                       jac=vdp_jac, t_eval=ts)
+    sol = solve_radau(vdp_rhs, 0.0, 1.3, y0, args=mu, options=opts,
+                      jac=vdp_jac, t_eval=ts)
+    assert ys.shape == (2, 4, 2)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(sol.ys),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_adjoint_t_eval_sample_time_gradient():
+    """dL/dt_j flows through the chained segment boundaries (both as one
+    segment's tf and the next one's t0)."""
+    y0 = jnp.array([[2.0, 0.0]])
+    mu = jnp.array([40.0])
+    opts = Options(rtol=1e-10, atol=1e-13, adjoint_steps=512)
+    ts0 = jnp.array([0.4, 0.8, 1.2])
+
+    def loss(ts):
+        ys = radau_adjoint(vdp_rhs, (0.0, 1.2), y0, args=mu, options=opts,
+                           jac=vdp_jac, t_eval=ts)
+        return jnp.sum(jnp.arange(1.0, 4.0)[None, :, None] * ys ** 2)
+
+    g = jax.grad(loss)(ts0)
+    eps = 1e-7
+    for j in range(3):
+        e = jnp.zeros((3,)).at[j].set(eps)
+        fd = (loss(ts0 + e) - loss(ts0 - e)) / (2 * eps)
+        np.testing.assert_allclose(float(g[j]), float(fd), rtol=1e-4,
+                                   atol=1e-9)
+
+
+def test_adjoint_gmres_large_d_matches_fd():
+    """stage_solver='gmres' reverse mode on a D=96 Fisher-KPP MOL line —
+    far beyond the dense LU's trace budget; Jᵀ·v by vjp pulls + transposed
+    Thomas preconditioner. Gradients must match FD re-solves."""
+    from tests.test_radau_gmres import _mol_rhs
+
+    d = 96
+    dx = 1.0 / (d + 1)
+    xg = np.linspace(dx, 1.0 - dx, d)
+    rhs = _mol_rhs(dx)
+    m = 2
+    y0 = jnp.tile(jnp.asarray(np.exp(-100 * (xg - 0.3) ** 2))[None], (m, 1))
+    rates0 = jnp.array([1.0, 8.0])[:, None]
+    opts = Options(rtol=1e-7, atol=1e-10, stage_solver="gmres",
+                   gmres_iters=25)
+
+    def loss(z, rates):
+        yT = radau_adjoint(rhs, (0.0, 0.4), z, args=(0.01, rates),
+                           options=opts)
+        return jnp.sum(jnp.asarray(xg)[None, :] * yT ** 2)
+
+    g_y0, g_r = jax.grad(loss, argnums=(0, 1))(y0, rates0)
+    assert bool(jnp.all(jnp.isfinite(g_y0))) and bool(
+        jnp.all(jnp.isfinite(g_r)))
+    eps = 1e-5
+    for i in range(m):
+        e = jnp.zeros((m, 1)).at[i, 0].set(eps)
+        fd = (loss(y0, rates0 + e) - loss(y0, rates0 - e)) / (2 * eps)
+        np.testing.assert_allclose(float(g_r[i, 0]), float(fd), rtol=2e-4)
+    for j in (17, 48):                       # spot-check y0 components
+        e = jnp.zeros((m, d)).at[0, j].set(eps)
+        fd = (loss(y0 + e, rates0) - loss(y0 - e, rates0)) / (2 * eps)
+        np.testing.assert_allclose(float(g_y0[0, j]), float(fd), rtol=5e-4,
+                                   atol=1e-8)
+
+
+def _osc_rhs(t, y, p):
+    """Damped nonlinear oscillator: y0' = y1, y1' = -k·y0 - c·y1 - 0.1·y0³."""
+    k, c = p["k"], p["c"]
+    return jnp.stack([y[:, 1],
+                      -k * y[:, 0] - c * y[:, 1] - 0.1 * y[:, 0] ** 3],
+                     axis=-1)
+
+
+def _level_event(t, y, p):
+    return y[:, 0] - p["level"]
+
+
+def test_adjoint_event_gradients_match_fd():
+    """Terminal-event adjoint: L mixes y(t*) and t*; gradients w.r.t. y0,
+    dynamics params, and an event-only param (g_θ term) must match FD
+    re-solves (implicit-function jump λ(t*) = ȳ − w·g_yᵀ, grads −w·g_θ)."""
+    from janus_tpu.solve.events import Event
+
+    m = 2
+    y0 = jnp.array([[2.0, 0.0], [1.5, -0.3]])
+    p0 = {"k": jnp.array([3.0, 4.0]), "c": jnp.array([0.25, 0.4]),
+          "level": jnp.array([-0.8, -0.5])}
+    opts = Options(rtol=1e-10, atol=1e-13, adjoint_steps=512)
+    ev = Event(_level_event, terminal=True, direction=-1.0)
+
+    def loss(z, p):
+        y_star, t_star = radau_adjoint(_osc_rhs, (0.0, 12.0), z, args=p,
+                                       options=opts, events=ev)
+        return jnp.sum(y_star[:, 1] ** 2) + jnp.sum(
+            jnp.array([0.7, 1.3]) * t_star)
+
+    g_y0, g_p = jax.grad(loss, argnums=(0, 1))(y0, p0)
+    eps = 1e-6
+    for name in ("k", "c", "level"):
+        for i in range(m):
+            e = jnp.zeros((m,)).at[i].set(eps)
+            pp = dict(p0); pm = dict(p0)
+            pp[name] = p0[name] + e
+            pm[name] = p0[name] - e
+            fd = (loss(y0, pp) - loss(y0, pm)) / (2 * eps)
+            np.testing.assert_allclose(float(g_p[name][i]), float(fd),
+                                       rtol=5e-4, atol=1e-9,
+                                       err_msg=f"d/d{name}[{i}]")
+    for i in range(m):
+        for j in range(2):
+            e = jnp.zeros((m, 2)).at[i, j].set(eps)
+            fd = (loss(y0 + e, p0) - loss(y0 - e, p0)) / (2 * eps)
+            np.testing.assert_allclose(float(g_y0[i, j]), float(fd),
+                                       rtol=5e-4, atol=1e-9,
+                                       err_msg=f"d/dy0[{i},{j}]")
+
+
+def test_adjoint_event_mixed_batch_and_tf():
+    """A lane whose event never fires takes the ordinary terminal adjoint
+    (incl. the tf cotangent THROUGH the returned t_term); the event lane's tf
+    gradient is exactly zero."""
+    from janus_tpu.solve.events import Event
+
+    m = 2
+    y0 = jnp.array([[2.0, 0.0], [2.0, 0.0]])
+    # lane 0 crosses level; lane 1's level is unreachably low (damped osc)
+    p0 = {"k": jnp.array([3.0, 3.0]), "c": jnp.array([0.3, 0.3]),
+          "level": jnp.array([-0.5, -50.0])}
+    # lane 1 integrates the whole span at rtol 1e-10 (~650 accepted steps)
+    opts = Options(rtol=1e-10, atol=1e-13, adjoint_steps=1024)
+    ev = Event(_level_event, terminal=True, direction=-1.0)
+    w_t = jnp.array([0.7, 1.3])
+
+    def loss(z, p, tf):
+        y_star, t_star = radau_adjoint(_osc_rhs, (0.0, tf), z, args=p,
+                                       options=opts, events=ev)
+        return jnp.sum(y_star ** 2) + jnp.sum(w_t * t_star)
+
+    tf0 = 3.0
+    g_y0, g_tf = jax.grad(loss, argnums=(0, 2))(y0, p0, tf0)
+    eps = 1e-6
+    for i in range(m):
+        for j in range(2):
+            e = jnp.zeros((m, 2)).at[i, j].set(eps)
+            fd = (loss(y0 + e, p0, tf0) - loss(y0 - e, p0, tf0)) / (2 * eps)
+            np.testing.assert_allclose(float(g_y0[i, j]), float(fd),
+                                       rtol=5e-4, atol=1e-9)
+    # tf gradient: lane 1 contributes ȳ·ẏ(tf) + w_t[1]; lane 0 contributes 0
+    fd_tf = (loss(y0, p0, tf0 + eps) - loss(y0, p0, tf0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g_tf), float(fd_tf), rtol=5e-4)
+
+    # and the event lane's t* is insensitive to tf: drop lane 1's terms
+    def loss_ev_only(tf):
+        y_star, t_star = radau_adjoint(_osc_rhs, (0.0, tf), y0, args=p0,
+                                       options=opts, events=ev)
+        return jnp.sum(y_star[0] ** 2) + t_star[0]
+
+    g = jax.grad(loss_ev_only)(tf0)
+    np.testing.assert_allclose(float(g), 0.0, atol=1e-12)
+
+
+def test_adjoint_event_mass_matrix():
+    """Invertible mass + terminal event: ẏ* in the jump uses M⁻¹f."""
+    from janus_tpu.solve.events import Event
+
+    mass = jnp.array([[2.0, 0.0], [0.5, 1.0]])
+    y0 = jnp.array([[2.0, 0.0]])
+    p0 = {"k": jnp.array([3.0]), "c": jnp.array([0.3]),
+          "level": jnp.array([-0.4])}
+    opts = Options(rtol=1e-10, atol=1e-13, adjoint_steps=512)
+    ev = Event(_level_event, terminal=True, direction=-1.0)
+
+    def loss(z, p):
+        y_star, t_star = radau_adjoint(_osc_rhs, (0.0, 20.0), z, args=p,
+                                       options=opts, mass=mass, events=ev)
+        return jnp.sum(y_star ** 2) + 0.5 * t_star[0]
+
+    g_y0, g_p = jax.grad(loss, argnums=(0, 1))(y0, p0)
+    eps = 1e-6
+    for name in ("k", "level"):
+        e = jnp.full((1,), eps)
+        pp = dict(p0); pm = dict(p0)
+        pp[name] = p0[name] + e
+        pm[name] = p0[name] - e
+        fd = (loss(y0, pp) - loss(y0, pm)) / (2 * eps)
+        np.testing.assert_allclose(float(g_p[name][0]), float(fd), rtol=5e-4,
+                                   err_msg=f"d/d{name}")
+    for j in range(2):
+        e = jnp.zeros((1, 2)).at[0, j].set(eps)
+        fd = (loss(y0 + e, p0) - loss(y0 - e, p0)) / (2 * eps)
+        np.testing.assert_allclose(float(g_y0[0, j]), float(fd), rtol=5e-4,
+                                   atol=1e-9)
+
+
+def _rob_dae_rhs(t, y, k):
+    """Robertson-style semi-explicit index-1 DAE, mass = diag(2, 1, 0):
+    2·x1' = 2·(−k1 x1 + k3 x2 z), x2' = k1 x1 − k2 x2² − k3 x2 z,
+    0 = x1 + x2 + z − 1 (the scaled A block exercises A⁻ᵀ in the init)."""
+    k1, k2, k3 = k["k1"], k["k2"], k["k3"]
+    x1, x2, z = y[:, 0], y[:, 1], y[:, 2]
+    return jnp.stack([2.0 * (-k1 * x1 + k3 * x2 * z),
+                      k1 * x1 - k2 * x2 ** 2 - k3 * x2 * z,
+                      x1 + x2 + z - 1.0], axis=-1)
+
+
+def test_adjoint_index1_dae_matches_fd():
+    """n_alg=1 singular-mass adjoint: gradients w.r.t. differential y0 slots
+    (z0 consistently reconstructed) and parameters match FD re-solves; the
+    loss touches the ALGEBRAIC terminal value too (ȳ_z manifold term)."""
+    m = 2
+    mass = jnp.diag(jnp.array([2.0, 1.0, 0.0]))
+    x0 = jnp.array([[1.0, 0.2], [0.8, 0.4]])
+    k0 = {"k1": jnp.array([0.5, 0.7]), "k2": jnp.array([10.0, 6.0]),
+          "k3": jnp.array([2.0, 3.0])}
+    opts = Options(rtol=1e-10, atol=1e-13, adjoint_steps=512)
+    w = jnp.array([0.6, 1.1, 1.7])
+
+    def loss(xd, k):
+        z0 = 1.0 - xd[:, 0] - xd[:, 1]
+        y0 = jnp.concatenate([xd, z0[:, None]], axis=-1)
+        yT = radau_adjoint(_rob_dae_rhs, (0.0, 2.0), y0, args=k,
+                           options=opts, mass=mass, n_alg=1)
+        return jnp.sum(w[None, :] * yT ** 2)
+
+    g_x0, g_k = jax.grad(loss, argnums=(0, 1))(x0, k0)
+    eps = 1e-6
+    for name in ("k1", "k2", "k3"):
+        for i in range(m):
+            e = jnp.zeros((m,)).at[i].set(eps)
+            kp = dict(k0); km = dict(k0)
+            kp[name] = k0[name] + e
+            km[name] = k0[name] - e
+            fd = (loss(x0, kp) - loss(x0, km)) / (2 * eps)
+            np.testing.assert_allclose(float(g_k[name][i]), float(fd),
+                                       rtol=5e-5, atol=1e-10,
+                                       err_msg=f"d/d{name}[{i}]")
+    for i in range(m):
+        for j in range(2):
+            e = jnp.zeros((m, 2)).at[i, j].set(eps)
+            fd = (loss(x0 + e, k0) - loss(x0 - e, k0)) / (2 * eps)
+            np.testing.assert_allclose(float(g_x0[i, j]), float(fd),
+                                       rtol=5e-5, atol=1e-10,
+                                       err_msg=f"d/dx0[{i},{j}]")
+
+
+def test_adjoint_index1_dae_tf_gradient():
+    mass = jnp.diag(jnp.array([2.0, 1.0, 0.0]))
+    x0 = jnp.array([[1.0, 0.2]])
+    k0 = {"k1": jnp.array([0.5]), "k2": jnp.array([10.0]),
+          "k3": jnp.array([2.0])}
+    opts = Options(rtol=1e-10, atol=1e-13, adjoint_steps=512)
+
+    def loss(tf):
+        z0 = 1.0 - x0[:, 0] - x0[:, 1]
+        y0 = jnp.concatenate([x0, z0[:, None]], axis=-1)
+        yT = radau_adjoint(_rob_dae_rhs, (0.0, tf), y0, args=k0,
+                           options=opts, mass=mass, n_alg=1)
+        return jnp.sum(yT ** 2)
+
+    g = jax.grad(loss)(2.0)
+    eps = 1e-6
+    fd = (loss(2.0 + eps) - loss(2.0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)

@@ -112,6 +112,7 @@ def test_gmres_feature_exclusions():
     with pytest.raises(ValueError):              # variable order needs LU
         solve_ivp(f, (0.0, 1.0), y0, method="radaup",
                   options=opts.replace(min_stages=1, max_stages=7))
-    with pytest.raises(ValueError):              # adjoint factors with LU
+    with pytest.raises(ValueError):              # gmres adjoint: mass=None
         from janus_tpu.solve.adjoint import radau_adjoint
-        radau_adjoint(f, (0.0, 1.0), y0, options=opts)
+        jax.grad(lambda z: jnp.sum(radau_adjoint(
+            f, (0.0, 1.0), z, options=opts, mass=jnp.eye(4)) ** 2))(y0)
