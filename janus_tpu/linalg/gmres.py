@@ -12,7 +12,15 @@ VPU/MXU stay full, and compile time is O(k²) small ops instead of the unrolled
 dense LU's O(D²).
 
 Breakdown-safe: zero residual or lucky breakdown produce zero rotations and a
-finite (already-converged) solution rather than NaN.
+finite (already-converged) solution rather than NaN. Exhaustion-safe: when the
+Arnoldi depth exceeds a lane's Krylov dimension (k > N happens routinely — the
+depth is a static compile-time knob shared by every lane), the new direction's
+norm collapses to ~eps·‖A·P⁻¹v‖ instead of exactly 0 under compiled FMA
+reordering, and without a guard the back substitution divides two O(eps)
+numbers — injecting O(1) garbage into an otherwise-exact solution (debugged:
+the continuous-adjoint backward sweep diverged at gmres_iters=10 on a D=2
+system while eager replays of the same math converged). A RELATIVE breakdown
+test zeroes the basis vector and subdiagonal from that column on, per lane.
 """
 
 from __future__ import annotations
@@ -50,9 +58,12 @@ def gmres_batched(matvec: Callable, b, precond: Optional[Callable] = None,
     r_cols = []                                      # R's upper columns
     cs, sn = [], []
     g = []                                           # rotated rhs entries
+    colnorm = []                                     # [M] Hessenberg col scale
     gj = beta
+    eps = jnp.finfo(dtype).eps
     for j in range(iters):
         w = matvec(pc(v_basis[j]))
+        wn0 = nrm(w)                                 # pre-MGS column scale
         # modified Gram–Schmidt
         hcol = []
         for i in range(j + 1):
@@ -60,7 +71,15 @@ def gmres_batched(matvec: Callable, b, precond: Optional[Callable] = None,
             hcol.append(hij)
             w = w - hij[:, None] * v_basis[i]
         hnext = nrm(w)
-        v_basis.append(w / safe(hnext)[:, None])
+        # relative breakdown/exhaustion test (module docstring): a direction
+        # that survived MGS at ~eps of its own scale is rounding noise, not a
+        # Krylov vector — kill it and every later column for that lane
+        ok_j = hnext > (64.0 * eps) * wn0
+        hnext = jnp.where(ok_j, hnext, 0.0)
+        v_basis.append(jnp.where(ok_j[:, None], w / safe(hnext)[:, None],
+                                 0.0))
+        # Hessenberg column scale for the rank test in back substitution
+        colnorm.append(jnp.sqrt(sum(h * h for h in hcol) + hnext * hnext))
         # previous Givens rotations on the new column
         hc = list(hcol)
         for i in range(j):
@@ -78,13 +97,19 @@ def gmres_batched(matvec: Callable, b, precond: Optional[Callable] = None,
         r_cols.append(hc)
         g.append(c * gj)
         gj = -s * gj
-    # back substitution R y = g (R unit-free upper triangular, [M] entries)
+    # back substitution R y = g (R unit-free upper triangular, [M] entries).
+    # Rank test per column: a pivot at noise level relative to its own
+    # Hessenberg column (linearly dependent direction — breakdown or
+    # exhaustion) gets y pinned to 0, the minimal-norm LS choice; a healthy
+    # pivot on a breakdown column (e.g. A = I: h₀₀ = 1, hnext = 0) is kept
     y = [jnp.zeros_like(beta)] * iters
     for j in reversed(range(iters)):
         acc = g[j]
         for i in range(j + 1, iters):
             acc = acc - r_cols[i][j] * y[i]
-        y[j] = acc / safe(r_cols[j][j])
+        rjj = r_cols[j][j]
+        rank_ok = jnp.abs(rjj) > (64.0 * eps) * colnorm[j]
+        y[j] = jnp.where(rank_ok, acc / safe(rjj), 0.0)
     u = sum(y[j][:, None] * v_basis[j] for j in range(iters))
     x = pc(u)
     return x, jnp.abs(gj)

@@ -59,7 +59,8 @@ def _check_features(method: str, jac, mass, events, t_eval):
 def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               options: Optional[Options] = None, t_eval=None,
               events=None, jac: Optional[Callable] = None, mass=None,
-              tangents=None, args_tangents=None, **opt_kw) -> Solution:
+              tangents=None, args_tangents=None,
+              quad: Optional[Callable] = None, **opt_kw) -> Solution:
     """Batched initial-value-problem solve.
 
     f       : batched RHS ``f(t[M], y[M,D], args) -> [M,D]``
@@ -85,6 +86,11 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               sensitivities by internal differentiation (fixed-stage radau
               only; returned in Solution.sens; measured ~3× the vmapped-jvp
               transform). Any method also differentiates via jax.jvp.
+    quad    : optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
+              or ``[M, Q]``; ``Solution.quad`` = ∫ l dt accumulated at the
+              solve's own order (fixed-stage radau only; the CVODES
+              quadrature-integration role). For gradients of integral costs
+              use ``radau_adjoint(cost=...)``.
 
     Feature support per method is the FEATURES table; unsupported
     combinations raise instead of being silently ignored.
@@ -106,6 +112,10 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         raise ValueError("tangents= (internal-differentiation sensitivities)"
                          " is supported by the fixed-stage 'radau' methods "
                          "only; use jax.jvp through the solve otherwise")
+    if quad is not None and canonical != "radau":
+        raise ValueError("quad= (running-cost quadratures) is supported by "
+                         "the fixed-stage 'radau' methods only; integrate "
+                         "the cost as an extra state otherwise")
 
     if canonical in ("dopri5", "dopri853"):
         from janus_tpu.solve.dopri import TABLEAUS, solve_erk
@@ -122,6 +132,9 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
             if tangents is not None or args_tangents is not None:
                 raise ValueError("tangents= requires a fixed stage count "
                                  "(min_stages == max_stages)")
+            if quad is not None:
+                raise ValueError("quad= requires a fixed stage count "
+                                 "(min_stages == max_stages)")
             if options.stage_solver != "lu":
                 raise ValueError("stage_solver='gmres' is supported by the "
                                  "fixed-stage 'radau' methods only")
@@ -131,7 +144,8 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         from janus_tpu.solve.radau import solve_radau
         return solve_radau(f, t0, tf, y0, args, options, t_eval,
                            jac=jac, mass=mass, events=events,
-                           tangents=tangents, args_tangents=args_tangents)
+                           tangents=tangents, args_tangents=args_tangents,
+                           quad=quad)
     if canonical == "radau_fused":
         from janus_tpu.solve.radau_fused import solve_radau_fused
         return solve_radau_fused(f, t0, tf, y0, args, options)
@@ -164,8 +178,16 @@ def radau_adjoint(*a, **kw):
     return _impl(*a, **kw)
 
 
+def radau_hvp(*a, **kw):
+    """Hessian-vector products through the adaptive Radau solve
+    (forward-over-adjoint); see janus_tpu.solve.hvp.radau_hvp."""
+    from janus_tpu.solve.hvp import radau_hvp as _impl
+    return _impl(*a, **kw)
+
+
 __all__ = [
     "solve_ivp", "Solution", "Options", "FEATURES", "radau_adjoint",
+    "radau_hvp",
     "RUNNING", "SUCCESS", "MAX_STEPS", "STEP_UNDERFLOW", "NEWTON_STALL",
     "EVENT_TERMINATED",
 ]

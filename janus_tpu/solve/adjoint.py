@@ -78,7 +78,8 @@ from janus_tpu.solve.radau_tables import radau_tableau
 def radau_adjoint(f: Callable, tspan, y0, args=None,
                   options: Optional[Options] = None,
                   jac: Optional[Callable] = None, mass=None, t_eval=None,
-                  events=None, n_alg: int = 0):
+                  events=None, n_alg: int = 0, cost: Optional[Callable] = None,
+                  checkpoints: int = 0):
     """Reverse-differentiable batched adaptive Radau solve.
 
     Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
@@ -119,11 +120,32 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
     event-time motion's effect on y* flow through the implicit-function jump
     (see module docstring). Lanes that never trigger get the ordinary
     terminal adjoint. Not combinable with t_eval.
+
+    cost: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
+    (or ``[M, Q]``). Appends ``q = ∫ l dt`` (``solve_radau(quad=...)``, the
+    CVODES quadrature role) to the outputs — ``(y, q)``, ``(ys, q)`` with
+    t_eval (q summed over the whole grid span), or ``(y, t_term, q)`` with
+    events (q truncated at t*) — and q's cotangent flows through the SAME
+    backward sweep: the adjoint equation picks up the source term
+    λ' = −Jᵀλ − l_yᵀq̄, parameters the quadrature q̄·∫ l_θ dt, and the
+    boundaries ±q̄·l — integral-cost (Lagrange-term) objectives at one
+    backward sweep, no state augmentation. Not combinable with n_alg.
+
+    checkpoints: optional segment count C > 0 for MEMORY-BOUNDED long-horizon
+    reverse mode (terminal mode only — not with t_eval or events). The span
+    is chained over C uniform segments (each an adaptive solve warm-started
+    with the previous segment's step proposal) and each segment is
+    rematerialized (``jax.checkpoint``): the forward pass stores only the C
+    segment-boundary states; each segment's accepted-step mesh
+    ([M, adjoint_steps, s+1, D] floats) is RECOMPUTED during the backward
+    sweep — peak gradient memory drops ~C× for one extra forward solve of
+    compute. Size ``options.adjoint_steps`` for the per-SEGMENT step budget.
     """
     opts = options if options is not None else Options()
     if opts.min_stages != opts.max_stages:
         raise ValueError("radau_adjoint needs a fixed stage count "
                          "(Options.min_stages == max_stages)")
+    use_cost = cost is not None
     if n_alg:
         if mass is None:
             raise ValueError("n_alg > 0 (index-1 DAE adjoint) needs the "
@@ -131,16 +153,74 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
         if events is not None:
             raise ValueError("n_alg > 0 with events is not supported (the "
                              "event jump needs the DAE's constrained ẏ*)")
+        if use_cost:
+            raise ValueError("n_alg > 0 with cost= is not supported (the "
+                             "quadrature source needs the DAE-constrained "
+                             "cotangent split); integrate the cost as an "
+                             "extra differential state instead")
     t0, tf = tspan
     if events is not None:
         if t_eval is not None:
             raise ValueError("radau_adjoint: events and t_eval are mutually "
                              "exclusive")
-        run = _build_adjoint(f, opts, jac_user=jac, mass=mass, events=events)
+        if checkpoints:
+            raise ValueError("checkpoints= is terminal-mode only (an event "
+                             "crossing a segment boundary would be missed "
+                             "by the warm-started chain)")
+        run = _build_adjoint(f, opts, jac_user=jac, mass=mass, events=events,
+                             cost=cost)
+        if use_cost:
+            y, t_term, _, q = run(t0, tf, y0, args, None)
+            return y, t_term, q
         y, t_term, _ = run(t0, tf, y0, args, None)
         return y, t_term
-    run = _build_adjoint(f, opts, jac_user=jac, mass=mass, n_alg=n_alg)
+    if checkpoints and t_eval is not None:
+        raise ValueError("checkpoints= is terminal-mode only; t_eval already "
+                         "chains segments (size adjoint_steps per segment)")
+    run = _build_adjoint(f, opts, jac_user=jac, mass=mass, n_alg=n_alg,
+                         cost=cost)
     if t_eval is None:
+        if checkpoints:
+            if jnp.ndim(t0) != 0 or jnp.ndim(tf) != 0:
+                raise ValueError("radau_adjoint(checkpoints=...) chains "
+                                 "segments over a shared grid; t0/tf must "
+                                 "be scalars")
+            t0b, _, y0b = cm.broadcast_batch(t0, tf, y0)
+            dtype = y0b.dtype
+            edges = (jnp.asarray(t0, dtype)
+                     + (jnp.asarray(tf, dtype) - jnp.asarray(t0, dtype))
+                     * jnp.linspace(0.0, 1.0, int(checkpoints) + 1,
+                                    dtype=dtype))
+            h0c = jnp.zeros(t0b.shape, dtype)   # 0 ⇒ automatic initial step
+            # rematerialize each segment: the scan stores only the (y, h[, q])
+            # carry; the segment's mesh is recomputed in the backward pass
+            run_seg = jax.checkpoint(
+                lambda ta, tb, y, h: run(ta, tb, y, args, h))
+
+            if use_cost:
+                q0 = jnp.zeros(jax.eval_shape(
+                    lambda: cost(t0b, y0b, args)).shape, dtype)
+
+                def seg_cq(carry, bounds):
+                    y, h, q = carry
+                    y2, _, h2, q2 = run_seg(bounds[0], bounds[1], y, h)
+                    return (y2, h2, q + q2), None
+
+                (y, _, q), _ = jax.lax.scan(seg_cq, (y0b, h0c, q0),
+                                            (edges[:-1], edges[1:]))
+                return y, q
+
+            def seg_c(carry, bounds):
+                y, h = carry
+                y2, _, h2 = run_seg(bounds[0], bounds[1], y, h)
+                return (y2, h2), None
+
+            (y, _), _ = jax.lax.scan(seg_c, (y0b, h0c),
+                                     (edges[:-1], edges[1:]))
+            return y
+        if use_cost:
+            y, _, _, q = run(t0, tf, y0, args, None)
+            return y, q
         y, _, _ = run(t0, tf, y0, args, None)
         return y
 
@@ -156,6 +236,20 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
     t_lo = jnp.concatenate([jnp.full((1,), t0, dtype), t_eval[:-1]])
     t_hi = t_eval
     h_carry0 = jnp.zeros(t0b.shape, dtype)     # 0 ⇒ automatic initial step
+
+    if use_cost:
+        q0 = jnp.zeros(jax.eval_shape(lambda: cost(t0b, y0b, args)).shape,
+                       dtype)
+
+        def seg_q(carry, bounds):
+            y, h, q = carry
+            ta, tb = bounds
+            y2, _, h2, q2 = run(ta, tb, y, args, h)
+            return (y2, h2, q + q2), y2
+
+        (_, _, q), ys = jax.lax.scan(seg_q, (y0b, h_carry0, q0),
+                                     (t_lo, t_hi))
+        return jnp.swapaxes(ys, 0, 1), q       # [M, T, D], [M(, Q)]
 
     def seg(carry, bounds):
         y, h = carry
@@ -183,10 +277,11 @@ def _split_diff(args):
     return dleaves, rebuild, leaves, treedef, diff_idx
 
 
-def _build_adjoint(f, opts, jac_user, mass, events=None, n_alg=0):
+def _build_adjoint(f, opts, jac_user, mass, events=None, n_alg=0, cost=None):
     from janus_tpu.solve.events import normalize_events
     cap = opts.adjoint_steps
     specs = normalize_events(events)
+    use_cost = cost is not None
     if any(not e.terminal for e in specs):
         raise ValueError("radau_adjoint(events=...) requires every event "
                          "terminal (non-terminal crossings don't enter the "
@@ -195,25 +290,34 @@ def _build_adjoint(f, opts, jac_user, mass, events=None, n_alg=0):
     @jax.custom_vjp
     def run(t0, tf, y0, args, h0):
         sol = solve_radau(f, t0, tf, y0, args=args, options=opts,
-                          jac=jac_user, mass=mass, events=events, _h0=h0)
+                          jac=jac_user, mass=mass, events=events, quad=cost,
+                          _h0=h0)
+        if use_cost:
+            return sol.y, sol.t, sol.h_next, sol.quad
         return sol.y, sol.t, sol.h_next
 
     def fwd(t0, tf, y0, args, h0):
         sol = solve_radau(f, t0, tf, y0, args=args, options=opts,
-                          jac=jac_user, mass=mass, events=events,
+                          jac=jac_user, mass=mass, events=events, quad=cost,
                           _mesh_size=cap, _h0=h0)
         ev_idx = sol.event_idx if specs else None
         res = (sol.mesh, sol.stats["naccept"], t0, tf, y0, args, sol.y,
                sol.t, ev_idx, h0)
+        if use_cost:
+            return (sol.y, sol.t, sol.h_next, sol.quad), res
         return (sol.y, sol.t, sol.h_next), res
 
     def bwd(res, out_bar):
-        ybar, tbar, _ = out_bar      # h_next is a non-differentiable knob
+        if use_cost:                 # h_next is a non-differentiable knob
+            ybar, tbar, _, qbar = out_bar
+        else:
+            ybar, tbar, _ = out_bar
+            qbar = None
         mesh, nacc, t0, tf, y0, args, yT, t_term, ev_idx, h0 = res
         t0b, tfb, y0b = cm.broadcast_batch(t0, tf, y0)
         lam0, gleaves, t0bar, tfbar = _adjoint_sweep(
             f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb, t_term,
-            ev_idx, y0b, args, yT, ybar, tbar, n_alg)
+            ev_idx, y0b, args, yT, ybar, tbar, n_alg, cost=cost, qbar=qbar)
         # reduce cotangents back to the primal input shapes
         t0_ct = jnp.sum(t0bar) if jnp.ndim(t0) == 0 else t0bar
         tf_ct = jnp.sum(tfbar) if jnp.ndim(tf) == 0 else tfbar
@@ -233,8 +337,10 @@ def _build_adjoint(f, opts, jac_user, mass, events=None, n_alg=0):
 
 
 def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
-                   t_term, ev_idx, y0b, args, yT, ybar, tbar, n_alg=0):
+                   t_term, ev_idx, y0b, args, yT, ybar, tbar, n_alg=0,
+                   cost=None, qbar=None):
     """Backward lax.scan over the stored accepted-step mesh."""
+    use_cost = cost is not None
     m, dim = yT.shape
     dtype = yT.dtype
     s = opts.min_stages
@@ -258,6 +364,16 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
 
     def f2(t, y, dl):
         return f(t, y, rebuild(dl))
+
+    if use_cost:
+        def lfun(t, y, dl):                        # canon [M, Q]
+            v = cost(t, y, rebuild(dl))
+            return v[:, None] if v.ndim == 1 else v
+
+        qbar = jnp.zeros(jax.eval_shape(
+            lambda: cost(t_term, yT, rebuild(dleaves))).shape, dtype) \
+            if qbar is None else jnp.asarray(qbar, dtype)
+        qb = qbar if qbar.ndim == 2 else qbar[:, None]     # [M, Q]
 
     jac_fn = (lambda t, y, dl: jac_user(t, y, rebuild(dl))) if jac_user \
         else (lambda t, y, dl: default_jacobian(
@@ -311,6 +427,9 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
 
     tbar_in = jnp.zeros((m,), dtype) if tbar is None else \
         jnp.broadcast_to(jnp.asarray(tbar, dtype), (m,))
+    # the quadrature endpoint moves with t_term: dq/dT = l(T, y(T))
+    qdot_T = jnp.sum(qb * lfun(t_term, yT, dleaves), axis=-1) if use_cost \
+        else jnp.zeros((m,), dtype)
     grads0 = [jnp.zeros(l.shape, l.dtype) for l in dleaves]
     lam_T = ybar
     if specs:
@@ -323,7 +442,7 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
             zeros_dl = [jnp.zeros_like(l) for l in dleaves]
             _, den = jax.jvp(gfun, (t_term, yT, dleaves),
                              (jnp.ones_like(t_term), ydot_T, zeros_dl))
-            w = (jnp.sum(ybar * ydot_T, axis=-1) + tbar_in) \
+            w = (jnp.sum(ybar * ydot_T, axis=-1) + tbar_in + qdot_T) \
                 / jnp.where(den == 0.0, 1.0, den)
             wj = jnp.where((ev_idx == j) & is_ev, w, 0.0)
             _, pull = jax.vjp(gfun, t_term, yT, dleaves)
@@ -333,10 +452,11 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
         lam_T = jnp.where(is_ev[:, None], lam_corr, ybar)
         # lanes stopped by an event don't see tf at all
         tfbar = jnp.where(is_ev, 0.0,
-                          jnp.sum(ybar * ydot_T, axis=-1) + tbar_in)
+                          jnp.sum(ybar * ydot_T, axis=-1) + tbar_in + qdot_T)
     else:
-        # tf cotangent: dL/dT = λ(T)ᵀ ẏ(T) (+ the t_term output's cotangent)
-        tfbar = jnp.sum(ybar * ydot_T, axis=-1) + tbar_in
+        # tf cotangent: dL/dT = λ(T)ᵀ ẏ(T) (+ the t_term output's cotangent
+        # + the quadrature endpoint's q̄·l(T))
+        tfbar = jnp.sum(ybar * ydot_T, axis=-1) + tbar_in + qdot_T
 
     # ν(t_term) = M⁻ᵀ λ(t_term)
     if n_alg:
@@ -403,6 +523,7 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
 
         # per-stage vjp pulls: y-only (iteration) and (y, θ) (quadrature)
         pulls_y, pulls_full = [], []
+        srcs, pulls_l = [], []
         for i in range(s):
             ti, yi = taus[:, i], ys[:, i]
             _, py = jax.vjp(lambda yy, _t=ti: f2(_t, yy, dleaves), yi)
@@ -410,6 +531,13 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
                             dleaves)
             pulls_y.append(py)
             pulls_full.append(pf)
+            if use_cost:
+                # running-cost source: λ' picks up −l_yᵀq̄ (constant across
+                # the linear iteration), parameters q̄·∫ l_θ dt
+                _, pl = jax.vjp(lambda yy, dl, _t=ti: lfun(_t, yy, dl), yi,
+                                dleaves)
+                srcs.append(pl(qb)[0])               # [M, D]
+                pulls_l.append(pl)
 
         # frozen iteration matrix: (γ/h_b·Mᵀ + Jᵀ) from J at the step's
         # later end (where the backward step starts)
@@ -443,7 +571,8 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
         lam_e = lam
 
         def g_stage(i, z_i):
-            return -pulls_y[i](lam_e + z_i)[0]
+            base = -pulls_y[i](lam_e + z_i)[0]
+            return base - srcs[i] if use_cost else base
 
         init = (jnp.zeros((m, s, dim), dtype), jnp.zeros((m, s, dim), dtype),
                 jnp.zeros((), jnp.int32), jnp.ones((), bool))
@@ -486,12 +615,15 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
         lam = jnp.where(live[:, None], lam_n, lam)
         bad = bad | (live & ~ok)
 
-        # quadrature: ∂L/∂θ += h_eff Σ_i b_i · (∂f/∂θ)ᵀ ν(τ_i)
+        # quadrature: ∂L/∂θ += h_eff Σ_i b_i · (∂f/∂θ)ᵀ ν(τ_i) (+ q̄·l_θ)
         for i in range(s):
             wgt = jnp.where(live, h_eff * b_w[i], 0.0)  # [M]
             lam_i = lam_e + z[:, i, :]
             contrib = pulls_full[i]((wgt[:, None] * lam_i))[1]
             grads = [ga + gc for ga, gc in zip(grads, contrib)]
+            if use_cost:
+                contrib_l = pulls_l[i](wgt[:, None] * qb)[1]
+                grads = [ga + gc for ga, gc in zip(grads, contrib_l)]
 
         return (lam, grads, bad), None
 
@@ -500,9 +632,11 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
 
     # y0 cotangent: λ(t0) = Mᵀ ν(t0)
     lam0 = mdotT(lam) if mass is not None else lam
-    # t0 cotangent: dL/dt0 = −ν(t0)ᵀ f(t0, y0)
+    # t0 cotangent: dL/dt0 = −ν(t0)ᵀ f(t0, y0) − q̄·l(t0, y0)
     f_0 = f2(t0b, y0b, dleaves)
     t0bar = -jnp.sum(lam * f_0, axis=-1)
+    if use_cost:
+        t0bar = t0bar - jnp.sum(qb * lfun(t0b, y0b, dleaves), axis=-1)
 
     # poison everything if any lane overflowed the mesh or hit a singular
     # backward factorization — a silent wrong gradient is worse than NaN

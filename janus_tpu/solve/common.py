@@ -47,6 +47,10 @@ class Solution:
     h_next: Optional[jnp.ndarray] = None  # [M] controller's signed step
     #     proposal at termination (warm start for segment chaining: the
     #     adjoint t_eval path threads it into the next segment's _h0)
+    quad: Optional[jnp.ndarray] = None  # [M] or [M, Q] accumulated running-
+    #     cost quadratures ∫ l(t, y) dt (solve_radau(quad=...); the CVODES
+    #     quadrature-integration role — accumulated per accepted step at the
+    #     step's own Radau order, truncated at t* on event-terminated lanes)
 
     @property
     def success(self):

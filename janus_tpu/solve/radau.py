@@ -112,6 +112,8 @@ class _RadauState:
     dyn: Any
     mesh: Any                 # accepted-step rings for the adjoint backward
     #                           pass ({} when _mesh_size == 0)
+    q_acc: jnp.ndarray        # [M, Q] running-cost quadratures (0-size
+    #                           when quad= is unused)
 
 
 def _factorize(tab, h, jac, mass=None, pivot=True):
@@ -482,7 +484,8 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                 options: Optional[Options] = None, t_eval=None,
                 jac: Optional[Callable] = None, mass=None,
                 events=None, tangents=None,
-                args_tangents=None, _mesh_size: int = 0,
+                args_tangents=None, quad: Optional[Callable] = None,
+                _mesh_size: int = 0,
                 _h0=None) -> cm.Solution:
     """Batched adaptive Radau IIA solve (fixed stage count = options.min_stages).
 
@@ -504,6 +507,17 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     the event, yd(t*) + f(t*,y*)·dt* with the implicit-function correction
     dt* = −(g_y·yd)/(g_t + g_y·f) (the reference's EventZeroFcn on dual
     trajectories, radauted_impl.hpp:2306).
+
+    quad: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
+    (or ``[M, Q]`` for Q simultaneous functionals). ``Solution.quad``
+    accumulates ∫ l dt over each lane's integration window at the step's
+    own Radau quadrature (nodes c, weights b — order 2s−1, the solve's
+    order; the CVODES quadrature-integration role, which the reference
+    lacks). Event-terminated lanes integrate only to t* (the partial last
+    step is quadratured on the collocation interpolant). The quadrature
+    does NOT feed back into step control, the state, or ``tangents=``
+    sensitivities — for gradients of integral costs use
+    ``radau_adjoint(cost=...)`` (solve.adjoint).
     """
     opts = options if options is not None else Options()
     specs = normalize_events(events)
@@ -580,6 +594,24 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     else:
         out_ys = jnp.zeros((), dtype)
 
+    use_quad = quad is not None
+    if use_quad:
+        b_vec = jnp.asarray(tab.b, dtype)
+        qshape = jax.eval_shape(lambda: quad(t0, y0, args)).shape
+        if qshape not in ((m,),) and (len(qshape) != 2 or qshape[0] != m):
+            raise ValueError(f"quad must return [M] or [M, Q] with M={m}, "
+                             f"got {qshape}")
+        quad_scalar = len(qshape) == 1
+        qdim = 1 if quad_scalar else qshape[1]
+
+        def _ql(t, y):                       # canon [M, Q]
+            v = quad(t, y, args)
+            return v[:, None] if quad_scalar else v
+        q_acc0 = jnp.zeros((m, qdim), dtype)
+    else:
+        q_acc0 = jnp.zeros((), dtype)        # unused: keep the loop state
+        #                                      free of zero-width arrays
+
     stats = cm.zero_stats(m, ("nfev", "njev", "nlu", "nsteps", "naccept",
                               "nreject", "nnewton"))
     stats["nfev"] = stats["nfev"] + 2
@@ -652,6 +684,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         dyn=init_dyn(m, opts.record_steps, dtype,
                      dim if opts.record_states else 0),
         mesh=mesh0,
+        q_acc=q_acc0,
     )
 
     eps = jnp.finfo(dtype).eps
@@ -884,6 +917,46 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         ev, terminate, t_ev, y_ev, ev_idx = handle_events(
             specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
 
+        # ---- running-cost quadrature (gated on any accept) -----------------
+        if use_quad:
+            def do_quad(_):
+                # the step's own Radau quadrature on the converged stage
+                # values: q += h·Σ_i b_i·l(t + c_i·h, y + Z_i)
+                vals = jnp.stack(
+                    [_ql(st.t + c_nodes[i] * h, st.y + ns.z[:, i, :])
+                     for i in range(s)], axis=1)             # [M, s, Q]
+                inc = h[:, None] * jnp.einsum(
+                    "s,msq->mq", b_vec, vals, precision=_EINSUM_PRECISION)
+                if specs:
+                    # event-terminated lanes integrate only to t*: Radau
+                    # quadrature of the partial step [t, t*] with the state
+                    # read off the collocation interpolant
+                    def ev_part(_):
+                        th_e = jnp.clip((t_ev - st.t)
+                                        / jnp.where(h == 0.0, 1.0, h),
+                                        0.0, 1.0)            # [M]
+                        th_i = th_e[:, None] * c_nodes[None, :]   # [M, s]
+                        y_i = interp(th_i)                   # [M, s, D]
+                        t_i = st.t[:, None] + th_i * h[:, None]
+                        vals_e = jnp.stack(
+                            [_ql(t_i[:, i], y_i[:, i, :]) for i in range(s)],
+                            axis=1)
+                        inc_e = (th_e * h)[:, None] * jnp.einsum(
+                            "s,msq->mq", b_vec, vals_e,
+                            precision=_EINSUM_PRECISION)
+                        return jnp.where(terminate[:, None], inc_e, inc)
+
+                    inc2 = jax.lax.cond(jnp.any(terminate), ev_part,
+                                        lambda _: inc, operand=None)
+                else:
+                    inc2 = inc
+                return st.q_acc + jnp.where(accept[:, None], inc2, 0.0)
+
+            q_acc = jax.lax.cond(jnp.any(accept), do_quad,
+                                 lambda _: st.q_acc, operand=None)
+        else:
+            q_acc = st.q_acc
+
         if use_sens and specs:
             # total derivative at an event: the event time t* moves with the
             # seed direction — dt* = −(g_y·yd)/(g_t + g_y·f), so the lane's
@@ -1005,7 +1078,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             h_prev=jnp.where(accept, h, st.h_prev),
             have_sol=st.have_sol | accept,
             active=active, status=status, stats=stats, out_ys=out_ys,
-            out_sd=out_sd, ev=ev, dyn=dyn, mesh=mesh,
+            out_sd=out_sd, ev=ev, dyn=dyn, mesh=mesh, q_acc=q_acc,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -1021,4 +1094,6 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         mesh=final.mesh if _mesh_size else None,
         sens_ys=final.out_sd if (use_sens and use_dense) else None,
         h_next=final.h,
+        quad=(final.q_acc[:, 0] if quad_scalar else final.q_acc)
+        if use_quad else None,
     )

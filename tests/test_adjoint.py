@@ -489,3 +489,67 @@ def test_adjoint_index1_dae_tf_gradient():
     eps = 1e-6
     fd = (loss(2.0 + eps) - loss(2.0 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
+
+
+def test_adjoint_checkpoints_matches_unsegmented():
+    """radau_adjoint(checkpoints=C): segmented-remat reverse mode. The
+    primal must match the warm-start-chained forward solve and the gradient
+    must match the unsegmented adjoint (same math, C× less mesh memory) —
+    with adjoint_steps sized per SEGMENT, small enough that the
+    unsegmented sweep could not even store the whole span."""
+    m = 3
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (m, 1))
+    mus = jnp.array([5.0, 10.0, 20.0])   # limit cycles: ~3.2k total steps,
+    #                                      spread across the span (measured)
+    opts_full = Options(rtol=1e-9, atol=1e-12, adjoint_steps=4096)
+    opts_seg = Options(rtol=1e-9, atol=1e-12, adjoint_steps=1280)
+
+    def loss(z, mm, opts, ckpt):
+        yT = radau_adjoint(vdp_rhs, (0.0, 20.0), z, args=mm, options=opts,
+                           jac=vdp_jac, checkpoints=ckpt)
+        return jnp.sum(yT ** 2)
+
+    v_seg = loss(y0, mus, opts_seg, 4)
+    v_full = loss(y0, mus, opts_full, 0)
+    # segment boundaries quantize a few steps, so agreement is to solver
+    # tolerance over ~3k steps, not bitwise
+    np.testing.assert_allclose(float(v_seg), float(v_full), rtol=1e-6)
+    g_seg = jax.grad(loss, argnums=(0, 1))(y0, mus, opts_seg, 4)
+    g_full = jax.grad(loss, argnums=(0, 1))(y0, mus, opts_full, 0)
+    for a, b in zip(jax.tree_util.tree_leaves(g_seg),
+                    jax.tree_util.tree_leaves(g_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-9)
+    # a 1280-step budget cannot hold the whole ~3.2k-step mu=5 span: the
+    # unsegmented sweep at the per-segment budget must poison the gradient
+    g_tight = jax.grad(loss)(y0, mus, opts_seg, 0)
+    assert bool(jnp.any(jnp.isnan(g_tight)))
+
+
+def test_adjoint_checkpoints_with_cost():
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.5]])
+    opts = Options(rtol=1e-8, atol=1e-10, adjoint_steps=256)
+
+    def loss(mu):
+        y, q = radau_adjoint(vdp_rhs, (0.0, 3.0), y0,
+                             args=jnp.array([mu, mu + 1.0]), options=opts,
+                             cost=lambda t, y_, a: y_[:, 0] ** 2,
+                             checkpoints=3)
+        return jnp.sum(q) + 0.3 * jnp.sum(y ** 2)
+
+    g = float(jax.grad(loss)(4.0))
+    eps = 1e-6
+    fd = float((loss(4.0 + eps) - loss(4.0 - eps)) / (2 * eps))
+    np.testing.assert_allclose(g, fd, rtol=2e-5)
+
+
+def test_adjoint_checkpoints_mode_restrictions():
+    from janus_tpu.solve.events import Event
+    y0 = jnp.zeros((1, 2))
+    with pytest.raises(ValueError, match="terminal-mode"):
+        radau_adjoint(vdp_rhs, (0.0, 1.0), y0, args=jnp.ones(1),
+                      t_eval=jnp.array([0.5]), checkpoints=2)
+    with pytest.raises(ValueError, match="terminal-mode"):
+        radau_adjoint(vdp_rhs, (0.0, 1.0), y0, args=jnp.ones(1),
+                      events=Event(lambda t, y, a: y[:, 0], terminal=True),
+                      checkpoints=2)

@@ -1,0 +1,247 @@
+"""Running-cost quadratures: solve_radau(quad=...) and radau_adjoint(cost=...).
+
+The CVODES quadrature-integration role (the reference has no quadrature
+machinery at all): q = ∫ l(t, y) dt accumulated per accepted step at the
+step's own Radau order, and reverse-mode gradients of integral-cost
+(Lagrange-term) objectives through the continuous adjoint — the backward
+sweep picks up the source term λ' = −Jᵀλ − l_yᵀq̄ plus boundary/quadrature
+pieces (solve/adjoint.py docstring). Oracles: scipy augmented-state solves
+and central-difference re-solves.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from janus_tpu.solve import Options
+from janus_tpu.solve.adjoint import radau_adjoint
+from janus_tpu.solve.events import Event
+from janus_tpu.solve.radau import solve_radau
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_each_test():
+    # same custom-vjp executable-accumulation workaround as test_adjoint.py
+    yield
+    jax.clear_caches()
+
+
+def _vdp(t, y, mu):
+    return jnp.stack([y[:, 1], mu * (1 - y[:, 0] ** 2) * y[:, 1] - y[:, 0]],
+                     axis=-1)
+
+
+def _osc(t, y, k):
+    return jnp.stack([y[:, 1], -k * y[:, 0]], axis=-1)
+
+
+def test_forward_quad_matches_scipy_augmented():
+    """∫ y₀² dt over a stiff VdP solve vs scipy Radau on the augmented
+    system, to solver tolerance."""
+    from scipy.integrate import solve_ivp as sp_solve
+
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.5]])
+    sol = solve_radau(_vdp, 0.0, 3.0, y0, args=5.0,
+                      options=Options(rtol=1e-10, atol=1e-12),
+                      quad=lambda t, y, a: y[:, 0] ** 2)
+    assert sol.quad.shape == (2,)
+    for i in range(2):
+        ref = sp_solve(lambda t, y: [y[1], 5.0 * (1 - y[0] ** 2) * y[1] - y[0],
+                                     y[0] ** 2],
+                       (0.0, 3.0), list(np.asarray(y0[i])) + [0.0],
+                       method="Radau", rtol=1e-12, atol=1e-13)
+        np.testing.assert_allclose(float(sol.quad[i]), ref.y[2, -1],
+                                   rtol=1e-8)
+
+
+def test_forward_quad_vector_and_event_truncation():
+    """[M, Q] quadratures; an elapsed-time slot (l ≡ 1) must integrate to
+    exactly t* on event-terminated lanes and to tf on the rest."""
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.5]])
+
+    def l2(t, y, a):
+        return jnp.stack([y[:, 0] ** 2, jnp.ones_like(t)], axis=-1)
+
+    ev = Event(lambda t, y, a: y[:, 0], terminal=True)
+    sol = solve_radau(_vdp, 0.0, 3.0, y0, args=5.0,
+                      options=Options(rtol=1e-10, atol=1e-12),
+                      quad=l2, events=ev)
+    assert sol.quad.shape == (2, 2)
+    # lane 0 starts at the y0=2 branch and never crosses before t=3 at mu=5
+    elapsed = np.asarray(sol.quad[:, 1])
+    t_stop = np.where(np.asarray(sol.event_idx) >= 0,
+                      np.asarray(sol.event_t), 3.0)
+    np.testing.assert_allclose(elapsed, t_stop, rtol=1e-9)
+    assert int(jnp.sum(sol.event_idx >= 0)) >= 1   # the truncation path ran
+
+
+def test_cost_adjoint_matches_fd_all_inputs():
+    """grad of Σq + terminal term w.r.t. y0, θ (incl. a cost-only θ term),
+    t0, and tf matches central differences."""
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.5]])
+    opts = Options(rtol=1e-8, atol=1e-10, adjoint_steps=512)
+
+    def cost(t, y, mu):
+        return y[:, 0] ** 2 + 0.1 * mu * jnp.sin(t)
+
+    def loss(z, mu, t0, tf):
+        y, q = radau_adjoint(_vdp, (t0, tf), z, args=mu, options=opts,
+                             cost=cost)
+        return jnp.sum(q) + 0.3 * jnp.sum(y ** 2)
+
+    g_y0, g_mu, g_t0, g_tf = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        y0, 4.0, 0.0, 3.0)
+    eps = 1e-6
+    for i in range(2):
+        for j in range(2):
+            e = jnp.zeros((2, 2)).at[i, j].set(eps)
+            fd = (loss(y0 + e, 4.0, 0.0, 3.0)
+                  - loss(y0 - e, 4.0, 0.0, 3.0)) / (2 * eps)
+            np.testing.assert_allclose(float(g_y0[i, j]), float(fd),
+                                       rtol=2e-5, atol=1e-9)
+    fd = (loss(y0, 4.0 + eps, 0.0, 3.0) - loss(y0, 4.0 - eps, 0.0, 3.0)) \
+        / (2 * eps)
+    np.testing.assert_allclose(float(g_mu), float(fd), rtol=2e-5)
+    fd = (loss(y0, 4.0, eps, 3.0) - loss(y0, 4.0, -eps, 3.0)) / (2 * eps)
+    np.testing.assert_allclose(float(g_t0), float(fd), rtol=2e-5)
+    fd = (loss(y0, 4.0, 0.0, 3.0 + eps) - loss(y0, 4.0, 0.0, 3.0 - eps)) \
+        / (2 * eps)
+    np.testing.assert_allclose(float(g_tf), float(fd), rtol=2e-5)
+
+
+def test_cost_adjoint_mass_matrix():
+    mass = jnp.array([[2.0, 0.3], [0.1, 1.5]])
+    y0 = jnp.array([[1.0, 0.0], [0.5, 0.3]])
+    opts = Options(rtol=1e-8, atol=1e-10, adjoint_steps=512)
+
+    def fm(t, y, a):
+        return jnp.stack([y[:, 1], -a * y[:, 0] - 0.2 * y[:, 1]], axis=-1)
+
+    def loss(a):
+        y, q = radau_adjoint(fm, (0.0, 4.0), y0, args=a, options=opts,
+                             mass=mass, cost=lambda t, y, _: y[:, 0] ** 2)
+        return jnp.sum(q) + jnp.sum(y[:, 0])
+
+    g = float(jax.grad(loss)(1.7))
+    eps = 1e-6
+    fd = float((loss(1.7 + eps) - loss(1.7 - eps)) / (2 * eps))
+    np.testing.assert_allclose(g, fd, rtol=1e-6)
+
+
+def test_cost_adjoint_event_truncated_integral():
+    """∫₀^{t*} l dt with a terminal event: the jump w picks up q̄·l(t*)."""
+    y0 = jnp.array([[1.0, 0.1], [0.8, -0.2]])
+    opts = Options(rtol=1e-8, atol=1e-10, adjoint_steps=512)
+    ev = Event(lambda t, y, a: y[:, 0], terminal=True)
+
+    def loss(k):
+        y, tst, q = radau_adjoint(_osc, (0.0, 3.0), y0, args=k, options=opts,
+                                  events=ev,
+                                  cost=lambda t, y, _: y[:, 1] ** 2)
+        return jnp.sum(q) + 0.2 * jnp.sum(tst)
+
+    g = float(jax.grad(loss)(1.3))
+    eps = 1e-6
+    fd = float((loss(1.3 + eps) - loss(1.3 - eps)) / (2 * eps))
+    np.testing.assert_allclose(g, fd, rtol=1e-6)
+
+
+def test_cost_adjoint_t_eval_combination():
+    """Integral cost + trajectory samples: q sums over the chained segments
+    and both outputs' cotangents flow."""
+    y0 = jnp.array([[1.0, 0.1], [0.8, -0.2]])
+    opts = Options(rtol=1e-8, atol=1e-10, adjoint_steps=512)
+    tg = jnp.array([1.0, 2.0, 3.0])
+
+    def loss(k):
+        ys, q = radau_adjoint(_osc, (0.0, 3.0), y0, args=k, options=opts,
+                              t_eval=tg, cost=lambda t, y, _: y[:, 1] ** 2)
+        return jnp.sum(q) + 0.1 * jnp.sum(ys ** 2)
+
+    g = float(jax.grad(loss)(1.3))
+    eps = 1e-6
+    fd = float((loss(1.3 + eps) - loss(1.3 - eps)) / (2 * eps))
+    np.testing.assert_allclose(g, fd, rtol=1e-6)
+
+
+def test_cost_adjoint_gmres_and_deep_arnoldi():
+    """cost= through the matrix-free backward sweep — AND the GMRES
+    exhaustion guard: gmres_iters far beyond the Krylov dimension used to
+    inject rank-deficient back-substitution garbage that diverged the
+    backward iteration (linalg/gmres.py docstring)."""
+    y0 = jnp.array([[1.0, 0.1], [0.8, -0.2]])
+    opts = Options(rtol=1e-8, atol=1e-10, adjoint_steps=512,
+                   stage_solver="gmres", gmres_iters=20)
+
+    def loss(k):
+        y, q = radau_adjoint(_osc, (0.0, 3.0), y0, args=k, options=opts,
+                             cost=lambda t, y, _: y[:, 1] ** 2)
+        return jnp.sum(q) + jnp.sum(y)
+
+    g = float(jax.grad(loss)(1.3))
+    eps = 1e-6
+    fd = float((loss(1.3 + eps) - loss(1.3 - eps)) / (2 * eps))
+    np.testing.assert_allclose(g, fd, rtol=1e-6)
+
+
+def test_cost_adjoint_vector_q():
+    y0 = jnp.array([[1.0, 0.1]])
+    opts = Options(rtol=1e-8, atol=1e-10, adjoint_steps=512)
+
+    def lv(t, y, k):
+        return jnp.stack([y[:, 0] ** 2, k * y[:, 1] ** 2], axis=-1)
+
+    def loss(k):
+        y, q = radau_adjoint(_osc, (0.0, 3.0), y0, args=k, options=opts,
+                             cost=lv)
+        return jnp.sum(q[:, 0]) + 2.0 * jnp.sum(q[:, 1])
+
+    g = float(jax.grad(loss)(1.3))
+    eps = 1e-6
+    fd = float((loss(1.3 + eps) - loss(1.3 - eps)) / (2 * eps))
+    np.testing.assert_allclose(g, fd, rtol=1e-6)
+
+
+def test_cost_with_n_alg_raises():
+    with pytest.raises(ValueError, match="cost"):
+        radau_adjoint(_osc, (0.0, 1.0), jnp.zeros((1, 2)),
+                      mass=jnp.diag(jnp.array([1.0, 0.0])), n_alg=1,
+                      cost=lambda t, y, a: y[:, 0])
+
+
+def test_gmres_exhaustion_rank_guard():
+    """Unit test for the exhaustion fix: iters ≫ N must still solve exactly
+    (A = I breaks down at column 0 with a HEALTHY pivot — kept; dependent
+    columns past the Krylov dimension are dropped)."""
+    from janus_tpu.linalg.gmres import gmres_batched
+
+    x, _ = gmres_batched(lambda v: v, jnp.array([[3.0, -2.0]]), None, 10)
+    np.testing.assert_allclose(np.asarray(x), [[3.0, -2.0]], rtol=0, atol=0)
+
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (4, 3, 3))
+    a = a @ jnp.swapaxes(a, -1, -2) + 3 * jnp.eye(3)
+    b = jax.random.normal(jax.random.PRNGKey(1), (4, 3))
+    mv = lambda v: jnp.einsum("mij,mj->mi", a, v)      # noqa: E731
+    x, _ = gmres_batched(mv, b, None, 20)
+    np.testing.assert_allclose(np.asarray(mv(x)), np.asarray(b), atol=1e-12)
+
+
+def test_solve_ivp_quad_wiring():
+    """Top-level API: quad= reaches the radau backend; other methods raise."""
+    from janus_tpu.solve import solve_ivp
+
+    y0 = jnp.array([[2.0, 0.0]])
+    l = lambda t, y, a: y[:, 0] ** 2                   # noqa: E731
+    opts = Options(rtol=1e-8, atol=1e-10)
+    s1 = solve_ivp(_vdp, (0.0, 2.0), y0, method="radau", args=5.0,
+                   options=opts, quad=l)
+    s2 = solve_radau(_vdp, 0.0, 2.0, y0, args=5.0, options=opts, quad=l)
+    np.testing.assert_allclose(np.asarray(s1.quad), np.asarray(s2.quad),
+                               rtol=0, atol=0)
+    with pytest.raises(ValueError, match="quad"):
+        solve_ivp(_vdp, (0.0, 2.0), y0, method="dopri5", args=5.0, quad=l)
+    with pytest.raises(ValueError, match="fixed.stage"):
+        solve_ivp(_vdp, (0.0, 2.0), y0, method="radaup", args=5.0,
+                  options=Options(min_stages=1, max_stages=7), quad=l)
