@@ -89,8 +89,10 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
     quad    : optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
               or ``[M, Q]``; ``Solution.quad`` = ∫ l dt accumulated at the
               solve's own order (fixed-stage radau only; the CVODES
-              quadrature-integration role). For gradients of integral costs
-              use ``radau_adjoint(cost=...)``.
+              quadrature-integration role). With ``tangents=`` the IND sweep
+              also fills ``Solution.sens_quad`` (quadrature sensitivities).
+              For reverse-mode gradients of integral costs use
+              ``radau_adjoint(cost=...)``.
 
     Feature support per method is the FEATURES table; unsupported
     combinations raise instead of being silently ignored.

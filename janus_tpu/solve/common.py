@@ -51,6 +51,9 @@ class Solution:
     #     cost quadratures ∫ l(t, y) dt (solve_radau(quad=...); the CVODES
     #     quadrature-integration role — accumulated per accepted step at the
     #     step's own Radau order, truncated at t* on event-terminated lanes)
+    sens_quad: Optional[jnp.ndarray] = None  # [K, M(, Q)] IND tangents of
+    #     quad: dq_k = ∫ l_y·yd_k + l_θ·dθ_k dt (+ l(t*)·dt*_k on event-
+    #     terminated lanes) — CVODES quadrature-sensitivity role
 
     @property
     def success(self):

@@ -112,8 +112,10 @@ class _RadauState:
     dyn: Any
     mesh: Any                 # accepted-step rings for the adjoint backward
     #                           pass ({} when _mesh_size == 0)
-    q_acc: jnp.ndarray        # [M, Q] running-cost quadratures (0-size
+    q_acc: jnp.ndarray        # [M, Q] running-cost quadratures (scalar 0
     #                           when quad= is unused)
+    qd_acc: jnp.ndarray       # [K, M, Q] IND tangents of the quadratures
+    #                           (scalar 0 unless quad= AND tangents=)
 
 
 def _factorize(tab, h, jac, mass=None, pivot=True):
@@ -514,9 +516,12 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     own Radau quadrature (nodes c, weights b — order 2s−1, the solve's
     order; the CVODES quadrature-integration role, which the reference
     lacks). Event-terminated lanes integrate only to t* (the partial last
-    step is quadratured on the collocation interpolant). The quadrature
-    does NOT feed back into step control, the state, or ``tangents=``
-    sensitivities — for gradients of integral costs use
+    step is quadratured on the collocation interpolant). With ``tangents=``
+    the IND sweep also carries the quadrature tangents
+    dq_k = ∫ l_y·yd_k + l_θ·dθ_k dt (+ l(t*)·dt*_k on event lanes) into
+    ``Solution.sens_quad`` [K, M(, Q)] — the CVODES quadrature-sensitivity
+    role. The quadrature never feeds back into step control or the state;
+    for reverse-mode gradients of integral costs use
     ``radau_adjoint(cost=...)`` (solve.adjoint).
     """
     opts = options if options is not None else Options()
@@ -607,6 +612,10 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         def _ql(t, y):                       # canon [M, Q]
             v = quad(t, y, args)
             return v[:, None] if quad_scalar else v
+
+        def _qla(t, y, aa):                  # args-open variant (jvp seat)
+            v = quad(t, y, aa)
+            return v[:, None] if quad_scalar else v
         q_acc0 = jnp.zeros((m, qdim), dtype)
     else:
         q_acc0 = jnp.zeros((), dtype)        # unused: keep the loop state
@@ -653,6 +662,10 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     else:
         mesh0 = {}
 
+    use_quad_sens = use_quad and use_sens
+    qd_acc0 = jnp.zeros((yd0.shape[0], m, qdim), dtype) if use_quad_sens \
+        else jnp.zeros((), dtype)
+
     already_done = t0 == tf
     state = _RadauState(
         t=t0, y=y0, yd=yd0,
@@ -685,6 +698,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                      dim if opts.record_states else 0),
         mesh=mesh0,
         q_acc=q_acc0,
+        qd_acc=qd_acc0,
     )
 
     eps = jnp.finfo(dtype).eps
@@ -917,46 +931,6 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         ev, terminate, t_ev, y_ev, ev_idx = handle_events(
             specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
 
-        # ---- running-cost quadrature (gated on any accept) -----------------
-        if use_quad:
-            def do_quad(_):
-                # the step's own Radau quadrature on the converged stage
-                # values: q += h·Σ_i b_i·l(t + c_i·h, y + Z_i)
-                vals = jnp.stack(
-                    [_ql(st.t + c_nodes[i] * h, st.y + ns.z[:, i, :])
-                     for i in range(s)], axis=1)             # [M, s, Q]
-                inc = h[:, None] * jnp.einsum(
-                    "s,msq->mq", b_vec, vals, precision=_EINSUM_PRECISION)
-                if specs:
-                    # event-terminated lanes integrate only to t*: Radau
-                    # quadrature of the partial step [t, t*] with the state
-                    # read off the collocation interpolant
-                    def ev_part(_):
-                        th_e = jnp.clip((t_ev - st.t)
-                                        / jnp.where(h == 0.0, 1.0, h),
-                                        0.0, 1.0)            # [M]
-                        th_i = th_e[:, None] * c_nodes[None, :]   # [M, s]
-                        y_i = interp(th_i)                   # [M, s, D]
-                        t_i = st.t[:, None] + th_i * h[:, None]
-                        vals_e = jnp.stack(
-                            [_ql(t_i[:, i], y_i[:, i, :]) for i in range(s)],
-                            axis=1)
-                        inc_e = (th_e * h)[:, None] * jnp.einsum(
-                            "s,msq->mq", b_vec, vals_e,
-                            precision=_EINSUM_PRECISION)
-                        return jnp.where(terminate[:, None], inc_e, inc)
-
-                    inc2 = jax.lax.cond(jnp.any(terminate), ev_part,
-                                        lambda _: inc, operand=None)
-                else:
-                    inc2 = inc
-                return st.q_acc + jnp.where(accept[:, None], inc2, 0.0)
-
-            q_acc = jax.lax.cond(jnp.any(accept), do_quad,
-                                 lambda _: st.q_acc, operand=None)
-        else:
-            q_acc = st.q_acc
-
         if use_sens and specs:
             # total derivative at an event: the event time t* moves with the
             # seed direction — dt* = −(g_y·yd)/(g_t + g_y·f), so the lane's
@@ -969,6 +943,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                                        precision=_EINSUM_PRECISION)
             f_ev = f(t_ev, y_ev, args)
             sens_sel = yd_ev
+            dts_sel = jnp.zeros(yd_ev.shape[:2], dtype)     # [K, M] dt*_k
             for j, spec in enumerate(specs):
                 gfun = (lambda tt, yy, _sp=spec: _sp.fn(tt, yy, args))
                 _, gdot = jax.jvp(gfun, (t_ev, y_ev),
@@ -980,7 +955,115 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                 corr_j = yd_ev + dts[:, :, None] * f_ev[None]
                 sens_sel = jnp.where((ev_idx == j)[None, :, None], corr_j,
                                      sens_sel)
+                dts_sel = jnp.where((ev_idx == j)[None, :], dts, dts_sel)
             yd_new = jnp.where(terminate[None, :, None], sens_sel, yd_new)
+
+        # ---- running-cost quadrature (gated on any accept) -----------------
+        if use_quad:
+            k_q = yd0.shape[0] if use_quad_sens else 0
+            if use_quad_sens:
+                args_d_rows = [jax.tree_util.tree_map(lambda a, _k=k: a[_k],
+                                                      args_d)
+                               for k in range(k_q)] if args_d is not None \
+                    else [None] * k_q
+                # stage tangent values off the dense tangent polynomial:
+                # yd(θ=c_i) = yd + Σ_q c_i^{q+1}·Qd_q  (exact at collocation
+                # nodes)
+                cpow = jnp.stack([c_nodes ** (q + 1) for q in range(s)],
+                                 axis=0)                      # [q, s]
+
+            def _ldot(ti, yi, ydik, k):
+                # tangent of the integrand: l_y·yd (+ l_θ·dθ_k)
+                if args_d is None:
+                    return jax.jvp(lambda yy: _ql(ti, yy), (yi,), (ydik,))[1]
+                return jax.jvp(lambda yy, aa: _qla(ti, yy, aa), (yi, args),
+                               (ydik, args_d_rows[k]))[1]
+
+            def do_quad(_):
+                # the step's own Radau quadrature on the converged stage
+                # values: q += h·Σ_i b_i·l(t + c_i·h, y + Z_i)
+                vals = jnp.stack(
+                    [_ql(st.t + c_nodes[i] * h, st.y + ns.z[:, i, :])
+                     for i in range(s)], axis=1)             # [M, s, Q]
+                inc = h[:, None] * jnp.einsum(
+                    "s,msq->mq", b_vec, vals, precision=_EINSUM_PRECISION)
+                if use_quad_sens:
+                    yd_st = st.yd[:, :, None, :] + jnp.einsum(
+                        "kmqd,qs->kmsd", qd, cpow,
+                        precision=_EINSUM_PRECISION)         # [K, M, s, D]
+                    ld = jnp.stack(
+                        [jnp.stack([_ldot(st.t + c_nodes[i] * h,
+                                          st.y + ns.z[:, i, :],
+                                          yd_st[k, :, i, :], k)
+                                    for i in range(s)], axis=1)
+                         for k in range(k_q)])               # [K, M, s, Q]
+                    inc_d = h[None, :, None] * jnp.einsum(
+                        "s,kmsq->kmq", b_vec, ld,
+                        precision=_EINSUM_PRECISION)
+                else:
+                    inc_d = None
+                if specs:
+                    # event-terminated lanes integrate only to t*: Radau
+                    # quadrature of the partial step [t, t*] with the state
+                    # read off the collocation interpolant
+                    def ev_part(op):
+                        inc, inc_d = op
+                        th_e = jnp.clip((t_ev - st.t)
+                                        / jnp.where(h == 0.0, 1.0, h),
+                                        0.0, 1.0)            # [M]
+                        th_i = th_e[:, None] * c_nodes[None, :]   # [M, s]
+                        y_i = interp(th_i)                   # [M, s, D]
+                        t_i = st.t[:, None] + th_i * h[:, None]
+                        vals_e = jnp.stack(
+                            [_ql(t_i[:, i], y_i[:, i, :]) for i in range(s)],
+                            axis=1)
+                        inc_e = (th_e * h)[:, None] * jnp.einsum(
+                            "s,msq->mq", b_vec, vals_e,
+                            precision=_EINSUM_PRECISION)
+                        inc_out = jnp.where(terminate[:, None], inc_e, inc)
+                        if not use_quad_sens:
+                            return inc_out, inc_d
+                        # tangent of the truncated integral: the integrand
+                        # tangent over [t, t*] plus the moving endpoint's
+                        # l(t*, y*)·dt*_k
+                        tpow_e = jnp.stack(
+                            [th_i ** (q + 1) for q in range(s)],
+                            axis=1)                          # [M, q, s]
+                        yd_e = st.yd[:, :, None, :] + jnp.einsum(
+                            "kmqd,mqs->kmsd", qd, tpow_e,
+                            precision=_EINSUM_PRECISION)
+                        ld_e = jnp.stack(
+                            [jnp.stack([_ldot(t_i[:, i], y_i[:, i, :],
+                                              yd_e[k, :, i, :], k)
+                                        for i in range(s)], axis=1)
+                             for k in range(k_q)])           # [K, M, s, Q]
+                        inc_de = (th_e * h)[None, :, None] * jnp.einsum(
+                            "s,kmsq->kmq", b_vec, ld_e,
+                            precision=_EINSUM_PRECISION)
+                        l_star = _ql(t_ev, y_ev)             # [M, Q]
+                        inc_de = inc_de + dts_sel[:, :, None] * l_star[None]
+                        inc_d_out = jnp.where(terminate[None, :, None],
+                                              inc_de, inc_d)
+                        return inc_out, inc_d_out
+
+                    inc2, inc_d2 = jax.lax.cond(
+                        jnp.any(terminate), ev_part, lambda op: op,
+                        operand=(inc, inc_d))
+                else:
+                    inc2, inc_d2 = inc, inc_d
+                qa = st.q_acc + jnp.where(accept[:, None], inc2, 0.0)
+                if use_quad_sens:
+                    qda = st.qd_acc + jnp.where(accept[None, :, None],
+                                                inc_d2, 0.0)
+                else:
+                    qda = st.qd_acc
+                return qa, qda
+
+            q_acc, qd_acc = jax.lax.cond(
+                jnp.any(accept), do_quad, lambda _: (st.q_acc, st.qd_acc),
+                operand=None)
+        else:
+            q_acc, qd_acc = st.q_acc, st.qd_acc
 
         dyn = record_step(st.dyn, run_newton | singular, st.t, h, enorm,
                           ns.niter, accept,
@@ -1079,6 +1162,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             have_sol=st.have_sol | accept,
             active=active, status=status, stats=stats, out_ys=out_ys,
             out_sd=out_sd, ev=ev, dyn=dyn, mesh=mesh, q_acc=q_acc,
+            qd_acc=qd_acc,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -1096,4 +1180,6 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         h_next=final.h,
         quad=(final.q_acc[:, 0] if quad_scalar else final.q_acc)
         if use_quad else None,
+        sens_quad=(final.qd_acc[:, :, 0] if quad_scalar else final.qd_acc)
+        if use_quad_sens else None,
     )

@@ -104,6 +104,10 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
                 events=None) -> cm.Solution:
     """Batched adaptive RODAS4 solve (index-1 DAE capable via ``mass``)."""
     opts = options if options is not None else Options()
+    if opts.nind2 or opts.nind3:
+        raise ValueError("Options.nind2/nind3 (higher-index DAE error "
+                         "weighting) is honored by 'radau'/'radaup' only; "
+                         "rodas is index-1 capable via mass= alone")
     specs = normalize_events(events)
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
     m, dim = y0.shape

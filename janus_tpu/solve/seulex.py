@@ -116,6 +116,10 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                  events=None) -> cm.Solution:
     """Batched adaptive SEULEX solve (extrapolated linearly implicit Euler)."""
     opts = options if options is not None else Options()
+    if opts.nind2 or opts.nind3:
+        raise ValueError("Options.nind2/nind3 (higher-index DAE error "
+                         "weighting) is honored by 'radau'/'radaup' only; "
+                         "seulex would silently integrate with wrong weights")
     specs = normalize_events(events)
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
     m, dim = y0.shape

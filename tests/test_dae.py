@@ -197,3 +197,18 @@ def test_amplifier_circuit():
     assert int(so.status[0]) == SUCCESS
     np.testing.assert_allclose(np.asarray(so.y[0]), np.asarray(sr.y[0]),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_nind_unsupported_methods_raise():
+    """nind2/nind3 must be loud everywhere they are not honored."""
+    import pytest
+    from janus_tpu.solve.seulex import solve_seulex
+    from janus_tpu.solve.rodas import solve_rodas
+
+    y0 = jnp.zeros((1, 3))
+    f = lambda t, y, a: -y                            # noqa: E731
+    opts = Options(nind1=2, nind2=1)
+    with pytest.raises(ValueError, match="nind"):
+        solve_seulex(f, 0.0, 1.0, y0, options=opts)
+    with pytest.raises(ValueError, match="nind"):
+        solve_rodas(f, 0.0, 1.0, y0, options=opts)

@@ -1,0 +1,15 @@
+"""Smoke test for the Newton-CG / radau_hvp example: second-order steps with
+forward-over-adjoint curvature must beat gradient descent at an equal
+adjoint-solve budget on the Mayer+Lagrange oscillator fit."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def test_newton_cg_hvp_beats_gd_at_equal_budget():
+    import newton_cg_hvp as ex
+
+    l_newton, l_gd = ex.main(newton_iters=4)
+    assert l_newton < l_gd

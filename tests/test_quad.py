@@ -245,3 +245,67 @@ def test_solve_ivp_quad_wiring():
     with pytest.raises(ValueError, match="fixed.stage"):
         solve_ivp(_vdp, (0.0, 2.0), y0, method="radaup", args=5.0,
                   options=Options(min_stages=1, max_stages=7), quad=l)
+
+
+def test_quad_tangents_match_jvp_and_fd():
+    """IND tangents of the quadrature (Solution.sens_quad) vs jvp through
+    the solve and FD re-solves, with y0 AND parameter seeds."""
+    m = 2
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.5]])
+    mus = jnp.array([20.0, 60.0])
+    opts = Options(rtol=1e-9, atol=1e-12)
+    seeds = jnp.stack([jnp.eye(2)[0][None].repeat(m, 0),
+                       jnp.eye(2)[1][None].repeat(m, 0),
+                       jnp.zeros((m, 2))])                    # K=3
+    dmu = jnp.stack([jnp.zeros(m), jnp.zeros(m), jnp.ones(m)])
+
+    def l(t, y, a):
+        return a * y[:, 0] ** 2 + jnp.sin(t)
+
+    sol = solve_radau(_vdp, 0.0, 1.5, y0, args=mus, options=opts, quad=l,
+                      tangents=seeds, args_tangents=dmu)
+    assert sol.sens_quad.shape == (3, m)
+
+    def qfin(z, mm):
+        return solve_radau(_vdp, 0.0, 1.5, z, args=mm, options=opts,
+                           quad=l).quad
+
+    for k in range(3):
+        _, dq = jax.jvp(qfin, (y0, mus), (seeds[k], dmu[k]))
+        # IND (frozen mesh) vs jvp (controller differentiated) agree to
+        # O(step error), as in test_radau_tangents
+        np.testing.assert_allclose(np.asarray(sol.sens_quad[k]),
+                                   np.asarray(dq), rtol=5e-4, atol=1e-7)
+        eps = 1e-6
+        fd = (qfin(y0 + eps * seeds[k], mus + eps * dmu[k])
+              - qfin(y0 - eps * seeds[k], mus - eps * dmu[k])) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(sol.sens_quad[k]),
+                                   np.asarray(fd), rtol=5e-4, atol=1e-6)
+
+
+def test_quad_tangents_event_truncated():
+    """Quadrature tangents on event-terminated lanes: the moving endpoint
+    adds l(t*)·dt*_k. Oracle: FD of the truncated integral (elapsed-time
+    slot doubles as a dt*/dθ check)."""
+    y0 = jnp.array([[1.0, 0.1], [0.8, -0.2]])
+    opts = Options(rtol=1e-10, atol=1e-13)
+    ev = Event(lambda t, y, a: y[:, 0], terminal=True)
+    seeds = jnp.zeros((1, 2, 2))
+    dk = jnp.ones((1,))
+
+    def l2(t, y, k):
+        return jnp.stack([k * y[:, 1] ** 2, jnp.ones_like(t)], axis=-1)
+
+    sol = solve_radau(_osc, 0.0, 3.0, y0, args=1.3, options=opts, quad=l2,
+                      events=ev, tangents=seeds, args_tangents=dk)
+    assert int(jnp.sum(sol.event_idx >= 0)) == 2
+    assert sol.sens_quad.shape == (1, 2, 2)
+
+    def qfin(k):
+        return solve_radau(_osc, 0.0, 3.0, y0, args=k, options=opts,
+                           quad=l2, events=ev).quad
+
+    eps = 1e-6
+    fd = (qfin(1.3 + eps) - qfin(1.3 - eps)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(sol.sens_quad[0]),
+                               np.asarray(fd), rtol=1e-5, atol=1e-9)
