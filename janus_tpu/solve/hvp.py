@@ -35,7 +35,11 @@ adjoint gradient up to the controller's local error.
 Typical uses: Newton-CG / trust-region steps on PMP shooting losses,
 Gauss-Newton curvature for parameter fitting, and curvature-aware training
 of NN Hamiltonians (L4) where K forward-over-forward directions would cost
-K tangent sweeps.
+K tangent sweeps. FULL Hessians compose as ``jax.vmap`` over the direction
+(tests/test_hvp.py::test_hvp_vmap_full_hessian) — size
+``Options.adjoint_steps`` for the WORST direction: every direction's
+augmented solve picks its own mesh, and an undersized mesh poisons that
+row to NaN by design.
 """
 
 from __future__ import annotations

@@ -165,3 +165,28 @@ def test_hvp_pytree_args_and_zero_direction():
     np.testing.assert_allclose(np.asarray(h_args["mu"]),
                                np.asarray((gp[1] - gm[1]) / (2 * eps)),
                                rtol=5e-3, atol=1e-8)
+
+
+def test_hvp_vmap_full_hessian():
+    """jax.vmap over the direction gives full Hessians: exact on the linear
+    flow (diagonal in the per-lane parameters). Size adjoint_steps for the
+    WORST direction — a 256 budget poisons the slow lane at rtol 1e-11."""
+    a = jnp.array([0.4, -0.7])
+    y0 = jnp.array([[1.3], [0.8]])
+    T = 1.5
+    opts = Options(rtol=1e-11, atol=1e-13, adjoint_steps=512)
+
+    def f(t, y, aa):
+        return aa[:, None] * y
+
+    def hvp_a(v_a):
+        (_, h_a), _ = radau_hvp(f, (0.0, T), y0, a,
+                                loss=lambda yT, aa: jnp.sum(yT ** 2),
+                                v_args=v_a, options=opts)
+        return h_a
+
+    H = jax.vmap(hvp_a)(jnp.eye(2))
+    e = jnp.exp(a * T)
+    exact = jnp.diag(4 * T ** 2 * y0[:, 0] ** 2 * e ** 2)
+    np.testing.assert_allclose(np.asarray(H), np.asarray(exact),
+                               rtol=1e-8, atol=1e-12)

@@ -64,3 +64,32 @@ def test_bench_config_sharded_equals_single_device():
     print(f"\nsharded(8 virtual)/single-device wall ratio: "
           f"{t_sh / t_un:.2f} (sharded {t_sh:.2f}s, single {t_un:.2f}s, "
           f"m={m}, 2 IND directions)")
+
+
+def test_adjoint_gradient_sharded_equals_single_device():
+    """Continuous-adjoint gradients under a dp-sharded batch must equal the
+    single-device gradients EXACTLY: the backward sweep is per-lane (the
+    only collectives are partition-invariant boolean any() gates), and with
+    per-lane parameters no cross-lane float reduction exists whose order
+    could change with the partition."""
+    from janus_tpu.solve.adjoint import radau_adjoint
+
+    m = 64
+    mesh = make_mesh(8)
+    mus = jnp.logspace(1.0, 2.5, m)
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (m, 1))
+    opts = Options(rtol=1e-8, atol=1e-11, adjoint_steps=512, pivoting=False)
+
+    def loss(z, mm):
+        yT = radau_adjoint(vdp_rhs, (0.0, 1.0), z, args=mm, options=opts,
+                           jac=vdp_jac)
+        return jnp.sum(yT ** 2, axis=-1)   # per-lane; summed by grad's seed
+
+    g = jax.jit(jax.grad(lambda z, mm: jnp.sum(loss(z, mm)), argnums=(0, 1)))
+    gy_ref, gm_ref = jax.block_until_ready(g(y0, mus))
+
+    y0s, muss = shard_batch(y0, mesh), shard_batch(mus, mesh)
+    gy_sh, gm_sh = jax.block_until_ready(g(y0s, muss))
+    np.testing.assert_array_equal(np.asarray(gy_sh), np.asarray(gy_ref))
+    np.testing.assert_array_equal(np.asarray(gm_sh), np.asarray(gm_ref))
+    jax.clear_caches()
