@@ -367,8 +367,7 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
 
     if use_cost:
         def lfun(t, y, dl):                        # canon [M, Q]
-            v = cost(t, y, rebuild(dl))
-            return v[:, None] if v.ndim == 1 else v
+            return cm.canon_cost(cost(t, y, rebuild(dl)))
 
         qbar = jnp.zeros(jax.eval_shape(
             lambda: cost(t_term, yT, rebuild(dleaves))).shape, dtype) \

@@ -60,6 +60,13 @@ class Solution:
         return self.status == SUCCESS
 
 
+def canon_cost(v):
+    """Canonicalize a running-cost integrand output: [M] -> [M, 1],
+    [M, Q] unchanged (shared by solve_radau(quad=), radau_adjoint(cost=),
+    and radau_hvp so the three paths can never disagree on the contract)."""
+    return v[:, None] if v.ndim == 1 else v
+
+
 @jax.custom_jvp
 def safe_sqrt(x):
     """sqrt with a defined (zero) tangent at x == 0.

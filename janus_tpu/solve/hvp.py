@@ -50,11 +50,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from janus_tpu.solve import common as cm
 from janus_tpu.solve.adjoint import _split_diff, radau_adjoint
 from janus_tpu.solve.options import Options
 
 
-def _aug_mass(mass, m, dim):
+def _aug_mass(mass, dim):
     """blockdiag(M, M) for the augmented [y, δ] state."""
     if mass is None:
         return None
@@ -95,6 +96,16 @@ def radau_hvp(f: Callable, tspan, y0, args=None, *, loss: Callable,
     y0 = jnp.asarray(y0)
     if y0.ndim != 2:
         raise ValueError("radau_hvp expects batched y0 [M, D]")
+    if mass is not None:
+        try:                        # tracers can't be inspected — best effort
+            mrows = np.abs(np.asarray(mass)).sum(axis=-1)
+        except Exception:
+            mrows = None
+        if mrows is not None and np.any(mrows == 0.0):
+            raise ValueError(
+                "radau_hvp does not support singular (DAE) mass matrices — "
+                "the backward sweep would silently produce NaN; first-order "
+                "DAE gradients are radau_adjoint(n_alg=...)")
     m, dim = y0.shape
     dtype = y0.dtype
     v_y0 = jnp.zeros_like(y0) if v_y0 is None else \
@@ -104,12 +115,17 @@ def radau_hvp(f: Callable, tspan, y0, args=None, *, loss: Callable,
     if v_args is None:
         v_dleaves = [jnp.zeros_like(l) for l in dleaves]
     else:
-        vleaves = jax.tree_util.tree_flatten(v_args)[0]
+        # keep None leaves (zero direction) — default tree_flatten DROPS
+        # them, which both broke the documented None handling and could
+        # silently shift directions onto the wrong parameters
+        vleaves = jax.tree_util.tree_flatten(
+            v_args, is_leaf=lambda x: x is None)[0]
         if len(vleaves) == len(leaves):          # full-args-shaped direction
             vleaves = [vleaves[i] for i in diff_idx]
         if len(vleaves) != len(dleaves):
             raise ValueError(
-                "v_args must match args' pytree (or its inexact leaves): "
+                "v_args must match args' pytree (or its inexact leaves; "
+                "None leaves mean a zero direction): "
                 f"got {len(vleaves)} leaves for {len(dleaves)} inexact slots")
         v_dleaves = [jnp.zeros_like(l) if v is None
                      else jnp.broadcast_to(jnp.asarray(v, l.dtype), l.shape)
@@ -127,19 +143,16 @@ def radau_hvp(f: Callable, tspan, y0, args=None, *, loss: Callable,
         return jnp.concatenate([prim, tang], axis=-1)
 
     if use_cost:
-        def _canon(v):
-            return v[:, None] if v.ndim == 1 else v
-
         def cost_aug(t, yy, dl):
             y, d = yy[:, :dim], yy[:, dim:]
             prim, tang = jax.jvp(
-                lambda q, ll: _canon(cost(t, q, rebuild(ll))),
+                lambda q, ll: cm.canon_cost(cost(t, q, rebuild(ll))),
                 (y, dl), (d, v_dleaves))
             return jnp.concatenate([prim, tang], axis=-1)   # [M, 2Q]
     else:
         cost_aug = None
 
-    mass_aug = _aug_mass(mass, m, dim)
+    mass_aug = _aug_mass(mass, dim)
 
     def dloss(z0, dl):
         out = radau_adjoint(f_aug, tspan, jnp.concatenate([z0, v_y0], -1),

@@ -609,13 +609,11 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         quad_scalar = len(qshape) == 1
         qdim = 1 if quad_scalar else qshape[1]
 
-        def _ql(t, y):                       # canon [M, Q]
-            v = quad(t, y, args)
-            return v[:, None] if quad_scalar else v
-
         def _qla(t, y, aa):                  # args-open variant (jvp seat)
-            v = quad(t, y, aa)
-            return v[:, None] if quad_scalar else v
+            return cm.canon_cost(quad(t, y, aa))
+
+        def _ql(t, y):                       # canon [M, Q]
+            return _qla(t, y, args)
         q_acc0 = jnp.zeros((m, qdim), dtype)
     else:
         q_acc0 = jnp.zeros((), dtype)        # unused: keep the loop state

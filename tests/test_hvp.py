@@ -190,3 +190,32 @@ def test_hvp_vmap_full_hessian():
     exact = jnp.diag(4 * T ** 2 * y0[:, 0] ** 2 * e ** 2)
     np.testing.assert_allclose(np.asarray(H), np.asarray(exact),
                                rtol=1e-8, atol=1e-12)
+
+
+def test_hvp_v_args_none_leaves_and_guards():
+    """None leaves in v_args are a zero direction (tree_flatten used to DROP
+    them — ValueError or silently shifted directions); singular mass raises."""
+    y0 = jnp.array([[1.0, 0.1]])
+    args = {"c": jnp.asarray(0.5), "k": jnp.asarray(1.0)}
+    opts = Options(rtol=1e-10, atol=1e-13, adjoint_steps=512)
+
+    def f(t, y, a):
+        return jnp.stack([y[:, 1],
+                          -a["k"] * y[:, 0] - a["c"] * y[:, 1]], axis=-1)
+
+    lss = lambda yT, a: jnp.sum(yT ** 2)                     # noqa: E731
+    (_, h_none), _ = radau_hvp(f, (0.0, 2.0), y0, args, loss=lss,
+                               v_args={"c": None, "k": jnp.asarray(1.0)},
+                               options=opts)
+    (_, h_zero), _ = radau_hvp(f, (0.0, 2.0), y0, args, loss=lss,
+                               v_args={"c": jnp.asarray(0.0),
+                                       "k": jnp.asarray(1.0)},
+                               options=opts)
+    np.testing.assert_array_equal(np.asarray(h_none["c"]),
+                                  np.asarray(h_zero["c"]))
+    np.testing.assert_array_equal(np.asarray(h_none["k"]),
+                                  np.asarray(h_zero["k"]))
+
+    with pytest.raises(ValueError, match="singular"):
+        radau_hvp(f, (0.0, 1.0), jnp.zeros((1, 2)), args, loss=lss,
+                  mass=jnp.diag(jnp.array([1.0, 0.0])), options=opts)
