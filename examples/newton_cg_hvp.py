@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from janus_tpu.control import newton_cg
 from janus_tpu.solve import Options, radau_adjoint, radau_hvp
 
 if jax.default_backend() != "tpu":
@@ -70,31 +71,6 @@ def make_problem(dtype):
     return loss, hvp
 
 
-def cg(hvp_fn, th, g, iters=4):
-    """Matrix-free CG on H d = -g (pytree vectors)."""
-    tdot = lambda a, b: sum(jnp.vdot(x, y) for x, y in                # noqa
-                            zip(jax.tree_util.tree_leaves(a),
-                                jax.tree_util.tree_leaves(b)))
-    d = jax.tree_util.tree_map(jnp.zeros_like, g)
-    r = jax.tree_util.tree_map(lambda x: -x, g)
-    p = r
-    rr = tdot(r, r)
-    for _ in range(iters):
-        hp = hvp_fn(th, p)
-        php = tdot(p, hp)
-        if float(php) <= 0:        # nonconvex direction: stop at d so far
-            break
-        alpha = rr / php
-        d = jax.tree_util.tree_map(lambda a, b: a + alpha * b, d, p)
-        r = jax.tree_util.tree_map(lambda a, b: a - alpha * b, r, hp)
-        rr_new = tdot(r, r)
-        if float(rr_new) < 1e-18:
-            break
-        p = jax.tree_util.tree_map(lambda a, b: a + (rr_new / rr) * b, r, p)
-        rr = rr_new
-    return d
-
-
 def main(newton_iters=8):
     dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
     loss, hvp = make_problem(dtype)
@@ -104,25 +80,15 @@ def main(newton_iters=8):
     grad = jax.jit(jax.grad(loss))
     hvp = jax.jit(hvp)
 
-    th = {"c": jnp.asarray(0.2, dtype), "k": jnp.asarray(4.0, dtype)}
-    print("Newton-CG (radau_hvp curvature):")
-    for it in range(newton_iters):
-        g = grad(th)
-        gn = float(jnp.sqrt(sum(jnp.sum(x ** 2)
-                                for x in jax.tree_util.tree_leaves(g))))
-        print(f"  it {it}: loss {float(loss(th)):.8f}  |g| {gn:.2e}  "
-              f"c {float(th['c']):.5f}  k {float(th['k']):.5f}")
-        if gn < (1e-10 if dtype == jnp.float64 else 1e-5):
-            break
-        d = cg(hvp, th, g, iters=4)
-        # backtracking on the Newton direction
-        t_step, l0 = 1.0, float(loss(th))
-        for _ in range(10):
-            cand = jax.tree_util.tree_map(lambda a, b: a + t_step * b, th, d)
-            if float(loss(cand)) < l0:
-                th = cand
-                break
-            t_step *= 0.5
+    th0 = {"c": jnp.asarray(0.2, dtype), "k": jnp.asarray(4.0, dtype)}
+    print("Newton-CG (control.newton_cg, radau_hvp curvature):")
+    vg = jax.jit(jax.value_and_grad(loss))
+    res = newton_cg(vg, hvp, th0, max_iter=newton_iters, cg_iters=4,
+                    tol=1e-10 if dtype == jnp.float64 else 1e-5,
+                    callback=lambda it, x, v, gn: print(
+                        f"  it {it}: loss {v:.8f}  |g| {gn:.2e}  "
+                        f"c {float(x['c']):.5f}  k {float(x['k']):.5f}"))
+    th = res.x
 
     th_gd = {"c": jnp.asarray(0.2, dtype), "k": jnp.asarray(4.0, dtype)}
     # each Newton iteration above costs ~(1 + 4·2) adjoint solves; give

@@ -26,6 +26,7 @@ from janus_tpu.control.shooting import (
     single_shooting,
     multiple_shooting_residual,
 )
+from janus_tpu.control.optimize import newton_cg, cg_steihaug, OptimizeResult
 
 __all__ = [
     "newton_solve", "NewtonResult",
@@ -36,4 +37,5 @@ __all__ = [
     "homotopy", "HomotopyResult",
     "augmented_lagrangian", "AugLagResult",
     "single_shooting", "multiple_shooting_residual",
+    "newton_cg", "cg_steihaug", "OptimizeResult",
 ]
