@@ -58,28 +58,33 @@ def dual_solve_ivp(f: Callable, tspan, y0, method: str = "radau",
                                     is_leaf=lambda a: isinstance(a, Jet))
 
     # fast path: when tf carries no tangents and the method is fixed-stage
-    # radau with no dense/event output, the internal-differentiation sweep
-    # (solve_radau tangents=/args_tangents=, measured 3× the vmap(jvp)
-    # transform) computes the same sensitivities in ONE primal solve
+    # radau (or seulex, terminal mode) with no dense/event output, the
+    # internal-differentiation sweep (tangents=/args_tangents=, measured 3×
+    # the vmap(jvp) transform) computes the same sensitivities in ONE
+    # primal solve
     tf_is_jet = isinstance(tf, Jet)
     from janus_tpu.solve import Options as _Options
     _opt_fields = set(_Options.__dataclass_fields__)
-    if method in ("radau", "radau5", "radau9", "radau13"):
+    if method in ("radau", "radau5", "radau9", "radau13", "seulex"):
+        is_seulex = method == "seulex"
+        pass_kw = {"jac", "mass"} | (set() if is_seulex else {"t_eval"})
         blockers = []
         if tf_is_jet:
             blockers.append("tf carries tangents")
-        extra_kw = set(kw) - {"jac", "mass", "t_eval"} - _opt_fields
+        extra_kw = set(kw) - pass_kw - _opt_fields
         if extra_kw:
-            blockers.append(f"kwargs {sorted(extra_kw)} (events need the "
-                            "transform path: the fast path does not expose "
-                            "event-time tangents of t)")
+            blockers.append(f"kwargs {sorted(extra_kw)} (events"
+                            + ("/t_eval" if is_seulex else "")
+                            + " need the transform path: the fast path does"
+                            " not expose event-time tangents of t"
+                            + (" and seulex IND is terminal-mode only"
+                               if is_seulex else "") + ")")
         if not blockers:
             o = options if options is not None else _Options()
             o = o.replace(**{k: v for k, v in kw.items() if k in _opt_fields})
-            kw = {k: v for k, v in kw.items()
-                  if k in ("jac", "mass", "t_eval")}
+            kw = {k: v for k, v in kw.items() if k in pass_kw}
             options = o
-            if o.min_stages != o.max_stages:
+            if not is_seulex and o.min_stages != o.max_stages:
                 blockers.append("variable stage count "
                                 "(min_stages != max_stages)")
         if not blockers:

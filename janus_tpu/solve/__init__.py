@@ -84,8 +84,9 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
     mass    : optional mass matrix [D,D] or [M,D,D] (DAE form M·y' = f)
     tangents: optional [K, M, D] seed directions — first-class forward
               sensitivities by internal differentiation (fixed-stage radau
-              only; returned in Solution.sens; measured ~3× the vmapped-jvp
-              transform). Any method also differentiates via jax.jvp.
+              and seulex; returned in Solution.sens; measured ~3× the
+              vmapped-jvp transform). Any method also differentiates via
+              jax.jvp.
     quad    : optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
               or ``[M, Q]``; ``Solution.quad`` = ∫ l dt accumulated at the
               solve's own order (fixed-stage radau only; the CVODES
@@ -110,10 +111,11 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
                          f"known: {sorted(FEATURES) + sorted(_ALIASES)}")
     _check_features(canonical, jac, mass, events, t_eval)
     if (tangents is not None or args_tangents is not None) \
-            and canonical != "radau":
+            and canonical not in ("radau", "seulex"):
         raise ValueError("tangents= (internal-differentiation sensitivities)"
                          " is supported by the fixed-stage 'radau' methods "
-                         "only; use jax.jvp through the solve otherwise")
+                         "and 'seulex'; use jax.jvp through the solve "
+                         "otherwise")
     if quad is not None and canonical != "radau":
         raise ValueError("quad= (running-cost quadratures) is supported by "
                          "the fixed-stage 'radau' methods only; integrate "
@@ -162,7 +164,8 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
     if canonical == "seulex":
         from janus_tpu.solve.seulex import solve_seulex
         return solve_seulex(f, t0, tf, y0, args, options, t_eval,
-                            jac=jac, mass=mass, events=events)
+                            jac=jac, mass=mass, events=events,
+                            tangents=tangents, args_tangents=args_tangents)
     if canonical == "rodas":
         from janus_tpu.solve.rodas import solve_rodas
         return solve_rodas(f, t0, tf, y0, args, options, t_eval,

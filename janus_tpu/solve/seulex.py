@@ -103,6 +103,7 @@ class _SxState:
     first: jnp.ndarray        # [M] no step accepted yet
     rejected: jnp.ndarray     # [M] previous attempt was rejected
     nbad: jnp.ndarray         # [M] consecutive rejections (stall guard)
+    yd: jnp.ndarray           # [K, M, D] IND tangent directions (K=0 off)
     active: jnp.ndarray
     status: jnp.ndarray
     stats: dict
@@ -113,8 +114,24 @@ class _SxState:
 def solve_seulex(f: Callable, t0, tf, y0, args=None,
                  options: Optional[Options] = None, t_eval=None,
                  jac: Optional[Callable] = None, mass=None,
-                 events=None) -> cm.Solution:
-    """Batched adaptive SEULEX solve (extrapolated linearly implicit Euler)."""
+                 events=None, tangents=None,
+                 args_tangents=None) -> cm.Solution:
+    """Batched adaptive SEULEX solve (extrapolated linearly implicit Euler).
+
+    tangents / args_tangents: first-class internal-differentiation forward
+    sensitivities — the reference's SeulexTed dual architecture
+    (src/python/seulexted.py: every state a TensorDual). K seed directions
+    ([K, M, D] and/or args-pytree leaves with leading K) propagate through
+    the SAME ladder: each level's linearly implicit Euler substeps apply the
+    step's ONE LU to the variational rhs (J(t_n, y_n)·δ + f_θ·dθ, one
+    ``jax.linearize`` per substep, no Jacobians materialized) and the
+    tangent rows extrapolate through the same Aitken–Neville table. Because
+    the semi-implicit Euler is a W-method — its h-expansion exists for ANY
+    iteration matrix — the tangent ladder extrapolates to the variational
+    flow at the ladder's own order even though ∂A/∂y is dropped. Returned
+    in ``Solution.sens`` [K, M, D]; terminal mode only (t_eval/events with
+    tangents raise — use jax.jvp there).
+    """
     opts = options if options is not None else Options()
     if opts.nind2 or opts.nind3:
         raise ValueError("Options.nind2/nind3 (higher-index DAE error "
@@ -125,6 +142,36 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
     m, dim = y0.shape
     dtype = y0.dtype
     jac_fn = jac if jac is not None else default_jacobian(f)
+
+    use_sens = tangents is not None or args_tangents is not None
+    if use_sens and (t_eval is not None or events is not None):
+        raise ValueError("solve_seulex(tangents=) is terminal-mode only "
+                         "(no tangent dense output/event correction); "
+                         "use jax.jvp through the solve for those")
+    if use_sens:
+        if args_tangents is not None:
+            args_d = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype), args_tangents)
+            k_args = jax.tree_util.tree_leaves(args_d)[0].shape[0]
+        else:
+            args_d, k_args = None, None
+        if tangents is not None:
+            yd0 = jnp.asarray(tangents, dtype)
+            if yd0.ndim != 3 or yd0.shape[1:] != (m, dim):
+                raise ValueError(f"tangents must be [K, {m}, {dim}], got "
+                                 f"{yd0.shape}")
+            if k_args is not None and k_args != yd0.shape[0]:
+                raise ValueError(f"tangents K={yd0.shape[0]} != "
+                                 f"args_tangents K={k_args}")
+        else:
+            yd0 = jnp.zeros((k_args, m, dim), dtype)
+        k_dirs = yd0.shape[0]
+        args_d_rows = [jax.tree_util.tree_map(lambda a, _k=k: a[_k], args_d)
+                       for k in range(k_dirs)] if args_d is not None \
+            else [None] * k_dirs
+    else:
+        yd0 = jnp.zeros((0, m, dim), dtype)
+        k_dirs = 0
 
     kmax = opts.seulex_kmax               # KMAXX; levels 0..kmax run
     K = kmax + 1                          # IMAXX
@@ -185,6 +232,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         first=jnp.ones((m,), bool),
         rejected=jnp.zeros((m,), bool),
         nbad=jnp.zeros((m,), jnp.int32),
+        yd=yd0,
         active=~already_done,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
         stats=stats, out_ys=out_ys,
@@ -239,6 +287,8 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         even_nseq = []
         ymid_acc = st.y
         mid_ok = jnp.zeros((m,), bool)
+        rows_d = []                          # tangent Aitken-Neville table
+        yd_acc = st.yd
 
         for k in range(K):
             nj = NSEQ[k]
@@ -252,9 +302,34 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                 lu, piv = lu_factor(amat, pivot=opts.pivoting)
                 ok = lu_ok(lu)
                 x1 = st.t + hsub
+
+                def var_rhs(ti, yi, dys):
+                    # variational forcing J(ti, yi)·δ_k + f_θ·dθ_k for all K
+                    # directions from ONE linearization (no J materialized)
+                    if args_d is None:
+                        _, lin = jax.linearize(
+                            lambda yy: f(ti, yy, args), yi)
+                        return jnp.stack([lin(dys[q])
+                                          for q in range(k_dirs)])
+                    _, lin = jax.linearize(
+                        lambda yy, aa: f(ti, yy, aa), yi, args)
+                    return jnp.stack([lin(dys[q], args_d_rows[q])
+                                      for q in range(k_dirs)])
+
+                def solve_k(rhs):              # [K, M, D] -> [K, M, D]
+                    return jax.vmap(lambda b: lu_solve(lu, piv, b))(rhs)
+
                 d = lu_solve(lu, piv, f(x1, st.y, args))
                 ytemp = st.y
                 theta_k = jnp.full((m,), -1.0, dtype)
+                if use_sens:
+                    # tangent substeps mirror the primal exactly: the ONE LU
+                    # applies to the variational rhs (module docstring)
+                    dd_s = solve_k(var_rhs(x1, st.y, st.yd))
+                    yd_t = st.yd + dd_s
+                else:
+                    yd_t = st.yd
+                    dd_s = st.yd
                 # first substep explicitly (stability check for k <= 1)
                 ytemp = ytemp + d
                 fy1 = f(st.t + 2.0 * hsub, ytemp, args)
@@ -269,33 +344,42 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                     theta_k = jnp.where(jnp.isfinite(theta_k), theta_k, 2.0)
                     ok = ok & (theta_k <= 1.0)
                 d = lu_solve(lu, piv, fy1)
+                if use_sens:
+                    dd_s = solve_k(var_rhs(st.t + 2.0 * hsub, ytemp, yd_t))
                 ymid0 = ytemp          # after 1 substep == the nj=2 midpoint
 
                 def sub(nn, carry):
-                    yt, dd, ym = carry
+                    yt, dd, ym, ydc, dds = carry
                     yt = yt + dd
                     # capture the step-midpoint substep (even nj only)
                     ym = jnp.where(nn == nj // 2, yt, ym)
                     rhs = f(st.t + (nn + 1.0) * hsub, yt, args)
-                    return yt, lu_solve(lu, piv, rhs), ym
+                    if use_sens:
+                        ydc = ydc + dds
+                        dds = solve_k(var_rhs(st.t + (nn + 1.0) * hsub, yt,
+                                              ydc))
+                    return yt, lu_solve(lu, piv, rhs), ym, ydc, dds
 
-                ytemp, d, ymid = jax.lax.fori_loop(2, nj, sub,
-                                                   (ytemp, d, ymid0))
+                ytemp, d, ymid, yd_t, dd_s = jax.lax.fori_loop(
+                    2, nj, sub, (ytemp, d, ymid0, yd_t, dd_s))
                 yk = ytemp + d
+                ydk = yd_t + dd_s if use_sens else yd_t
                 ok = ok & jnp.all(jnp.isfinite(yk), axis=-1)
-                return yk, ok, theta_k, ymid
+                return yk, ok, theta_k, ymid, ydk
 
             def skip_level(_):
                 return (jnp.zeros((m, dim), dtype), jnp.ones((m,), bool),
                         jnp.full((m,), -1.0, dtype),
-                        jnp.zeros((m, dim), dtype))
+                        jnp.zeros((m, dim), dtype),
+                        jnp.zeros((k_dirs, m, dim), dtype))
 
-            yk, okk, theta_k, ymid_k = jax.lax.cond(jnp.any(need), run_level,
-                                                    skip_level, None)
+            yk, okk, theta_k, ymid_k, ydk = jax.lax.cond(
+                jnp.any(need), run_level, skip_level, None)
             if k <= 1:
                 theta_new = jnp.where(need & (theta_k >= 0.0), theta_k,
                                       theta_new)
-            nfev_add = nfev_add + need * (nj + (1 if k <= 1 else 0))
+            nfev_add = nfev_add + need * (nj + (1 if k <= 1 else 0)
+                                          + (nj if use_sens else 0))
             nlu_add = nlu_add + need
 
             stab_fail = need & ~okk
@@ -305,11 +389,16 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
 
             # Aitken-Neville row (reference extrapolate, :1376)
             row = [yk]
+            row_d = [ydk]
             for j in range(k):
                 ratio = NSEQ[k] / NSEQ[k - j - 1]
                 row.append(row[j] + (row[j] - rows[k - 1][j])
                            / (ratio - 1.0))
+                if use_sens:
+                    row_d.append(row_d[j] + (row_d[j] - rows_d[k - 1][j])
+                                 / (ratio - 1.0))
             rows.append(row)
+            rows_d.append(row_d)
             if nj % 2 == 0:
                 rowm = [ymid_k]
                 for j in range(len(rows_mid)):
@@ -359,6 +448,8 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                 accept = accept | conv
                 decided = decided | conv
                 y_acc = jnp.where(conv[:, None], row[k], y_acc)
+                if use_sens:
+                    yd_acc = jnp.where(conv[None, :, None], row_d[k], yd_acc)
                 if nj % 2 == 0:
                     ymid_acc = jnp.where(conv[:, None], rows_mid[-1][-1],
                                          ymid_acc)
@@ -545,6 +636,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
             first=jnp.where(accept, False, st.first),
             rejected=jnp.where(accept, False, st.rejected | reject),
             nbad=nbad,
+            yd=jnp.where(accept[None, :, None], yd_acc, st.yd),
             active=active, status=status, stats=stats, out_ys=out_ys,
             ev=ev,
         )
@@ -557,4 +649,5 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         event_t=final.ev["event_t"] if specs else None,
         event_y=final.ev["event_y"] if specs else None,
         event_idx=final.ev["event_idx"] if specs else None,
+        sens=final.yd if use_sens else None,
     )

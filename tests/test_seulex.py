@@ -131,3 +131,108 @@ def test_heterogeneous_batch_ktarg_divergence():
                  rtol=1e-11, atol=1e-14)
         np.testing.assert_allclose(sol.y[i], ref.y[:, -1],
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_ind_tangents_match_jvp_and_fd():
+    """First-class SEULEX IND tangents (the reference's seulexted dual
+    architecture): y0 + parameter seeds vs jvp through the solve and FD
+    re-solves on a stiff VdP batch."""
+    import jax
+
+    m = 2
+    y0 = jnp.array([[2.0, 0.0], [1.7, 0.3]])
+    mus = jnp.array([50.0, 200.0])
+    opts = Options(rtol=1e-9, atol=1e-12)
+    seeds = jnp.stack([jnp.zeros((m, 2)).at[:, 0].set(1.0),
+                       jnp.zeros((m, 2)).at[:, 1].set(1.0),
+                       jnp.zeros((m, 2))])
+    dmu = jnp.stack([jnp.zeros(m), jnp.zeros(m), jnp.ones(m)])
+
+    sol = solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="seulex", args=mus,
+                    options=opts, tangents=seeds, args_tangents=dmu)
+    assert bool(jnp.all(sol.status == SUCCESS))
+    assert sol.sens.shape == (3, m, 2)
+
+    def final(z, mm):
+        return solve_ivp(vdp_rhs, (0.0, 1.0), z, method="seulex", args=mm,
+                         options=opts).y
+
+    for k in range(3):
+        # IND (frozen ladder/controller) vs full jvp: same variational ODE,
+        # different consistent discretizations -> agree to O(step error)
+        _, dy = jax.jvp(final, (y0, mus), (seeds[k], dmu[k]))
+        np.testing.assert_allclose(np.asarray(sol.sens[k]), np.asarray(dy),
+                                   rtol=5e-4, atol=1e-7)
+        eps = 1e-6
+        fd = (final(y0 + eps * seeds[k], mus + eps * dmu[k])
+              - final(y0 - eps * seeds[k], mus - eps * dmu[k])) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(sol.sens[k]), np.asarray(fd),
+                                   rtol=5e-4, atol=1e-6)
+
+
+def test_ind_tangents_mass_matrix():
+    """IND through the (M/h' − J) substeps with an invertible mass matrix."""
+    import jax
+
+    mass = jnp.array([[2.0, 0.3], [0.1, 1.5]])
+    y0 = jnp.array([[1.0, 0.0]])
+
+    def fm(t, y, a):
+        return jnp.stack([y[:, 1], -a * y[:, 0] - 0.2 * y[:, 1]], axis=-1)
+
+    opts = Options(rtol=1e-10, atol=1e-13)
+    seeds = jnp.array([[[1.0, 0.0]], [[0.0, 1.0]]])
+    sol = solve_ivp(fm, (0.0, 3.0), y0, method="seulex", args=1.7,
+                    options=opts, mass=mass, tangents=seeds)
+    assert bool(jnp.all(sol.status == SUCCESS))
+
+    def final(z):
+        return solve_ivp(fm, (0.0, 3.0), z, method="seulex", args=1.7,
+                         options=opts, mass=mass).y
+
+    for k in range(2):
+        _, dy = jax.jvp(final, (y0,), (seeds[k],))
+        np.testing.assert_allclose(np.asarray(sol.sens[k]), np.asarray(dy),
+                                   rtol=1e-5, atol=1e-9)
+
+
+def test_ind_tangents_terminal_mode_only():
+    y0 = jnp.zeros((1, 2))
+    seeds = jnp.zeros((1, 1, 2))
+    with pytest.raises(ValueError, match="terminal-mode"):
+        solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="seulex",
+                  args=jnp.ones(1), tangents=seeds,
+                  t_eval=jnp.array([0.5]))
+    with pytest.raises(ValueError, match="terminal-mode"):
+        solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="seulex",
+                  args=jnp.ones(1), tangents=seeds,
+                  events=Event(lambda t, y, a: y[:, 0], terminal=True))
+
+
+def test_dual_solve_ivp_routes_seulex_to_ind():
+    """The jet fast path now routes seulex terminal requests to the IND
+    sweep (no fallback warning) and matches the transform path."""
+    import warnings
+
+    import jax
+    from janus_tpu.jet import Jet
+    from janus_tpu.jet.solve import dual_solve_ivp
+
+    y0 = jnp.array([[2.0, 0.0]])
+    seeds = jnp.array([[[1.0, 0.0]], [[0.0, 1.0]]])
+    opts = Options(rtol=1e-9, atol=1e-12)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")       # any fallback warning fails
+        yj, tj, sol = dual_solve_ivp(vdp_rhs, (0.0, 1.0), Jet(y0, seeds),
+                                     method="seulex", args=100.0,
+                                     options=opts)
+    assert sol.sens is not None              # the IND path ran
+
+    def final(z):
+        return solve_ivp(vdp_rhs, (0.0, 1.0), z, method="seulex",
+                         args=100.0, options=opts).y
+
+    for k in range(2):
+        _, dy = jax.jvp(final, (y0,), (seeds[k],))
+        np.testing.assert_allclose(np.asarray(yj.d[k]), np.asarray(dy),
+                                   rtol=5e-4, atol=1e-7)
