@@ -60,7 +60,8 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               options: Optional[Options] = None, t_eval=None,
               events=None, jac: Optional[Callable] = None, mass=None,
               tangents=None, args_tangents=None,
-              quad: Optional[Callable] = None, **opt_kw) -> Solution:
+              quad: Optional[Callable] = None, dense: int = 0,
+              **opt_kw) -> Solution:
     """Batched initial-value-problem solve.
 
     f       : batched RHS ``f(t[M], y[M,D], args) -> [M,D]``
@@ -94,6 +95,11 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               also fills ``Solution.sens_quad`` (quadrature sensitivities).
               For reverse-mode gradients of integral costs use
               ``radau_adjoint(cost=...)``.
+    dense   : step-mesh capacity N > 0 (fixed-stage radau only): store each
+              accepted step's collocation polynomial so
+              ``Solution.interpolate(ts)`` evaluates the solution anywhere
+              post hoc (scipy's dense_output role). Size N above the worst
+              lane's step count; overflowing lanes interpolate to NaN.
 
     Feature support per method is the FEATURES table; unsupported
     combinations raise instead of being silently ignored.
@@ -120,6 +126,10 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         raise ValueError("quad= (running-cost quadratures) is supported by "
                          "the fixed-stage 'radau' methods only; integrate "
                          "the cost as an extra state otherwise")
+    if dense and canonical != "radau":
+        raise ValueError("dense= (post-hoc Solution.interpolate) is "
+                         "supported by the fixed-stage 'radau' methods "
+                         "only; use t_eval= otherwise")
 
     if canonical in ("dopri5", "dopri853"):
         from janus_tpu.solve.dopri import TABLEAUS, solve_erk
@@ -149,7 +159,7 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         return solve_radau(f, t0, tf, y0, args, options, t_eval,
                            jac=jac, mass=mass, events=events,
                            tangents=tangents, args_tangents=args_tangents,
-                           quad=quad)
+                           quad=quad, dense=dense)
     if canonical == "radau_fused":
         from janus_tpu.solve.radau_fused import solve_radau_fused
         return solve_radau_fused(f, t0, tf, y0, args, options)

@@ -59,6 +59,57 @@ class Solution:
     def success(self):
         return self.status == SUCCESS
 
+    def interpolate(self, ts):
+        """Post-hoc dense-output evaluation (scipy's ``sol.sol(t)`` role).
+
+        Requires the solve to have stored its accepted-step mesh
+        (``solve_ivp(..., method='radau', dense=N)`` with N ≥ the step
+        count). ts: [T] shared query times or [M, T] per-lane. Returns
+        [M, T, D]: each lane's collocation polynomial evaluated on its OWN
+        step containing the query (θ-powers of the stored coefficients —
+        solve order everywhere, not Hermite). Queries are clamped to the
+        lane's integrated span; lanes whose step count overflowed the mesh
+        capacity return NaN (never silently-wrong values).
+
+        Vectorized as a one-hot select over the [M, N] mesh (no gathers —
+        CLAUDE.md rule); peak memory O(M·N·T), so chunk very large query
+        grids at the call site.
+        """
+        if self.mesh is None or not self.mesh:
+            raise ValueError("interpolate() needs the stored step mesh: "
+                             "solve with dense=N (method='radau')")
+        tm, hm = self.mesh["t"], self.mesh["h"]        # [M, N]
+        ym, qm = self.mesh["y"], self.mesh["q"]        # [M, N, D], [M,N,s,D]
+        m, n = tm.shape
+        nacc = self.stats["naccept"]                   # [M]
+        ts = jnp.asarray(ts, tm.dtype)
+        if ts.ndim == 1:
+            ts = jnp.broadcast_to(ts[None, :], (m, ts.shape[0]))
+        kidx = jnp.arange(n)[None, :]                  # [1, N]
+        live = kidx < nacc[:, None]                    # real steps only
+        # clamp to the integrated span (signed h = reverse time works)
+        t_end = tm + hm
+        last_oh = (kidx == (nacc[:, None] - 1)) & live
+        t_stop = jnp.sum(jnp.where(last_oh, t_end, 0.0), axis=1)   # [M]
+        lo = jnp.minimum(tm[:, 0], t_stop)
+        hi = jnp.maximum(tm[:, 0], t_stop)
+        tq = jnp.clip(ts, lo[:, None], hi[:, None])    # [M, T]
+        theta = (tq[:, None, :] - tm[:, :, None]) \
+            / jnp.where(hm == 0.0, 1.0, hm)[:, :, None]       # [M, N, T]
+        inside = (theta >= 0.0) & (theta < 1.0) & live[:, :, None]
+        at_end = (theta == 1.0) & last_oh[:, :, None]
+        sel = (inside | at_end).astype(tm.dtype)       # exclusive one-hot
+        s = qm.shape[2]
+        thp = jnp.stack([theta ** (p + 1) for p in range(s)], axis=-1)
+        # y_k + Σ_p θ^{p+1}·q_k[p], one-hot-summed over steps k
+        vals = ym[:, :, None, :] + jnp.einsum(
+            "mntp,mnpd->mntd", thp, qm,
+            precision=jax.lax.Precision.HIGHEST)
+        out = jnp.einsum("mnt,mntd->mtd", sel, vals,
+                         precision=jax.lax.Precision.HIGHEST)
+        overflow = nacc > n
+        return jnp.where(overflow[:, None, None], jnp.nan, out)
+
 
 def canon_cost(v):
     """Canonicalize a running-cost integrand output: [M] -> [M, 1],

@@ -487,7 +487,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                 jac: Optional[Callable] = None, mass=None,
                 events=None, tangents=None,
                 args_tangents=None, quad: Optional[Callable] = None,
-                _mesh_size: int = 0,
+                dense: int = 0, _mesh_size: int = 0,
                 _h0=None) -> cm.Solution:
     """Batched adaptive Radau IIA solve (fixed stage count = options.min_stages).
 
@@ -523,8 +523,18 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     role. The quadrature never feeds back into step control or the state;
     for reverse-mode gradients of integral costs use
     ``radau_adjoint(cost=...)`` (solve.adjoint).
+
+    dense: step-mesh capacity N > 0 stores every accepted step's collocation
+    polynomial so ``Solution.interpolate(ts)`` can evaluate the solution
+    ANYWHERE post hoc (scipy's dense_output/sol(t) role; the reference's
+    on-demand ntrprad). Size N ≥ the worst lane's accepted-step count —
+    overflowing lanes interpolate to NaN, never silently-wrong values.
     """
     opts = options if options is not None else Options()
+    if dense:
+        # public face of the adjoint's step-mesh rings: store every accepted
+        # step's collocation polynomial for Solution.interpolate()
+        _mesh_size = max(_mesh_size, int(dense))
     specs = normalize_events(events)
     use_sens = tangents is not None or args_tangents is not None
     if opts.stage_solver not in ("lu", "gmres"):
