@@ -309,3 +309,18 @@ def test_quad_tangents_event_truncated():
     fd = (qfin(1.3 + eps) - qfin(1.3 - eps)) / (2 * eps)
     np.testing.assert_allclose(np.asarray(sol.sens_quad[0]),
                                np.asarray(fd), rtol=1e-5, atol=1e-9)
+
+
+def test_forward_quad_with_t_eval():
+    """quad accumulates over the whole span while t_eval samples inside the
+    same solve (independent mechanisms, one pass)."""
+    y0 = jnp.array([[2.0, 0.0]])
+    opts = Options(rtol=1e-10, atol=1e-12)
+    ts = jnp.array([0.5, 1.5])
+    l = lambda t, y, a: y[:, 0] ** 2                      # noqa: E731
+    s = solve_radau(_vdp, 0.0, 2.0, y0, args=5.0, options=opts,
+                    quad=l, t_eval=ts)
+    s2 = solve_radau(_vdp, 0.0, 2.0, y0, args=5.0, options=opts, quad=l)
+    np.testing.assert_allclose(np.asarray(s.quad), np.asarray(s2.quad),
+                               rtol=0, atol=0)
+    assert s.ys.shape == (1, 2, 2) and bool(jnp.all(jnp.isfinite(s.ys)))
