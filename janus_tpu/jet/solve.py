@@ -65,26 +65,28 @@ def dual_solve_ivp(f: Callable, tspan, y0, method: str = "radau",
     tf_is_jet = isinstance(tf, Jet)
     from janus_tpu.solve import Options as _Options
     _opt_fields = set(_Options.__dataclass_fields__)
-    if method in ("radau", "radau5", "radau9", "radau13", "seulex"):
-        is_seulex = method == "seulex"
-        pass_kw = {"jac", "mass"} | (set() if is_seulex else {"t_eval"})
+    if method in ("radau", "radau5", "radau9", "radau13", "radaup",
+                  "seulex"):
+        terminal_only = method in ("seulex", "radaup")
+        pass_kw = {"jac", "mass"} | (set() if terminal_only else {"t_eval"})
         blockers = []
         if tf_is_jet:
             blockers.append("tf carries tangents")
         extra_kw = set(kw) - pass_kw - _opt_fields
         if extra_kw:
             blockers.append(f"kwargs {sorted(extra_kw)} (events"
-                            + ("/t_eval" if is_seulex else "")
+                            + ("/t_eval" if terminal_only else "")
                             + " need the transform path: the fast path does"
                             " not expose event-time tangents of t"
-                            + (" and seulex IND is terminal-mode only"
-                               if is_seulex else "") + ")")
+                            + (f" and {method} IND is terminal-mode only"
+                               if terminal_only else "") + ")")
         if not blockers:
             o = options if options is not None else _Options()
             o = o.replace(**{k: v for k, v in kw.items() if k in _opt_fields})
             kw = {k: v for k, v in kw.items() if k in pass_kw}
             options = o
-            if not is_seulex and o.min_stages != o.max_stages:
+            if method not in ("seulex", "radaup") \
+                    and o.min_stages != o.max_stages:
                 blockers.append("variable stage count "
                                 "(min_stages != max_stages)")
         if not blockers:

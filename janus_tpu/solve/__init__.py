@@ -84,10 +84,10 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               (implicit methods; default: forward-mode AD)
     mass    : optional mass matrix [D,D] or [M,D,D] (DAE form M·y' = f)
     tangents: optional [K, M, D] seed directions — first-class forward
-              sensitivities by internal differentiation (fixed-stage radau
-              and seulex; returned in Solution.sens; measured ~3× the
-              vmapped-jvp transform). Any method also differentiates via
-              jax.jvp.
+              sensitivities by internal differentiation (fixed-stage radau;
+              variable-order radaup and seulex in terminal mode; returned
+              in Solution.sens; measured ~3× the vmapped-jvp transform).
+              Any method also differentiates via jax.jvp.
     quad    : optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
               or ``[M, Q]``; ``Solution.quad`` = ∫ l dt accumulated at the
               solve's own order (fixed-stage radau only; the CVODES
@@ -117,9 +117,9 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
                          f"known: {sorted(FEATURES) + sorted(_ALIASES)}")
     _check_features(canonical, jac, mass, events, t_eval)
     if (tangents is not None or args_tangents is not None) \
-            and canonical not in ("radau", "seulex"):
+            and canonical not in ("radau", "radaup", "seulex"):
         raise ValueError("tangents= (internal-differentiation sensitivities)"
-                         " is supported by the fixed-stage 'radau' methods "
+                         " is supported by the 'radau'/'radaup' methods "
                          "and 'seulex'; use jax.jvp through the solve "
                          "otherwise")
     if quad is not None and canonical != "radau":
@@ -143,9 +143,6 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
             # variable order by default: stages 1..7
             options = options.replace(min_stages=1, max_stages=7)
         if options.min_stages != options.max_stages:
-            if tangents is not None or args_tangents is not None:
-                raise ValueError("tangents= requires a fixed stage count "
-                                 "(min_stages == max_stages)")
             if quad is not None:
                 raise ValueError("quad= requires a fixed stage count "
                                  "(min_stages == max_stages)")
@@ -154,7 +151,9 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
                                  "fixed-stage 'radau' methods only")
             from janus_tpu.solve.radaup import solve_radau_vo
             return solve_radau_vo(f, t0, tf, y0, args, options, t_eval,
-                                  jac=jac, mass=mass, events=events)
+                                  jac=jac, mass=mass, events=events,
+                                  tangents=tangents,
+                                  args_tangents=args_tangents)
         from janus_tpu.solve.radau import solve_radau
         return solve_radau(f, t0, tf, y0, args, options, t_eval,
                            jac=jac, mass=mass, events=events,

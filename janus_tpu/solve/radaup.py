@@ -29,7 +29,7 @@ from janus_tpu.solve.events import (handle_events, init_event_state,
                                     normalize_events)
 from janus_tpu.solve.options import Options
 from janus_tpu.solve.radau import (_EINSUM_PRECISION, _factorize, _newton,
-                                   default_jacobian)
+                                   _tangent_stages, default_jacobian)
 from janus_tpu.solve.radau_tables import radau_tableau
 
 VITU = 0.002      # raise order when Newton contracts faster than this
@@ -42,6 +42,7 @@ HHOD = 0.8        # step-size nudge on order lower
 class _VState:
     t: jnp.ndarray
     y: jnp.ndarray
+    yd: Any                   # [K, M, D] IND tangent state (0-size unused)
     f0: jnp.ndarray
     h: jnp.ndarray
     order: jnp.ndarray        # [M] stage count (1/3/5/7)
@@ -71,9 +72,25 @@ class _VState:
 def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
                    options: Optional[Options] = None, t_eval=None,
                    jac: Optional[Callable] = None, mass=None,
-                   events=None) -> cm.Solution:
+                   events=None, tangents=None,
+                   args_tangents=None) -> cm.Solution:
+    """Variable-order Radau IIA with optional first-class IND tangents.
+
+    tangents / args_tangents: seed directions for internal-differentiation
+    forward sensitivities (terminal state only; the reference's dual
+    variable-order RadauTeD role, radauted_impl.hpp). Each accepted step
+    runs ONE linear tangent collocation sweep at the lane's CURRENT order,
+    reusing that order's LU factors — the order ladder the primal walked is
+    exactly the one the tangents ride. Returned in ``Solution.sens``.
+    """
     opts = options if options is not None else Options()
     specs = normalize_events(events)
+    use_sens = tangents is not None or args_tangents is not None
+    if use_sens and (events is not None or t_eval is not None):
+        raise ValueError(
+            "radaup tangents= are terminal-state only; for tangents "
+            "combined with t_eval/events use the fixed-stage 'radau' "
+            "method, or jax.jvp through the solve")
     # f32: the s=7 (order-13) stage systems lose the simplified Newton
     # (measured on chip at rtol 1e-6 — success 0; the transformed 2D×2D
     # complex blocks are too ill-conditioned at eps=1.2e-7). Cap the order
@@ -93,7 +110,8 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
     if len(orders) < 2:
         from janus_tpu.solve.radau import solve_radau
         return solve_radau(f, t0, tf, y0, args, options, t_eval, jac, mass,
-                           events)
+                           events, tangents=tangents,
+                           args_tangents=args_tangents)
     smax = orders[-1]
     pmax = (smax - 1) // 2
     tabs = {s: radau_tableau(s) for s in orders}
@@ -127,10 +145,30 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
     stats = cm.zero_stats(m, ("nfev", "njev", "nlu", "nsteps", "naccept",
                               "nreject", "nnewton"))
     stats["nfev"] = stats["nfev"] + 2
+    if use_sens:
+        if args_tangents is not None:
+            args_d = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype), args_tangents)
+            k_args = jax.tree_util.tree_leaves(args_d)[0].shape[0]
+        else:
+            args_d, k_args = None, None
+        if tangents is not None:
+            yd0 = jnp.asarray(tangents, dtype)
+            if yd0.ndim != 3 or yd0.shape[1:] != (m, dim):
+                raise ValueError(f"tangents must be [K, {m}, {dim}], got "
+                                 f"{yd0.shape}")
+            if k_args is not None and k_args != yd0.shape[0]:
+                raise ValueError(f"tangents K={yd0.shape[0]} != "
+                                 f"args_tangents K={k_args}")
+        else:
+            yd0 = jnp.zeros((k_args, m, dim), dtype)
+    else:
+        yd0 = jnp.zeros((0, m, dim), dtype)
+        args_d = None
     already_done = t0 == tf
     order0 = min(max(3, orders[0]), orders[-1])
     state = _VState(
-        t=t0, y=y0, f0=f0, h=h,
+        t=t0, y=y0, yd=yd0, f0=f0, h=h,
         order=jnp.full((m,), order0, jnp.int32),
         jac=jnp.zeros((m, dim, dim), dtype),
         lu_real=jnp.zeros((m, dim, dim), dtype),
@@ -183,6 +221,7 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         y_new = st.y
         ze = jnp.zeros((m, dim), dtype)
         q_new = st.q_poly
+        z_buf = jnp.zeros((m, smax, dim), dtype) if use_sens else None
         niter = jnp.zeros((m,), jnp.int32)
         rate = jnp.zeros((m,), dtype)
         nfev_add = jnp.zeros((m,), jnp.int32)
@@ -248,21 +287,31 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
                 qp = jnp.einsum("msd,sq->mqd", ns.z, p_mat,
                                 precision=_EINSUM_PRECISION)
                 qpad = jnp.zeros((m, smax, dim), dtype).at[:, :s].set(qp)
-                return (ns.converged, yn, ze_s, qpad, ns.niter, ns.rate,
-                        ns.nfev)
+                out = (ns.converged, yn, ze_s, qpad, ns.niter, ns.rate,
+                       ns.nfev)
+                if use_sens:
+                    zpad = jnp.zeros((m, smax, dim), dtype).at[:, :s].set(ns.z)
+                    out = out + (zpad,)
+                return out
 
             def skip_newton(_):
-                return (jnp.zeros((m,), bool), st.y, jnp.zeros((m, dim), dtype),
-                        jnp.zeros((m, smax, dim), dtype),
-                        jnp.zeros((m,), jnp.int32), jnp.zeros((m,), dtype),
-                        jnp.zeros((m,), jnp.int32))
+                out = (jnp.zeros((m,), bool), st.y,
+                       jnp.zeros((m, dim), dtype),
+                       jnp.zeros((m, smax, dim), dtype),
+                       jnp.zeros((m,), jnp.int32), jnp.zeros((m,), dtype),
+                       jnp.zeros((m,), jnp.int32))
+                if use_sens:
+                    out = out + (jnp.zeros((m, smax, dim), dtype),)
+                return out
 
-            cv, yn, ze_s, qp, ni, rt, nf = jax.lax.cond(
-                jnp.any(run_s), do_newton, skip_newton, None)
+            res = jax.lax.cond(jnp.any(run_s), do_newton, skip_newton, None)
+            cv, yn, ze_s, qp, ni, rt, nf = res[:7]
             conv = jnp.where(run_s, cv, conv)
             y_new = jnp.where(run_s[:, None], yn, y_new)
             ze = jnp.where(run_s[:, None], ze_s, ze)
             q_new = jnp.where(run_s[:, None, None], qp, q_new)
+            if use_sens:
+                z_buf = jnp.where(run_s[:, None, None], res[7], z_buf)
             niter = jnp.where(run_s, ni, niter)
             rate = jnp.where(run_s, rt, rate)
             nfev_add = nfev_add + jnp.where(run_s, nf, 0)
@@ -299,6 +348,31 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
                              None)
         accept = conv & (enorm <= 1.0)
         reject_err = conv & (enorm > 1.0)
+
+        # ---- IND tangent sweep at each lane's own order (gated) -----------
+        if use_sens:
+            k_dirs = yd0.shape[0]
+            yd_delta = jnp.zeros((k_dirs, m, dim), dtype)
+            for s in orders:
+                msk = accept & (st.order == s)
+                np_s = (s - 1) // 2
+
+                def do_tan(_, tab=tabs[s], s=s, msk=msk, np_s=np_s):
+                    zd = _tangent_stages(
+                        tab, f, st.t, st.y, h, z_buf[:, :s, :], st.yd,
+                        newton_tol, lu_r, piv_r, lu_c[:, :np_s],
+                        piv_c[:, :np_s], msk, args, mass=mass,
+                        max_iter=max_iter, args_d=args_d)
+                    return zd[:, :, -1, :]
+
+                dyd = jax.lax.cond(
+                    jnp.any(msk), do_tan,
+                    lambda _: jnp.zeros((k_dirs, m, dim), dtype), None)
+                yd_delta = jnp.where(msk[None, :, None], dyd, yd_delta)
+            yd_new = jnp.where(accept[None, :, None], st.yd + yd_delta,
+                               st.yd)
+        else:
+            yd_new = st.yd
 
         # ---- controller with per-lane order exponent ----------------------
         h_abs = jnp.abs(h)
@@ -396,6 +470,7 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
             t=jnp.where(accept, jnp.where(terminate, t_ev, t_new), st.t),
             y=jnp.where(accept[:, None],
                         jnp.where(terminate[:, None], y_ev, y_new), st.y),
+            yd=yd_new,
             f0=f_new,
             h=h_next,
             order=jnp.where(st.active, order_next, st.order),
@@ -424,6 +499,7 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
     final = jax.lax.while_loop(cond, body, state)
     return cm.Solution(
         t=final.t, y=final.y, status=final.status, stats=final.stats,
+        sens=final.yd if use_sens else None,
         ts=t_eval if use_dense else None,
         ys=final.out_ys if use_dense else None,
         event_t=final.ev["event_t"] if specs else None,

@@ -1,5 +1,6 @@
 """Variable-order Radau (stages 1..7): oracle accuracy + order movement."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -72,3 +73,103 @@ def test_f32_caps_order_ladder():
     sol = solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="radaup", args=mus,
                     options=Options(rtol=1e-5, atol=1e-8, pivoting=False))
     assert float(jnp.mean((sol.status == SUCCESS).astype(jnp.float32))) == 1.0
+
+
+# ---- first-class IND tangents at per-lane variable order -------------------
+
+def _identity_seeds(m, d):
+    return jnp.stack([jnp.zeros((m, d)).at[:, j].set(1.0) for j in range(d)])
+
+
+def test_radaup_ind_matches_jvp_and_fd():
+    """Variable-order IND: the tangent sweep follows each lane's own order
+    ladder reusing that order's LU; matches jvp-through-the-solve and FD."""
+    tf = 1.0
+    mus = jnp.array([30.0, 300.0, 1000.0])
+    m = mus.shape[0]
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (m, 1))
+    opts = dict(rtol=1e-9, atol=1e-12)
+    seeds = _identity_seeds(m, 2)
+
+    sol = solve_ivp(vdp_rhs, (0.0, tf), y0, method="radaup", args=mus,
+                    tangents=seeds, **opts)
+    assert bool(jnp.all(sol.status == SUCCESS))
+    assert sol.sens.shape == (2, m, 2)
+
+    def final(z):
+        return solve_ivp(vdp_rhs, (0.0, tf), z, method="radaup", args=mus,
+                         **opts).y
+
+    Jjvp = jnp.stack([jax.jvp(final, (y0,), (seeds[k],))[1]
+                      for k in range(2)])
+    np.testing.assert_allclose(np.asarray(sol.sens), np.asarray(Jjvp),
+                               rtol=3e-4, atol=1e-6)
+
+    eps = 1e-6
+    for k in range(2):
+        fd = (final(y0 + eps * seeds[k]) - final(y0 - eps * seeds[k])) \
+            / (2 * eps)
+        np.testing.assert_allclose(np.asarray(sol.sens[k]), np.asarray(fd),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_radaup_ind_parameter_sensitivity():
+    """args_tangents through the variable-order solver vs FD in mu."""
+    tf = 1.0
+    mus = jnp.array([50.0, 400.0])
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (2, 1))
+    opts = dict(rtol=1e-9, atol=1e-12)
+
+    sol = solve_ivp(vdp_rhs, (0.0, tf), y0, method="radaup", args=mus,
+                    args_tangents=jnp.ones((1, 2)), **opts)
+    assert bool(jnp.all(sol.status == SUCCESS))
+
+    eps = 1e-4
+    yp = solve_ivp(vdp_rhs, (0.0, tf), y0, method="radaup",
+                   args=mus + eps, **opts).y
+    ym = solve_ivp(vdp_rhs, (0.0, tf), y0, method="radaup",
+                   args=mus - eps, **opts).y
+    fd = (yp - ym) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(sol.sens[0]), np.asarray(fd),
+                               rtol=5e-4, atol=1e-7)
+
+
+def test_radaup_ind_terminal_only_raises():
+    y0 = jnp.array([[2.0, 0.0]])
+    seeds = _identity_seeds(1, 2)
+    with pytest.raises(ValueError, match="terminal-state only"):
+        solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="radaup", args=100.0,
+                  tangents=seeds, t_eval=jnp.linspace(0.0, 1.0, 5))
+    from janus_tpu.solve.events import Event
+    with pytest.raises(ValueError, match="terminal-state only"):
+        solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="radaup", args=100.0,
+                  tangents=seeds,
+                  events=Event(lambda t, y, a: y[:, 0], terminal=True))
+
+
+def test_radaup_dual_fast_path_routes_ind():
+    """dual_solve_ivp(method='radaup') must take the IND fast path (no
+    fallback warning) and match the transform's sensitivities."""
+    import warnings
+    from janus_tpu.jet import Jet, seed_identity
+    from janus_tpu.jet.solve import dual_solve_ivp
+
+    mus = jnp.array([30.0, 1000.0])
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (2, 1))
+    y0j = seed_identity(y0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        yj, tj, sol = dual_solve_ivp(vdp_rhs, (0.0, 1.0), y0j,
+                                     method="radaup", args=mus,
+                                     rtol=1e-9, atol=1e-12)
+    assert bool(jnp.all(sol.status == SUCCESS))
+
+    def final(z):
+        return solve_ivp(vdp_rhs, (0.0, 1.0), z, method="radaup", args=mus,
+                         rtol=1e-9, atol=1e-12).y
+
+    for k in range(2):
+        seed = jnp.zeros_like(y0).at[:, k].set(1.0)
+        _, tan = jax.jvp(final, (y0,), (seed,))
+        np.testing.assert_allclose(np.asarray(yj.d[k]), np.asarray(tan),
+                                   rtol=3e-4, atol=1e-6)
