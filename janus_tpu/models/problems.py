@@ -126,3 +126,61 @@ def dubins_pmp_rhs(t, y, args):
         jnp.zeros_like(th), jnp.zeros_like(th),
         p1 * v * jnp.sin(th) - p2 * v * jnp.cos(th),
     ], axis=-1)
+
+
+# -- Hairer II stiff test set -------------------------------------------------
+# Published benchmark problems (Hairer & Wanner, "Solving ODEs II", 1996;
+# also the Bari IVP test set). The coefficient values below are the
+# published problem definitions, not code from any implementation.
+
+HIRES_Y0 = (1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0057)
+HIRES_TF = 321.8122
+
+
+def hires_rhs(t, y, args):
+    """HIRES (High Irradiance RESponse, 8 species plant-physiology
+    kinetics): the Hairer II 'chemistry' stiff benchmark."""
+    y1, y2, y3, y4, y5, y6, y7, y8 = [y[..., i] for i in range(8)]
+    r67 = 280.0 * y6 * y8
+    return jnp.stack([
+        -1.71 * y1 + 0.43 * y2 + 8.32 * y3 + 0.0007,
+        1.71 * y1 - 8.75 * y2,
+        -10.03 * y3 + 0.43 * y4 + 0.035 * y5,
+        8.32 * y2 + 1.71 * y3 - 1.12 * y4,
+        -1.745 * y5 + 0.43 * y6 + 0.43 * y7,
+        -r67 + 0.69 * y4 + 1.71 * y5 - 0.43 * y6 + 0.69 * y7,
+        r67 - 1.81 * y7,
+        -r67 + 1.81 * y7,
+    ], axis=-1)
+
+
+OREGO_Y0 = (1.0, 2.0, 3.0)
+OREGO_TF = 360.0
+
+
+def orego_rhs(t, y, args):
+    """Oregonator (Belousov-Zhabotinsky 3-species limit cycle): stiff with
+    state magnitudes swinging over 5 decades along the orbit."""
+    y1, y2, y3 = y[..., 0], y[..., 1], y[..., 2]
+    return jnp.stack([
+        77.27 * (y2 + y1 * (1.0 - 8.375e-6 * y1 - y2)),
+        (y3 - (1.0 + y1) * y2) / 77.27,
+        0.161 * (y1 - y3),
+    ], axis=-1)
+
+
+E5_Y0 = (1.76e-3, 0.0, 0.0, 0.0)
+E5_TF = 1e3      # classic horizon is 1e13; 1e3 already exercises the cliff
+
+
+def e5_rhs(t, y, args):
+    """E5 chemical pyrolysis (Hairer II): extreme dynamic range — honest
+    integrations need tiny atol (~1.7e-24 classically); used here on a
+    shortened horizon as an error-weighting stress test."""
+    y1, y2, y3, y4 = y[..., 0], y[..., 1], y[..., 2], y[..., 3]
+    a, b, c, m_ = 7.89e-10, 1.1e7, 1.13e3, 1.0e6
+    d1 = -a * y1 - b * y1 * y3
+    d2 = a * y1 - m_ * c * y2 * y3
+    d4 = b * y1 * y3 - c * y4
+    d3 = d2 - d4
+    return jnp.stack([d1, d2, d3, d4], axis=-1)

@@ -129,7 +129,10 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
     backward sweep: the adjoint equation picks up the source term
     λ' = −Jᵀλ − l_yᵀq̄, parameters the quadrature q̄·∫ l_θ dt, and the
     boundaries ±q̄·l — integral-cost (Lagrange-term) objectives at one
-    backward sweep, no state augmentation. Not combinable with n_alg.
+    backward sweep, no state augmentation. With ``n_alg`` the adjoint's
+    algebraic consistency condition picks up the cost's algebraic gradient
+    (g_zᵀν_z = −f_zᵀν_x − l_zᵀq̄, the Cao-Li-Petzold quadrature
+    sensitivities).
 
     checkpoints: optional segment count C > 0 for MEMORY-BOUNDED long-horizon
     reverse mode (terminal mode only — not with t_eval or events). The span
@@ -153,11 +156,6 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
         if events is not None:
             raise ValueError("n_alg > 0 with events is not supported (the "
                              "event jump needs the DAE's constrained ẏ*)")
-        if use_cost:
-            raise ValueError("n_alg > 0 with cost= is not supported (the "
-                             "quadrature source needs the DAE-constrained "
-                             "cotangent split); integrate the cost as an "
-                             "extra differential state instead")
     t0, tf = tspan
     if events is not None:
         if t_eval is not None:
@@ -465,8 +463,16 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
         ybar_x_eff = lam_T[:, :n1] - jnp.einsum(
             "mai,ma->mi", gx, u, precision=_EINSUM_PRECISION)
         nu_x = lu_solve(lu_aT, piv_aT, ybar_x_eff)
-        nu_z = -lu_solve(lu_gzT, piv_gzT, jnp.einsum(
-            "mia,mi->ma", fz, nu_x, precision=_EINSUM_PRECISION))
+        rhs_z = jnp.einsum("mia,mi->ma", fz, nu_x,
+                           precision=_EINSUM_PRECISION)
+        if use_cost:
+            # integral cost on a DAE: the adjoint's algebraic consistency
+            # 0 = f_zᵀν_x + g_zᵀν_z + l_zᵀq̄ carries the cost's algebraic
+            # gradient into ν_z(T) (Cao-Li-Petzold quadrature sensitivities)
+            lbar_T = jax.vjp(lambda yy: lfun(t_term, yy, dleaves),
+                             yT)[1](qb)[0]
+            rhs_z = rhs_z + lbar_T[:, n1:]
+        nu_z = -lu_solve(lu_gzT, piv_gzT, rhs_z)
         lam_init = jnp.concatenate([nu_x, nu_z], axis=-1)
     elif mass is not None:
         lam_init = lu_solve(luM, pivM, lam_T)

@@ -553,3 +553,47 @@ def test_adjoint_checkpoints_mode_restrictions():
         radau_adjoint(vdp_rhs, (0.0, 1.0), y0, args=jnp.ones(1),
                       events=Event(lambda t, y, a: y[:, 0], terminal=True),
                       checkpoints=2)
+
+
+def test_adjoint_index1_dae_with_cost_matches_fd():
+    """n_alg + cost=: integral cost on an index-1 DAE. The integrand touches
+    the ALGEBRAIC variable, so ν_z(T) must carry the l_zᵀq̄ consistency term
+    (g_zᵀν_z = −f_zᵀν_x − l_zᵀq̄); gradients vs FD re-solves."""
+    m = 2
+    mass = jnp.diag(jnp.array([2.0, 1.0, 0.0]))
+    x0 = jnp.array([[1.0, 0.2], [0.8, 0.4]])
+    k0 = {"k1": jnp.array([0.5, 0.7]), "k2": jnp.array([10.0, 6.0]),
+          "k3": jnp.array([2.0, 3.0])}
+    opts = Options(rtol=1e-10, atol=1e-13, adjoint_steps=512)
+    w = jnp.array([0.6, 1.1, 1.7])
+
+    def cost(t, y, k):
+        # weight on the algebraic slot z AND a parameter-dependent term
+        return y[:, 0] ** 2 + 0.5 * y[:, 2] + 0.1 * k["k1"] * y[:, 1]
+
+    def loss(xd, k):
+        z0 = 1.0 - xd[:, 0] - xd[:, 1]
+        y0 = jnp.concatenate([xd, z0[:, None]], axis=-1)
+        yT, q = radau_adjoint(_rob_dae_rhs, (0.0, 2.0), y0, args=k,
+                              options=opts, mass=mass, n_alg=1, cost=cost)
+        return jnp.sum(w[None, :] * yT ** 2) + jnp.sum(q)
+
+    g_x0, g_k = jax.grad(loss, argnums=(0, 1))(x0, k0)
+    eps = 1e-6
+    for name in ("k1", "k2", "k3"):
+        for i in range(m):
+            e = jnp.zeros((m,)).at[i].set(eps)
+            kp = dict(k0); km = dict(k0)
+            kp[name] = k0[name] + e
+            km[name] = k0[name] - e
+            fd = (loss(x0, kp) - loss(x0, km)) / (2 * eps)
+            np.testing.assert_allclose(float(g_k[name][i]), float(fd),
+                                       rtol=5e-5, atol=1e-10,
+                                       err_msg=f"d/d{name}[{i}]")
+    for i in range(m):
+        for j in range(2):
+            e = jnp.zeros((m, 2)).at[i, j].set(eps)
+            fd = (loss(x0 + e, k0) - loss(x0 - e, k0)) / (2 * eps)
+            np.testing.assert_allclose(float(g_x0[i, j]), float(fd),
+                                       rtol=5e-5, atol=1e-10,
+                                       err_msg=f"d/dx0[{i},{j}]")

@@ -1,4 +1,5 @@
-"""Problem-library oracle checks (Robertson, Brusselator, Pleiades)."""
+"""Problem-library oracle checks (Robertson, Brusselator, Pleiades, Hairer II
+stiff set: HIRES, Oregonator, E5)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -49,3 +50,44 @@ def test_pleiades_explicit():
                     method="dopri853", rtol=1e-10, atol=1e-12)
     assert int(sol.status[0]) == SUCCESS
     np.testing.assert_allclose(sol.y[0], ref.y[:, -1], rtol=1e-7, atol=1e-8)
+
+
+def test_hires_vs_scipy():
+    """HIRES (Hairer II stiff set) full horizon, variable-order radaup."""
+    from janus_tpu.models.problems import hires_rhs, HIRES_Y0, HIRES_TF
+    y0 = jnp.array([HIRES_Y0])
+    ref = ss(lambda t, y: np.asarray(hires_rhs(t, y[None, :], None))[0],
+             (0.0, HIRES_TF), list(HIRES_Y0), method="Radau",
+             rtol=1e-10, atol=1e-12)
+    sol = solve_ivp(hires_rhs, (0.0, HIRES_TF), y0, method="radaup",
+                    rtol=1e-8, atol=1e-10)
+    assert int(sol.status[0]) == SUCCESS
+    np.testing.assert_allclose(sol.y[0], ref.y[:, -1], rtol=1e-4, atol=1e-8)
+
+
+def test_orego_vs_scipy():
+    """Oregonator limit cycle (5-decade state swings), fixed-order radau."""
+    from janus_tpu.models.problems import orego_rhs, OREGO_Y0, OREGO_TF
+    y0 = jnp.array([OREGO_Y0])
+    ref = ss(lambda t, y: np.asarray(orego_rhs(t, y[None, :], None))[0],
+             (0.0, OREGO_TF), list(OREGO_Y0), method="Radau",
+             rtol=1e-10, atol=1e-12)
+    sol = solve_ivp(orego_rhs, (0.0, OREGO_TF), y0, method="radau",
+                    rtol=1e-8, atol=1e-10)
+    assert int(sol.status[0]) == SUCCESS
+    np.testing.assert_allclose(sol.y[0], ref.y[:, -1], rtol=5e-4, atol=1e-8)
+
+
+def test_e5_short_horizon_vs_scipy():
+    """E5 pyrolysis: extreme dynamic range needs honest per-component error
+    weighting (atol ≪ any state scale); seulex on a shortened horizon."""
+    from janus_tpu.models.problems import e5_rhs, E5_Y0, E5_TF
+    y0 = jnp.array([E5_Y0])
+    ref = ss(lambda t, y: np.asarray(e5_rhs(t, y[None, :], None))[0],
+             (0.0, E5_TF), list(E5_Y0), method="Radau",
+             rtol=1e-11, atol=1e-22)
+    sol = solve_ivp(e5_rhs, (0.0, E5_TF), y0, method="seulex",
+                    rtol=1e-9, atol=1e-20)
+    assert int(sol.status[0]) == SUCCESS
+    np.testing.assert_allclose(sol.y[0], ref.y[:, -1], rtol=1e-4,
+                               atol=1e-25)
