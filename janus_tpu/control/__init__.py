@@ -27,8 +27,10 @@ from janus_tpu.control.shooting import (
     multiple_shooting_residual,
 )
 from janus_tpu.control.optimize import newton_cg, cg_steihaug, OptimizeResult
+from janus_tpu.control.implicit import implicit_root
 
 __all__ = [
+    "implicit_root",
     "newton_solve", "NewtonResult",
     "newton_krylov", "anderson_solve",
     "block_jacobi_precond", "tridiag_precond", "tridiag_solve",
