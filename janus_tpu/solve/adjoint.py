@@ -31,11 +31,14 @@ Design notes (TPU-first):
   ν(T) = M⁻ᵀ∂L/∂y(T) and ∂L/∂y0 = Mᵀν(t0). Singular-mass (DAE) adjoints are
   not defined by this route and raise;
 - ``Options(stage_solver="gmres")`` carries through to the backward pass:
-  the adjoint stage systems (γ/h_b·I + Jᵀ) are solved by the same batched
+  the adjoint stage systems (γ/h_b·Mᵀ + Jᵀ) are solved by the same batched
   GMRES machinery with Jᵀ·v as a vjp PULL (reverse mode is the natural
   direction here — no transpose probes needed) and the TRANSPOSED 3-probe
   tridiagonal Thomas preconditioner, so large-D (method-of-lines) models
-  train with reverse-mode gradients without materializing any Jacobian;
+  train with reverse-mode gradients without materializing any Jacobian.
+  A (non-singular) mass matrix stays matrix-free too: the terminal
+  ν(T) = M⁻ᵀλ(T) and ẏ(T) = M⁻¹f solves run GMRES preconditioned by the
+  mass's own tridiagonal Thomas sweep (exact for 1-D FEM mass);
 - semi-explicit index-1 DAEs (``n_alg`` trailing algebraic variables,
   mass = blockdiag(A, 0) with A invertible) get the Cao-Li-Petzold adjoint:
   the backward stage systems (γ/h_b·Mᵀ + Jᵀ) already handle singular M —
@@ -103,7 +106,8 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
 
     mass: optional mass matrix [D,D] or [M,D,D]. Must be invertible unless
     ``n_alg > 0`` (invertibility is not detectable at trace time and is the
-    caller's responsibility).
+    caller's responsibility). Works with ``stage_solver='gmres'`` (the
+    terminal mass solves run matrix-free; see the module docstring).
 
     n_alg: number of TRAILING algebraic variables for a semi-explicit
     index-1 DAE — mass must be blockdiag(A, 0) with A [D−n_alg square]
@@ -352,9 +356,11 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
     tol = (opts.newton_tol if opts.newton_tol > 0
            else cm.derived_newton_tol(dtype, opts.rtol))
     use_gmres = opts.stage_solver == "gmres"
-    if use_gmres and mass is not None:
-        raise ValueError("stage_solver='gmres' adjoint requires mass=None "
-                         "(ν(T) = M⁻ᵀλ(T) needs a dense mass solve)")
+    if use_gmres and n_alg:
+        raise ValueError("stage_solver='gmres' adjoint does not support "
+                         "n_alg (the DAE terminal conditions need dense "
+                         "g_z/A block factorizations — index-1 systems are "
+                         "small; use the LU path)")
     if use_gmres and jac_user is not None:
         raise ValueError("stage_solver='gmres' is matrix-free; drop jac=")
 
@@ -386,7 +392,28 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
             eq = "mij,msj->msi" if w.ndim == 3 else "mij,mj->mi"
             return jnp.einsum(eq, massT, w, precision=_EINSUM_PRECISION)
 
-        if not n_alg:                # singular mass is never factored whole
+        if use_gmres:
+            # matrix-free mass solves (large D forbids the unrolled LU):
+            # GMRES + Thomas preconditioner on the mass's own tridiagonal —
+            # exact in one application for 1-D FEM-style mass matrices
+            def _mass_solve(mm, rhs):
+                from janus_tpu.control.precond import tridiag_solve
+                from janus_tpu.linalg.gmres import gmres_batched
+                mmb = mm if mm.ndim == 3 else jnp.broadcast_to(
+                    mm, (m, dim, dim))
+                mv = lambda v: jnp.einsum(                     # noqa: E731
+                    "mij,mj->mi", mmb, v, precision=_EINSUM_PRECISION)
+                z1 = jnp.zeros((m, 1), dtype)
+                d_ = jnp.diagonal(mmb, axis1=-2, axis2=-1)
+                dl_ = jnp.concatenate(
+                    [z1, jnp.diagonal(mmb, offset=-1, axis1=-2, axis2=-1)],
+                    axis=-1)
+                du_ = jnp.concatenate(
+                    [jnp.diagonal(mmb, offset=1, axis1=-2, axis2=-1), z1],
+                    axis=-1)
+                pc = lambda v: tridiag_solve(dl_, d_, du_, v)  # noqa: E731
+                return gmres_batched(mv, rhs, pc, opts.gmres_iters)[0]
+        elif not n_alg:              # singular mass is never factored whole
             mTb = jnp.broadcast_to(massT, (m, dim, dim))
             luM, pivM = lu_factor(mTb, pivot=True)
     else:
@@ -416,9 +443,12 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
             "mai,mi->ma", gx, xdot, precision=_EINSUM_PRECISION))
         ydot_T = jnp.concatenate([xdot, zdot], axis=-1)
     elif mass is not None:
-        mb = jnp.broadcast_to(jnp.asarray(mass, dtype), (m, dim, dim))
-        luMf, pivMf = lu_factor(mb, pivot=True)
-        ydot_T = lu_solve(luMf, pivMf, f_T)
+        if use_gmres:
+            ydot_T = _mass_solve(jnp.asarray(mass, dtype), f_T)
+        else:
+            mb = jnp.broadcast_to(jnp.asarray(mass, dtype), (m, dim, dim))
+            luMf, pivMf = lu_factor(mb, pivot=True)
+            ydot_T = lu_solve(luMf, pivMf, f_T)
     else:
         ydot_T = f_T
 
@@ -475,7 +505,8 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
         nu_z = -lu_solve(lu_gzT, piv_gzT, rhs_z)
         lam_init = jnp.concatenate([nu_x, nu_z], axis=-1)
     elif mass is not None:
-        lam_init = lu_solve(luM, pivM, lam_T)
+        lam_init = _mass_solve(massT, lam_T) if use_gmres \
+            else lu_solve(luM, pivM, lam_T)
     else:
         lam_init = lam_T
 
@@ -563,7 +594,7 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
             jv_adj = lambda v: -pull_lin(v)[0]        # noqa: E731
             solve_real, solve_cplx = _gmres_core(
                 tab, jv_adj, bands_adj, hb,
-                _gmres_mass_ops(None, m, dim, bands_adj[:, 1]),
+                _gmres_mass_ops(massT, m, dim, bands_adj[:, 1]),
                 opts.gmres_iters)
             ok = jnp.ones((m,), bool)
         else:

@@ -112,7 +112,65 @@ def test_gmres_feature_exclusions():
     with pytest.raises(ValueError):              # variable order needs LU
         solve_ivp(f, (0.0, 1.0), y0, method="radaup",
                   options=opts.replace(min_stages=1, max_stages=7))
-    with pytest.raises(ValueError):              # gmres adjoint: mass=None
+    with pytest.raises(ValueError):              # gmres adjoint: no n_alg
         from janus_tpu.solve.adjoint import radau_adjoint
+        mass_s = jnp.diag(jnp.array([1.0, 1.0, 1.0, 0.0]))
+        fdae = lambda t, y, a: jnp.concatenate(           # noqa: E731
+            [-y[:, :3], (y[:, 3:] - y[:, :1])], axis=-1)
         jax.grad(lambda z: jnp.sum(radau_adjoint(
-            f, (0.0, 1.0), z, options=opts, mass=jnp.eye(4)) ** 2))(y0)
+            fdae, (0.0, 1.0), z, options=opts, mass=mass_s,
+            n_alg=1) ** 2))(y0)
+
+
+def test_gmres_adjoint_with_mass_matches_fd():
+    """FEM-style tridiagonal mass + GMRES stage solves (D = 64): the
+    backward pass runs matrix-free throughout — transposed stage systems,
+    AND the terminal ν(T) = M⁻ᵀλ(T) / M⁻¹f velocity solves (GMRES with the
+    mass's own Thomas preconditioner — exact for a tridiagonal mass).
+    Primal vs scipy on M⁻¹f; gradient vs FD."""
+    from scipy.integrate import solve_ivp as ssolve
+    from janus_tpu.solve.adjoint import radau_adjoint
+
+    d = 64
+    dx = 1.0 / (d + 1)
+    xg = np.linspace(dx, 1.0 - dx, d)
+    rhs = _mol_rhs(dx)
+    m = 2
+    y0 = jnp.tile(jnp.asarray(np.exp(-100 * (xg - 0.3) ** 2))[None], (m, 1))
+    rates = jnp.array([1.0, 8.0])[:, None]
+    mass = (jnp.eye(d) * 2.0 / 3.0 + jnp.eye(d, k=1) / 6.0
+            + jnp.eye(d, k=-1) / 6.0)
+    tf = 0.2
+    opts = Options(rtol=1e-8, atol=1e-11, stage_solver="gmres",
+                   gmres_iters=25, adjoint_steps=256)
+
+    def loss(r):
+        y = radau_adjoint(rhs, (0.0, tf), y0, args=(0.01, r), options=opts,
+                          mass=mass)
+        return jnp.sum(y ** 2), y
+
+    (l0, yT), g = jax.value_and_grad(loss, has_aux=True)(rates)
+
+    # primal oracle: scipy Radau on the transformed system y' = M⁻¹ f
+    minv = np.linalg.inv(np.asarray(mass))
+    r0 = float(rates[0, 0])
+
+    def f1(t, y):
+        lap = np.empty_like(y)
+        lap[0] = (y[1] - 2 * y[0]) / dx ** 2
+        lap[-1] = (y[-2] - 2 * y[-1]) / dx ** 2
+        lap[1:-1] = (y[:-2] - 2 * y[1:-1] + y[2:]) / dx ** 2
+        return minv @ (0.01 * lap + r0 * y * (1 - y))
+
+    ref = ssolve(f1, (0, tf), np.asarray(y0[0]), method="Radau",
+                 rtol=1e-10, atol=1e-13)
+    assert ref.success
+    np.testing.assert_allclose(np.asarray(yT[0]), ref.y[:, -1],
+                               rtol=1e-5, atol=1e-8)
+
+    eps = 1e-5
+    for i in range(m):
+        e = jnp.zeros((m, 1)).at[i, 0].set(eps)
+        fd = (loss(rates + e)[0] - loss(rates - e)[0]) / (2 * eps)
+        np.testing.assert_allclose(float(g[i, 0]), float(fd), rtol=1e-4,
+                                   err_msg=f"lane {i}")
