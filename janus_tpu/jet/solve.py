@@ -66,8 +66,8 @@ def dual_solve_ivp(f: Callable, tspan, y0, method: str = "radau",
     from janus_tpu.solve import Options as _Options
     _opt_fields = set(_Options.__dataclass_fields__)
     if method in ("radau", "radau5", "radau9", "radau13", "radaup",
-                  "seulex"):
-        terminal_only = method in ("seulex", "radaup")
+                  "seulex", "rodas"):
+        terminal_only = method in ("seulex", "radaup", "rodas")
         pass_kw = {"jac", "mass"} | (set() if terminal_only else {"t_eval"})
         blockers = []
         if tf_is_jet:
@@ -85,7 +85,7 @@ def dual_solve_ivp(f: Callable, tspan, y0, method: str = "radau",
             o = o.replace(**{k: v for k, v in kw.items() if k in _opt_fields})
             kw = {k: v for k, v in kw.items() if k in pass_kw}
             options = o
-            if method not in ("seulex", "radaup") \
+            if method not in ("seulex", "radaup", "rodas") \
                     and o.min_stages != o.max_stages:
                 blockers.append("variable stage count "
                                 "(min_stages != max_stages)")

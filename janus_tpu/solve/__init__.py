@@ -117,11 +117,11 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
                          f"known: {sorted(FEATURES) + sorted(_ALIASES)}")
     _check_features(canonical, jac, mass, events, t_eval)
     if (tangents is not None or args_tangents is not None) \
-            and canonical not in ("radau", "radaup", "seulex"):
+            and canonical not in ("radau", "radaup", "seulex", "rodas"):
         raise ValueError("tangents= (internal-differentiation sensitivities)"
-                         " is supported by the 'radau'/'radaup' methods "
-                         "and 'seulex'; use jax.jvp through the solve "
-                         "otherwise")
+                         " is supported by the 'radau'/'radaup' methods, "
+                         "'seulex' and 'rodas'; use jax.jvp through the "
+                         "solve otherwise")
     if quad is not None and canonical != "radau":
         raise ValueError("quad= (running-cost quadratures) is supported by "
                          "the fixed-stage 'radau' methods only; integrate "
@@ -178,7 +178,8 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
     if canonical == "rodas":
         from janus_tpu.solve.rodas import solve_rodas
         return solve_rodas(f, t0, tf, y0, args, options, t_eval,
-                           jac=jac, mass=mass, events=events)
+                           jac=jac, mass=mass, events=events,
+                           tangents=tangents, args_tangents=args_tangents)
     if canonical == "grk4t":
         from janus_tpu.solve.rosenbrock import solve_ros4
         return solve_ros4(f, t0, tf, y0, args, options, t_eval, jac=jac)

@@ -96,13 +96,30 @@ class _RodasState:
     stats: dict
     out_ys: Any
     ev: Any
+    yd: Any                   # [K, M, D] IND tangents (0-size when unused)
 
 
 def solve_rodas(f: Callable, t0, tf, y0, args=None,
                 options: Optional[Options] = None, t_eval=None,
                 jac: Optional[Callable] = None, mass=None,
-                events=None) -> cm.Solution:
-    """Batched adaptive RODAS4 solve (index-1 DAE capable via ``mass``)."""
+                events=None, tangents=None,
+                args_tangents=None) -> cm.Solution:
+    """Batched adaptive RODAS4 solve (index-1 DAE capable via ``mass``).
+
+    tangents / args_tangents: first-class internal-differentiation forward
+    sensitivities. Rosenbrock steps are linearly implicit, so the tangent of
+    one step is DIRECT (no iteration): each tangent increment solves the
+    step's already-factored E = M/(hγ) − J against the exact derivative of
+    the stage right-hand side — a jvp of f at the converged stage point,
+    plus the second-order term dJ[δ]·k_i from d(E)·k_i (one linearization of
+    the Jacobian map per step, shared by all K directions; RODAS is NOT a
+    W-method, so unlike seulex this term is required for full tangent
+    order) and the d/dt cross term dfₜ[δ]. Six back-substitutions per
+    direction, zero extra factorizations (the reference's solve_LUdual role,
+    radauted_impl.hpp:1901-1936, on its rosenbrock_torch_gmres family).
+    Results in ``Solution.sens`` [K, M, D]; terminal mode only (t_eval /
+    events with tangents raise — use jax.jvp through the solve there).
+    """
     opts = options if options is not None else Options()
     if opts.nind2 or opts.nind3:
         raise ValueError("Options.nind2/nind3 (higher-index DAE error "
@@ -114,10 +131,44 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
     dtype = y0.dtype
     jac_fn = jac if jac is not None else default_jacobian(f)
 
-    def ft_fn(t, y):
+    use_sens = tangents is not None or args_tangents is not None
+    if use_sens and (t_eval is not None or events is not None):
+        raise ValueError("solve_rodas(tangents=) is terminal-mode only "
+                         "(no tangent dense output/event correction); "
+                         "use jax.jvp through the solve for those")
+    if use_sens:
+        if args_tangents is not None:
+            args_d = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype), args_tangents)
+            k_args = jax.tree_util.tree_leaves(args_d)[0].shape[0]
+        else:
+            args_d, k_args = None, None
+        if tangents is not None:
+            yd0 = jnp.asarray(tangents, dtype)
+            if yd0.ndim != 3 or yd0.shape[1:] != (m, dim):
+                raise ValueError(f"tangents must be [K, {m}, {dim}], got "
+                                 f"{yd0.shape}")
+            if k_args is not None and k_args != yd0.shape[0]:
+                raise ValueError(f"tangents K={yd0.shape[0]} != "
+                                 f"args_tangents K={k_args}")
+        else:
+            yd0 = jnp.zeros((k_args, m, dim), dtype)
+        k_dirs = yd0.shape[0]
+        args_d_rows = [jax.tree_util.tree_map(lambda a, _k=k: a[_k], args_d)
+                       for k in range(k_dirs)] if args_d is not None \
+            else [None] * k_dirs
+    else:
+        args_d = None
+        yd0 = jnp.zeros((0, m, dim), dtype)
+        k_dirs = 0
+
+    def ft_at(t, y, aa):
         ones = jnp.ones_like(t)
-        _, out = jax.jvp(lambda tt: f(tt, y, args), (t,), (ones,))
+        _, out = jax.jvp(lambda tt: f(tt, y, aa), (t,), (ones,))
         return out
+
+    def ft_fn(t, y):
+        return ft_at(t, y, args)
 
     def mdot(v):
         if mass is None:
@@ -168,6 +219,7 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
         stats=stats, out_ys=out_ys,
         ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
+        yd=yd0,
     )
     eps = jnp.finfo(dtype).eps
     eye = jnp.eye(dim, dtype=dtype)
@@ -286,6 +338,102 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         ev, terminate, t_ev, y_ev, _ev_idx = handle_events(
             specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
 
+        # ---- IND tangent sweep (exact derivative of the frozen-h step) ----
+        if use_sens:
+            stage_pts = ((st.t, st.y),
+                         (st.t + C2 * h, st.y + A21 * k1),
+                         (st.t + C3 * h, st.y + A31 * k1 + A32 * k2),
+                         (st.t + C4 * h,
+                          st.y + A41 * k1 + A42 * k2 + A43 * k3),
+                         (t_new, y5), (t_new, y_emb))
+
+            def do_tan(_):
+                yd = st.yd
+                # linearize f at the six converged stage points and the
+                # Jacobian/ft maps at the step point — ONCE, shared by all
+                # K directions; per direction each stage costs one
+                # linear-map application + one back-substitution
+                lins = []
+                for ti, yi in stage_pts:
+                    if args_d is None:
+                        _, ln = jax.linearize(
+                            lambda yy, _t=ti: f(_t, yy, args), yi)
+                        lins.append(lambda dy, _da, _ln=ln: _ln(dy))
+                    else:
+                        _, ln = jax.linearize(
+                            lambda yy, aa, _t=ti: f(_t, yy, aa), yi, args)
+                        lins.append(lambda dy, da, _ln=ln: _ln(dy, da))
+                if args_d is None:
+                    _, jlin = jax.linearize(
+                        lambda yy: jac_fn(st.t, yy, args), st.y)
+                    _, xlin = jax.linearize(
+                        lambda yy: ft_at(st.t, yy, args), st.y)
+                    jl = lambda dy, _da: jlin(dy)          # noqa: E731
+                    xl = lambda dy, _da: xlin(dy)          # noqa: E731
+                else:
+                    _, jl = jax.linearize(
+                        lambda yy, aa: jac_fn(st.t, yy, aa), st.y, args)
+                    _, xl = jax.linearize(
+                        lambda yy, aa: ft_at(st.t, yy, aa), st.y, args)
+
+                def app(ln, dys):              # [K, M, ...] per direction
+                    if args_d is None:
+                        return jax.vmap(lambda d: ln(d, None))(dys)
+                    return jnp.stack([ln(dys[q], args_d_rows[q])
+                                      for q in range(k_dirs)])
+
+                djac = app(jl, yd)             # [K, M, D, D] = dJ[δ_k]
+                dfx = app(xl, yd)              # [K, M, D]   = dfₜ[δ_k]
+
+                def djk(ki):                   # d(E)·k_i = −dJ[δ]·k_i term
+                    return jnp.einsum("kmij,mj->kmi", djac, ki,
+                                      precision=_EINSUM_PRECISION)
+
+                def mdot_k(v):                 # [K, M, D]
+                    if mass is None:
+                        return v
+                    eq = ("ij,kmj->kmi" if mass.ndim == 2
+                          else "mij,kmj->kmi")
+                    return jnp.einsum(eq, mass, v,
+                                      precision=_EINSUM_PRECISION)
+
+                def slv_k(rhs):
+                    return jax.vmap(
+                        lambda b: lu_solve(lu_m, piv_m, b))(rhs)
+
+                hck = h[None, :, None]
+                dk1 = slv_k(app(lins[0], yd)
+                            + (h * D1)[None, :, None] * dfx + djk(k1))
+                d2 = yd + A21 * dk1
+                dk2 = slv_k(app(lins[1], d2)
+                            + (h * D2)[None, :, None] * dfx
+                            + mdot_k(C21 * dk1) / hck + djk(k2))
+                d3 = yd + A31 * dk1 + A32 * dk2
+                dk3 = slv_k(app(lins[2], d3)
+                            + (h * D3)[None, :, None] * dfx
+                            + mdot_k(C31 * dk1 + C32 * dk2) / hck + djk(k3))
+                d4 = yd + A41 * dk1 + A42 * dk2 + A43 * dk3
+                dk4 = slv_k(app(lins[3], d4)
+                            + (h * D4)[None, :, None] * dfx
+                            + mdot_k(C41 * dk1 + C42 * dk2 + C43 * dk3)
+                            / hck + djk(k4))
+                d5 = yd + A51 * dk1 + A52 * dk2 + A53 * dk3 + A54 * dk4
+                dk5 = slv_k(app(lins[4], d5)
+                            + mdot_k(C51 * dk1 + C52 * dk2 + C53 * dk3
+                                     + C54 * dk4) / hck + djk(k5))
+                d_emb = d5 + dk5
+                dk6 = slv_k(app(lins[5], d_emb)
+                            + mdot_k(C61 * dk1 + C62 * dk2 + C63 * dk3
+                                     + C64 * dk4 + C65 * dk5) / hck
+                            + djk(k6))
+                ydn = d_emb + dk6
+                return jnp.where(accept[None, :, None], ydn, st.yd)
+
+            yd_new = jax.lax.cond(jnp.any(accept), do_tan,
+                                  lambda _: st.yd, None)
+        else:
+            yd_new = st.yd
+
         # ---- bookkeeping --------------------------------------------------
         done = accept & last
         h_next_abs = jnp.where(accept | reject, h_abs * factor,
@@ -332,7 +480,7 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
             rejected=jnp.where(accept, False, st.rejected | reject),
             nsing=nsing,
             active=active, status=status, stats=stats, out_ys=out_ys,
-            ev=ev,
+            ev=ev, yd=yd_new,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -343,4 +491,5 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         event_t=final.ev["event_t"] if specs else None,
         event_y=final.ev["event_y"] if specs else None,
         event_idx=final.ev["event_idx"] if specs else None,
+        sens=final.yd if use_sens else None,
     )

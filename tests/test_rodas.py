@@ -119,3 +119,108 @@ def test_heterogeneous_batch():
                  rtol=1e-10, atol=1e-13)
         np.testing.assert_allclose(sol.y[i], ref.y[:, -1],
                                    rtol=5e-4, atol=1e-6)
+
+
+# ---------- first-class IND tangents (solve_rodas(tangents=)) ----------
+# The reference's solve_LUdual role on its Rosenbrock family
+# (rosenbrock_torch_gmres): tangent increments reuse the step's factored
+# E = M/(h*gamma) - J, with the exact dJ[delta]*k_i second-order terms
+# (RODAS is not a W-method, so they are required for full tangent order).
+
+def _ident_seeds(m, d):
+    return jnp.stack([jnp.zeros((m, d)).at[:, j].set(1.0) for j in range(d)])
+
+
+def test_rodas_ind_matches_jvp_and_fd():
+    import jax
+    m = 3
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (m, 1))
+    mus = jnp.array([30.0, 100.0, 300.0])
+    opts = Options(rtol=1e-9, atol=1e-12)
+    seeds = _ident_seeds(m, 2)
+
+    sol = solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="rodas", args=mus,
+                    options=opts, tangents=seeds)
+    assert bool(jnp.all(sol.status == SUCCESS))
+    assert sol.sens.shape == (2, m, 2)
+
+    def final(z):
+        return solve_ivp(vdp_rhs, (0.0, 1.0), z, method="rodas", args=mus,
+                         options=opts).y
+
+    # IND (frozen step sequence) vs jvp (controller differentiated): agree
+    # to O(tolerance-driven mesh error), not machine precision
+    Jjvp = jnp.stack([jax.jvp(final, (y0,), (seeds[k],))[1]
+                      for k in range(2)])
+    np.testing.assert_allclose(np.asarray(sol.sens), np.asarray(Jjvp),
+                               rtol=3e-4, atol=1e-6)
+
+    eps = 1e-6
+    for k in range(2):
+        fd = (final(y0 + eps * seeds[k]) - final(y0 - eps * seeds[k])) \
+            / (2 * eps)
+        np.testing.assert_allclose(np.asarray(sol.sens[k]), np.asarray(fd),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_rodas_ind_parameter_tangents():
+    """args_tangents alone: d y(T)/d mu vs central FD."""
+    m = 2
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (m, 1))
+    mus = jnp.array([50.0, 200.0])
+    opts = Options(rtol=1e-9, atol=1e-12)
+
+    sol = solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="rodas", args=mus,
+                    options=opts, args_tangents=jnp.ones((1, m)))
+    assert bool(jnp.all(sol.status == SUCCESS))
+
+    eps = 1e-4
+    fp = solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="rodas",
+                   args=mus + eps, options=opts).y
+    fm = solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="rodas",
+                   args=mus - eps, options=opts).y
+    np.testing.assert_allclose(np.asarray(sol.sens[0]),
+                               np.asarray((fp - fm) / (2 * eps)),
+                               rtol=1e-3, atol=1e-7)
+
+
+def test_rodas_ind_with_mass_dae():
+    """Index-1 DAE y1' = -y1, 0 = y2 - y1: dy(T)/dy1(0) = e^-T in BOTH
+    components; zero sensitivity to the determined algebraic variable."""
+    mass = jnp.diag(jnp.array([1.0, 0.0]))
+
+    def f(t, y, args):
+        return jnp.stack([-y[..., 0], y[..., 1] - y[..., 0]], axis=-1)
+
+    y0 = jnp.array([[1.0, 1.0]])
+    sol = solve_ivp(f, (0.0, 1.5), y0, method="rodas", mass=mass,
+                    options=Options(rtol=1e-10, atol=1e-13),
+                    tangents=_ident_seeds(1, 2))
+    assert int(sol.status[0]) == SUCCESS
+    e = np.exp(-1.5)
+    np.testing.assert_allclose(np.asarray(sol.sens[0, 0]), [e, e],
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol.sens[1, 0]), [0.0, 0.0],
+                               atol=1e-8)
+
+
+def test_rodas_ind_terminal_only_and_routing():
+    """t_eval/events with tangents raise; dual_solve_ivp routes rodas
+    through the fast path (sol.sens populated, no fallback warning)."""
+    import warnings
+    from janus_tpu.jet.core import Jet
+    from janus_tpu.jet.solve import dual_solve_ivp
+
+    y0 = jnp.array([[2.0, 0.0]])
+    with pytest.raises(ValueError):
+        solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="rodas", args=5.0,
+                  tangents=_ident_seeds(1, 2),
+                  t_eval=jnp.linspace(0.0, 1.0, 5))
+
+    y0j = Jet(y0, _ident_seeds(1, 2))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")       # a fallback warning = failure
+        yT, _, sol = dual_solve_ivp(vdp_rhs, (0.0, 1.0), y0j, args=5.0,
+                                    method="rodas", rtol=1e-8, atol=1e-11)
+    assert yT.d.shape == (2, 1, 2)
+    assert sol.sens is not None
