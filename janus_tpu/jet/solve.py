@@ -57,29 +57,31 @@ def dual_solve_ivp(f: Callable, tspan, y0, method: str = "radau",
     args_d = jax.tree_util.tree_map(tangent_of, args, args_r,
                                     is_leaf=lambda a: isinstance(a, Jet))
 
-    # fast path: when tf carries no tangents and the method is fixed-stage
-    # radau (or seulex, terminal mode) with no dense/event output, the
-    # internal-differentiation sweep (tangents=/args_tangents=, measured 3×
-    # the vmap(jvp) transform) computes the same sensitivities in ONE
-    # primal solve
+    # fast path: the internal-differentiation sweep (tangents=/
+    # args_tangents=, measured 3× the vmap(jvp) transform) computes the
+    # same sensitivities in ONE primal solve. Fixed-stage radau takes
+    # t_eval AND events (event-time tangents come back via Solution.sens_t);
+    # seulex/radaup/rodas are terminal-mode; a Jet tf costs one extra rhs
+    # call (dy/dT = f(T, y(T))) unless combined with mass/events.
+    # Everything else falls back to the transform with a warning.
     tf_is_jet = isinstance(tf, Jet)
     from janus_tpu.solve import Options as _Options
     _opt_fields = set(_Options.__dataclass_fields__)
     if method in ("radau", "radau5", "radau9", "radau13", "radaup",
                   "seulex", "rodas"):
         terminal_only = method in ("seulex", "radaup", "rodas")
-        pass_kw = {"jac", "mass"} | (set() if terminal_only else {"t_eval"})
+        pass_kw = {"jac", "mass"} | (set() if terminal_only
+                                     else {"t_eval", "events"})
         blockers = []
-        if tf_is_jet:
-            blockers.append("tf carries tangents")
+        if tf_is_jet and ("mass" in kw or "events" in kw):
+            # dy/dtf = M⁻¹f needs a mass solve; an event lane's terminal
+            # time is t*, not tf — both stay on the transform path
+            blockers.append("tf tangents with mass/events")
         extra_kw = set(kw) - pass_kw - _opt_fields
         if extra_kw:
-            blockers.append(f"kwargs {sorted(extra_kw)} (events"
-                            + ("/t_eval" if terminal_only else "")
-                            + " need the transform path: the fast path does"
-                            " not expose event-time tangents of t"
-                            + (f" and {method} IND is terminal-mode only"
-                               if terminal_only else "") + ")")
+            blockers.append(f"kwargs {sorted(extra_kw)}"
+                            + (f" ({method} IND is terminal-mode only)"
+                               if terminal_only else ""))
         if not blockers:
             o = options if options is not None else _Options()
             o = o.replace(**{k: v for k, v in kw.items() if k in _opt_fields})
@@ -89,6 +91,8 @@ def dual_solve_ivp(f: Callable, tspan, y0, method: str = "radau",
                     and o.min_stages != o.max_stages:
                 blockers.append("variable stage count "
                                 "(min_stages != max_stages)")
+            if o.stage_solver != "lu":
+                blockers.append("stage_solver='gmres' (IND is LU-only)")
         if not blockers:
             args_has_d = any(isinstance(a, Jet)
                              for a in jax.tree_util.tree_leaves(
@@ -98,8 +102,23 @@ def dual_solve_ivp(f: Callable, tspan, y0, method: str = "radau",
                             tangents=y0_d,
                             args_tangents=args_d if args_has_d else None,
                             **kw)
+            sens = sol.sens
             dtz = jnp.zeros((n,) + sol.t.shape, sol.t.dtype)
-            return Jet(sol.y, sol.sens), Jet(sol.t, dtz), sol
+            if tf_is_jet:
+                # terminal-time column: dy(T)/dT = f(T, y(T)) — one rhs
+                # call corrects the IND result (reference ode_solver_test
+                # :647's extra dual column on tf)
+                f_term = f(sol.t, sol.y, args_r)
+                tfd = tf_d if tf_d.ndim == 2 else tf_d[:, None]
+                tfd = jnp.broadcast_to(tfd, (n,) + sol.t.shape).astype(
+                    sol.t.dtype)
+                sens = sens + tfd[:, :, None] * f_term[None]
+                dtz = tfd
+            if sol.sens_t is not None:
+                # event-terminated lanes: t* moves with the seeds
+                # (implicit-function dt*; zero on lanes that ran to tf)
+                dtz = sol.sens_t
+            return Jet(sol.y, sens), Jet(sol.t, dtz), sol
         import warnings
         warnings.warn(
             "dual_solve_ivp: falling back to the vmapped-jvp transform "

@@ -123,7 +123,10 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
     that never cross) — and BOTH are reverse-differentiable: d t*/dθ and the
     event-time motion's effect on y* flow through the implicit-function jump
     (see module docstring). Lanes that never trigger get the ordinary
-    terminal adjoint. Not combinable with t_eval.
+    terminal adjoint. Combines with ``n_alg`` (the event jump uses the
+    DAE's constrained velocity ẏ* = (ẋ, −g_z⁻¹(g_t+g_xẋ)) and the jumped
+    cotangent then passes through the adjoint-DAE terminal projections) and
+    with ``cost``. Not combinable with t_eval.
 
     cost: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
     (or ``[M, Q]``). Appends ``q = ∫ l dt`` (``solve_radau(quad=...)``, the
@@ -157,9 +160,6 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
         if mass is None:
             raise ValueError("n_alg > 0 (index-1 DAE adjoint) needs the "
                              "singular mass = blockdiag(A, 0)")
-        if events is not None:
-            raise ValueError("n_alg > 0 with events is not supported (the "
-                             "event jump needs the DAE's constrained ẏ*)")
     t0, tf = tspan
     if events is not None:
         if t_eval is not None:
@@ -170,7 +170,7 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
                              "crossing a segment boundary would be missed "
                              "by the warm-started chain)")
         run = _build_adjoint(f, opts, jac_user=jac, mass=mass, events=events,
-                             cost=cost)
+                             n_alg=n_alg, cost=cost)
         if use_cost:
             y, t_term, _, q = run(t0, tf, y0, args, None)
             return y, t_term, q

@@ -54,6 +54,9 @@ class Solution:
     sens_quad: Optional[jnp.ndarray] = None  # [K, M(, Q)] IND tangents of
     #     quad: dq_k = ∫ l_y·yd_k + l_θ·dθ_k dt (+ l(t*)·dt*_k on event-
     #     terminated lanes) — CVODES quadrature-sensitivity role
+    sens_t: Optional[jnp.ndarray] = None  # [K, M] event-time tangents dt*_k
+    #     (tangents= with events=; implicit-function correction — zero on
+    #     lanes that never triggered)
 
     @property
     def success(self):

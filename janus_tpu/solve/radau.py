@@ -116,6 +116,8 @@ class _RadauState:
     #                           when quad= is unused)
     qd_acc: jnp.ndarray       # [K, M, Q] IND tangents of the quadratures
     #                           (scalar 0 unless quad= AND tangents=)
+    td: Any                   # [K, M] event-time tangents dt*_k (scalar 0
+    #                           unless tangents= AND events=)
 
 
 def _factorize(tab, h, jac, mass=None, pivot=True):
@@ -707,6 +709,8 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         mesh=mesh0,
         q_acc=q_acc0,
         qd_acc=qd_acc0,
+        td=(jnp.zeros((yd0.shape[0], m), dtype)
+            if (use_sens and specs) else jnp.zeros((), dtype)),
     )
 
     eps = jnp.finfo(dtype).eps
@@ -965,6 +969,9 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                                      sens_sel)
                 dts_sel = jnp.where((ev_idx == j)[None, :], dts, dts_sel)
             yd_new = jnp.where(terminate[None, :, None], sens_sel, yd_new)
+            td_new = jnp.where(terminate[None, :], dts_sel, st.td)
+        else:
+            td_new = st.td
 
         # ---- running-cost quadrature (gated on any accept) -----------------
         if use_quad:
@@ -1170,7 +1177,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             have_sol=st.have_sol | accept,
             active=active, status=status, stats=stats, out_ys=out_ys,
             out_sd=out_sd, ev=ev, dyn=dyn, mesh=mesh, q_acc=q_acc,
-            qd_acc=qd_acc,
+            qd_acc=qd_acc, td=td_new,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -1190,4 +1197,5 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         if use_quad else None,
         sens_quad=(final.qd_acc[:, :, 0] if quad_scalar else final.qd_acc)
         if use_quad_sens else None,
+        sens_t=final.td if (use_sens and specs) else None,
     )

@@ -597,3 +597,67 @@ def test_adjoint_index1_dae_with_cost_matches_fd():
             np.testing.assert_allclose(float(g_x0[i, j]), float(fd),
                                        rtol=5e-5, atol=1e-10,
                                        err_msg=f"d/dx0[{i},{j}]")
+
+
+def test_adjoint_event_on_index1_dae_matches_fd():
+    """events + n_alg: terminal event on a semi-explicit index-1 DAE. The
+    jump uses the CONSTRAINED velocity ẏ* = (ẋ, −g_z⁻¹(g_t+g_x ẋ)) and the
+    jumped cotangent then passes through the adjoint-DAE terminal
+    projections; the event function touches the ALGEBRAIC variable and an
+    event-only parameter (g_θ). Mixed batch: lane 1 never triggers (plain
+    DAE terminal adjoint on the full span). FD oracle on every input."""
+    from janus_tpu.solve.events import Event
+
+    m = 2
+    # state (x, u | z): A = diag(2, 1), constraint z = x^2
+    mass = jnp.diag(jnp.array([2.0, 1.0, 0.0]))
+
+    def rhs(t, y, p):
+        x, u, z = y[..., 0], y[..., 1], y[..., 2]
+        return jnp.stack([-2.0 * p["th"] * x, -u, z - x * x], axis=-1)
+
+    # z decays like x0^2 e^{-2 th t}; event z = c (direction -1)
+    ev = Event(lambda t, y, p: y[..., 2] - p["c"], terminal=True,
+               direction=-1.0)
+    xu0 = jnp.array([[1.2, 0.8], [0.9, 1.1]])
+    p0 = {"th": jnp.array([1.0, 1.3]),
+          "c": jnp.array([0.3, 1e-4])}   # lane 1 never reaches 1e-4 by t=3
+    opts = Options(rtol=1e-10, atol=1e-13, adjoint_steps=512)
+    w = jnp.array([0.7, 1.9, 0.4])
+
+    def loss(xu, p):
+        z0 = xu[:, :1] ** 2                     # consistent algebraic IC
+        y0 = jnp.concatenate([xu, z0], axis=-1)
+        y_star, t_star = radau_adjoint(rhs, (0.0, 3.0), y0, args=p,
+                                       options=opts, mass=mass, n_alg=1,
+                                       events=ev)
+        return (jnp.sum(w[None, :] * y_star ** 2)
+                + jnp.sum(jnp.array([1.1, 0.6]) * t_star))
+
+    # sanity: lane 0 triggered, lane 1 ran to tf
+    z0 = xu0[:, :1] ** 2
+    y0f = jnp.concatenate([xu0, z0], axis=-1)
+    from janus_tpu.solve.radau import solve_radau
+    sol = solve_radau(rhs, 0.0, 3.0, y0f, args=p0, options=opts, mass=mass,
+                      events=ev)
+    assert int(sol.event_idx[0]) == 0 and int(sol.event_idx[1]) == -1
+
+    g_xu, g_p = jax.grad(loss, argnums=(0, 1))(xu0, p0)
+    eps = 1e-6
+    for name in ("th", "c"):
+        for i in range(m):
+            e = jnp.zeros((m,)).at[i].set(eps)
+            pp = dict(p0); pm = dict(p0)
+            pp[name] = p0[name] + e
+            pm[name] = p0[name] - e
+            fd = (loss(xu0, pp) - loss(xu0, pm)) / (2 * eps)
+            np.testing.assert_allclose(float(g_p[name][i]), float(fd),
+                                       rtol=5e-5, atol=1e-9,
+                                       err_msg=f"d/d{name}[{i}]")
+    for i in range(m):
+        for j in range(2):
+            e = jnp.zeros((m, 2)).at[i, j].set(eps)
+            fd = (loss(xu0 + e, p0) - loss(xu0 - e, p0)) / (2 * eps)
+            np.testing.assert_allclose(float(g_xu[i, j]), float(fd),
+                                       rtol=5e-5, atol=1e-9,
+                                       err_msg=f"d/dxu0[{i},{j}]")

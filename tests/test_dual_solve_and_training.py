@@ -177,3 +177,73 @@ def test_state_recording():
                                rtol=1e-6, atol=1e-8)
     # final recorded state equals the solution endpoint
     np.testing.assert_allclose(ys[-1], np.asarray(sol.y[0]), rtol=1e-12)
+
+
+def test_tf_jet_fast_path_no_fallback():
+    """A Jet tf rides the IND fast path: the terminal-time column is the
+    one-rhs-call correction dy(T)/dT = f(T, y(T)) — no transform fallback
+    (a warning here = regression)."""
+    import warnings
+    tf = 1.0
+    y0 = Jet(jnp.array([[2.0, 0.0]]),
+             jnp.stack([jnp.array([[1.0, 0.0]]), jnp.array([[0.0, 1.0]])]))
+    tfj = Jet(jnp.asarray(tf), jnp.array([0.0, 0.0]))  # primal-only tf col
+    opts = Options(rtol=1e-11, atol=1e-14)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        yj, tj, sol = dual_solve_ivp(vdp_rhs, (0.0, tfj), y0, args=10.0,
+                                     options=opts)
+    # zero tf seed: matches the pure-y0 IND sensitivities
+    ref = solve_ivp(vdp_rhs, (0.0, tf), y0.r, args=10.0, method="radau",
+                    options=opts, tangents=y0.d)
+    np.testing.assert_allclose(np.asarray(yj.d), np.asarray(ref.sens),
+                               rtol=1e-9, atol=1e-12)
+
+    # live tf seed: the extra column is f(T, y(T))
+    tfj2 = Jet(jnp.asarray(tf), jnp.array([0.0, 1.0]))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        yj2, tj2, _ = dual_solve_ivp(vdp_rhs, (0.0, tfj2), y0, args=10.0,
+                                     options=opts)
+    expect = np.asarray(ref.sens[1] + vdp_rhs(tf, yj2.r, 10.0))
+    np.testing.assert_allclose(np.asarray(yj2.d[1]), expect,
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(tj2.d), [[0.0], [1.0]], atol=0)
+
+
+def test_events_fast_path_exposes_event_time_tangents():
+    """Terminal events ride the IND fast path (fixed-stage radau): y* AND
+    t* tangents come back as Jets, matching central FD re-solves."""
+    import warnings
+    from janus_tpu.solve.events import Event
+
+    def f(t, y, args):
+        return jnp.stack([y[..., 1], -args * y[..., 0]], axis=-1)
+
+    # crossing y1 = 0 from above, omega^2 = args: t* = pi/(2 sqrt(args))
+    ev = Event(lambda t, y, a: y[..., 0], terminal=True, direction=-1)
+    y0r = jnp.array([[1.0, 0.0]])
+    seeds = jnp.stack([jnp.array([[1.0, 0.0]]), jnp.array([[0.0, 1.0]])])
+    opts = Options(rtol=1e-11, atol=1e-14)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        yj, tj, sol = dual_solve_ivp(f, (0.0, 4.0), Jet(y0r, seeds),
+                                     args=4.0, options=opts, events=ev)
+    assert int(sol.status[0]) == 5                     # EVENT_TERMINATED
+    np.testing.assert_allclose(float(tj.r[0]), np.pi / 4, rtol=1e-8)
+
+    eps = 1e-6
+    for k in range(2):
+        sp = solve_ivp(f, (0.0, 4.0), y0r + eps * seeds[k], args=4.0,
+                       method="radau", options=opts, events=ev)
+        sm = solve_ivp(f, (0.0, 4.0), y0r - eps * seeds[k], args=4.0,
+                       method="radau", options=opts, events=ev)
+        fd_y = (sp.y - sm.y) / (2 * eps)
+        fd_t = (sp.t - sm.t) / (2 * eps)
+        # central FD of a component with zero first derivative leaves an
+        # O(eps)*curvature residual (~1.3e-7 here) — atol must sit above it
+        np.testing.assert_allclose(np.asarray(yj.d[k]), np.asarray(fd_y),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(tj.d[k]), np.asarray(fd_t),
+                                   rtol=1e-4, atol=1e-6)
