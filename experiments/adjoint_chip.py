@@ -13,6 +13,10 @@ MEASURED (TPU v5e-1, f32, 8192 lanes, rtol 1e-4 compensated, Radau9,
 adjoint_steps 64/96; gradients agree with the fixed-grid path to ~1e-8):
 - mu=1e3: adjoint 19.5 ms/grad-step (420k traj-grads/s); fixed rk4 is
   still explicit-stable at n=2048 (8.1 ms) -> adjoint 0.4x there.
+  RE-MEASURED after cond-gating runtime-dead mesh slots in the backward
+  scan (slots k >= max(naccept) skip the factorization/Newton/vjp work
+  entirely): 15.3 ms (537k traj-grads/s), 1.27x, grads still 1e-8-equal
+  to the fixed-grid path.
 - mu=1e4: adjoint 26.2 ms vs fixed n=12288 71.3 ms -> 2.7x.
 - mu=1e5: adjoint 41.6 ms vs fixed n=122880 494 ms -> 11.9x.
 The fixed grid's cost is linear in stiffness (explicit stability bound

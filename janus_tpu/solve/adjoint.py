@@ -38,7 +38,12 @@ Design notes (TPU-first):
   train with reverse-mode gradients without materializing any Jacobian.
   A (non-singular) mass matrix stays matrix-free too: the terminal
   ν(T) = M⁻ᵀλ(T) and ẏ(T) = M⁻¹f solves run GMRES preconditioned by the
-  mass's own tridiagonal Thomas sweep (exact for 1-D FEM mass);
+  mass's own tridiagonal Thomas sweep (exact for 1-D FEM mass). Combined
+  with ``n_alg`` (a large-D index-1 DAE) the terminal conditions stay
+  matrix-free as well: only the small [n_alg × n_alg] g_z block is
+  materialized (n_alg z-slot jvp probes of the matrix-free Jacobian) and
+  dense-factored; g_xᵀu / f_zᵀν_x / g_x·ẋ are jvp/vjp pulls and the A-block
+  solves (A⁻¹f, A⁻ᵀȳ) run the same GMRES+Thomas machinery;
 - semi-explicit index-1 DAEs (``n_alg`` trailing algebraic variables,
   mass = blockdiag(A, 0) with A invertible) get the Cao-Li-Petzold adjoint:
   the backward stage systems (γ/h_b·Mᵀ + Jᵀ) already handle singular M —
@@ -114,7 +119,9 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
     invertible, and the last n_alg rows of f the algebraic constraints
     g(t, x, z) = 0 (y0 consistent). Gradients w.r.t. y0 live on the
     differential slots only (algebraic slots of the returned cotangent are
-    zero: z0 is determined by consistency, not a free input). See the module
+    zero: z0 is determined by consistency, not a free input). Composes with
+    ``stage_solver='gmres'`` for large-D constrained MOL systems (the
+    terminal conditions stay matrix-free; module docstring). See the module
     docstring for the adjoint-DAE terminal conditions.
 
     events: optional TERMINAL event spec(s) (``Event`` / callable / sequence;
@@ -263,6 +270,28 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
     return jnp.swapaxes(ys, 0, 1)              # [M, T, D]
 
 
+def _gmres_dense_solve(mat, rhs, iters):
+    """GMRES solve of an EXPLICIT batched matrix (mass / DAE blocks) with
+    its own tridiagonal Thomas preconditioner — exact in one application
+    for FEM-style tridiagonal blocks, and convergent for the
+    diagonally-dominant blocks MOL discretizations produce. Large N never
+    meets the trace-time-unrolled LU this way."""
+    from janus_tpu.control.precond import tridiag_solve
+    from janus_tpu.linalg.gmres import gmres_batched
+    mb, n = rhs.shape
+    mmb = mat if mat.ndim == 3 else jnp.broadcast_to(mat, (mb, n, n))
+    mv = lambda v: jnp.einsum("mij,mj->mi", mmb, v,            # noqa: E731
+                              precision=_EINSUM_PRECISION)
+    z1 = jnp.zeros((mb, 1), rhs.dtype)
+    d_ = jnp.diagonal(mmb, axis1=-2, axis2=-1)
+    dl_ = jnp.concatenate(
+        [z1, jnp.diagonal(mmb, offset=-1, axis1=-2, axis2=-1)], axis=-1)
+    du_ = jnp.concatenate(
+        [jnp.diagonal(mmb, offset=1, axis1=-2, axis2=-1), z1], axis=-1)
+    pc = lambda v: tridiag_solve(dl_, d_, du_, v)              # noqa: E731
+    return gmres_batched(mv, rhs, pc, iters)[0]
+
+
 def _split_diff(args):
     """Partition args leaves into differentiable (inexact) and passthrough."""
     leaves, treedef = jax.tree_util.tree_flatten(args)
@@ -356,11 +385,6 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
     tol = (opts.newton_tol if opts.newton_tol > 0
            else cm.derived_newton_tol(dtype, opts.rtol))
     use_gmres = opts.stage_solver == "gmres"
-    if use_gmres and n_alg:
-        raise ValueError("stage_solver='gmres' adjoint does not support "
-                         "n_alg (the DAE terminal conditions need dense "
-                         "g_z/A block factorizations — index-1 systems are "
-                         "small; use the LU path)")
     if use_gmres and jac_user is not None:
         raise ValueError("stage_solver='gmres' is matrix-free; drop jac=")
 
@@ -397,22 +421,7 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
             # GMRES + Thomas preconditioner on the mass's own tridiagonal —
             # exact in one application for 1-D FEM-style mass matrices
             def _mass_solve(mm, rhs):
-                from janus_tpu.control.precond import tridiag_solve
-                from janus_tpu.linalg.gmres import gmres_batched
-                mmb = mm if mm.ndim == 3 else jnp.broadcast_to(
-                    mm, (m, dim, dim))
-                mv = lambda v: jnp.einsum(                     # noqa: E731
-                    "mij,mj->mi", mmb, v, precision=_EINSUM_PRECISION)
-                z1 = jnp.zeros((m, 1), dtype)
-                d_ = jnp.diagonal(mmb, axis1=-2, axis2=-1)
-                dl_ = jnp.concatenate(
-                    [z1, jnp.diagonal(mmb, offset=-1, axis1=-2, axis2=-1)],
-                    axis=-1)
-                du_ = jnp.concatenate(
-                    [jnp.diagonal(mmb, offset=1, axis1=-2, axis2=-1), z1],
-                    axis=-1)
-                pc = lambda v: tridiag_solve(dl_, d_, du_, v)  # noqa: E731
-                return gmres_batched(mv, rhs, pc, opts.gmres_iters)[0]
+                return _gmres_dense_solve(mm, rhs, opts.gmres_iters)
         elif not n_alg:              # singular mass is never factored whole
             mTb = jnp.broadcast_to(massT, (m, dim, dim))
             luM, pivM = lu_factor(mTb, pivot=True)
@@ -424,23 +433,56 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
     f_T = f2(t_term, yT, dleaves)
     if n_alg:
         # semi-explicit index-1: J = [[f_x, f_z], [g_x, g_z]] at (T, y(T));
-        # ẋ = A⁻¹f_x-rows, ż = −g_z⁻¹(g_t + g_x ẋ)
+        # ẋ = A⁻¹f_x-rows, ż = −g_z⁻¹(g_t + g_x ẋ). Only the small
+        # [n_alg × n_alg] g_z block is ever dense-factored; every large
+        # operator is a closure (explicit blocks on the LU path, jvp/vjp
+        # pulls + GMRES block solves on the matrix-free path).
         n1 = dim - n_alg
-        jmat_T = jac_fn(t_term, yT, dleaves)
-        fz = jmat_T[:, :n1, n1:]
-        gx = jmat_T[:, n1:, :n1]
-        gzT = jnp.swapaxes(jmat_T[:, n1:, n1:], -1, -2)
-        lu_gz, piv_gz = lu_factor(jmat_T[:, n1:, n1:], pivot=True)
-        lu_gzT, piv_gzT = lu_factor(gzT, pivot=True)
         a_blk = jnp.broadcast_to(jnp.asarray(mass, dtype),
                                  (m, dim, dim))[:, :n1, :n1]
-        lu_a, piv_a = lu_factor(a_blk, pivot=True)
-        lu_aT, piv_aT = lu_factor(jnp.swapaxes(a_blk, -1, -2), pivot=True)
-        xdot = lu_solve(lu_a, piv_a, f_T[:, :n1])
+        if use_gmres:
+            # g_z columns by n_alg z-slot jvp probes of the matrix-free J
+            f_at = lambda yy: f2(t_term, yy, dleaves)          # noqa: E731
+            gz = jnp.stack(
+                [jax.jvp(f_at, (yT,),
+                         (jnp.zeros((m, dim), dtype).at[:, n1 + a].set(1.0),)
+                         )[1][:, n1:] for a in range(n_alg)], axis=-1)
+            pull_j = jax.vjp(f_at, yT)[1]
+            zx = jnp.zeros((m, n1), dtype)
+            zz = jnp.zeros((m, n_alg), dtype)
+            gxT_dot = lambda u: pull_j(                        # noqa: E731
+                jnp.concatenate([zx, u], axis=-1))[0][:, :n1]
+            fzT_dot = lambda v: pull_j(                        # noqa: E731
+                jnp.concatenate([v, zz], axis=-1))[0][:, n1:]
+            gx_dot = lambda w: jax.jvp(                        # noqa: E731
+                f_at, (yT,),
+                (jnp.concatenate([w, zz], axis=-1),))[1][:, n1:]
+            solve_a = lambda r: _gmres_dense_solve(            # noqa: E731
+                a_blk, r, opts.gmres_iters)
+            solve_aT = lambda r: _gmres_dense_solve(           # noqa: E731
+                jnp.swapaxes(a_blk, -1, -2), r, opts.gmres_iters)
+        else:
+            jmat_T = jac_fn(t_term, yT, dleaves)
+            fz = jmat_T[:, :n1, n1:]
+            gx = jmat_T[:, n1:, :n1]
+            gz = jmat_T[:, n1:, n1:]
+            gxT_dot = lambda u: jnp.einsum(                    # noqa: E731
+                "mai,ma->mi", gx, u, precision=_EINSUM_PRECISION)
+            fzT_dot = lambda v: jnp.einsum(                    # noqa: E731
+                "mia,mi->ma", fz, v, precision=_EINSUM_PRECISION)
+            gx_dot = lambda w: jnp.einsum(                     # noqa: E731
+                "mai,mi->ma", gx, w, precision=_EINSUM_PRECISION)
+            lu_a, piv_a = lu_factor(a_blk, pivot=True)
+            lu_aT, piv_aT = lu_factor(jnp.swapaxes(a_blk, -1, -2),
+                                      pivot=True)
+            solve_a = lambda r: lu_solve(lu_a, piv_a, r)       # noqa: E731
+            solve_aT = lambda r: lu_solve(lu_aT, piv_aT, r)    # noqa: E731
+        lu_gz, piv_gz = lu_factor(gz, pivot=True)
+        lu_gzT, piv_gzT = lu_factor(jnp.swapaxes(gz, -1, -2), pivot=True)
+        xdot = solve_a(f_T[:, :n1])
         g_t = jax.jvp(lambda tt: f2(tt, yT, dleaves), (t_term,),
                       (jnp.ones_like(t_term),))[1][:, n1:]
-        zdot = -lu_solve(lu_gz, piv_gz, g_t + jnp.einsum(
-            "mai,mi->ma", gx, xdot, precision=_EINSUM_PRECISION))
+        zdot = -lu_solve(lu_gz, piv_gz, g_t + gx_dot(xdot))
         ydot_T = jnp.concatenate([xdot, zdot], axis=-1)
     elif mass is not None:
         if use_gmres:
@@ -490,11 +532,9 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
         # consistent adjoint-DAE terminal data (module docstring):
         # ν_x = A⁻ᵀ(ȳ_x − g_xᵀg_z⁻ᵀȳ_z), g_zᵀν_z = −f_zᵀν_x
         u = lu_solve(lu_gzT, piv_gzT, lam_T[:, n1:])
-        ybar_x_eff = lam_T[:, :n1] - jnp.einsum(
-            "mai,ma->mi", gx, u, precision=_EINSUM_PRECISION)
-        nu_x = lu_solve(lu_aT, piv_aT, ybar_x_eff)
-        rhs_z = jnp.einsum("mia,mi->ma", fz, nu_x,
-                           precision=_EINSUM_PRECISION)
+        ybar_x_eff = lam_T[:, :n1] - gxT_dot(u)
+        nu_x = solve_aT(ybar_x_eff)
+        rhs_z = fzT_dot(nu_x)
         if use_cost:
             # integral cost on a DAE: the adjoint's algebraic consistency
             # 0 = f_zᵀν_x + g_zᵀν_z + l_zᵀq̄ carries the cost's algebraic
@@ -513,8 +553,16 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
     bad0 = nacc > cap                                 # mesh overflow
 
     def step(carry, k):
-        lam, grads, bad = carry
         live = k < nacc                               # [M]
+        # the scan covers every mesh slot (cap is static) but lanes only
+        # own nacc of them — slots past every lane's mesh are runtime-dead;
+        # cond-skip them (measured: the bench-shape sweep spends most slots
+        # dead when adjoint_steps is sized with headroom)
+        return jax.lax.cond(jnp.any(live), lambda c: _live_step(c, k, live),
+                            lambda c: c, carry), None
+
+    def _live_step(carry, k, live):
+        lam, grads, bad = carry
 
         tn = jnp.take(mesh["t"], k, axis=1)           # [M] step start
         hn = jnp.take(mesh["h"], k, axis=1)           # [M] signed primal h
@@ -661,7 +709,7 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
                 contrib_l = pulls_l[i](wgt[:, None] * qb)[1]
                 grads = [ga + gc for ga, gc in zip(grads, contrib_l)]
 
-        return (lam, grads, bad), None
+        return (lam, grads, bad)
 
     ks = jnp.arange(cap - 1, -1, -1)
     (lam, grads, bad), _ = jax.lax.scan(step, (lam_init, grads0, bad0), ks)

@@ -661,3 +661,74 @@ def test_adjoint_event_on_index1_dae_matches_fd():
             np.testing.assert_allclose(float(g_xu[i, j]), float(fd),
                                        rtol=5e-5, atol=1e-9,
                                        err_msg=f"d/dxu0[{i},{j}]")
+
+
+def test_adjoint_gmres_index1_dae_matches_fd():
+    """stage_solver='gmres' + n_alg: large-D semi-explicit index-1 DAE
+    reverse mode, fully matrix-free — g_z comes from z-slot jvp probes of
+    the matrix-free Jacobian, the FEM mass block solves run GMRES+Thomas
+    (A⁻¹/A⁻ᵀ), and the backward stage sweeps use Jᵀ·v vjp pulls. Problem:
+    1-D reaction-diffusion line (Dirichlet left) whose RIGHT boundary flux
+    couples to an algebraic variable pinned to the boundary value,
+    g(x, z) = z − x_last² (the full Jacobian is exactly tridiagonal, so the
+    Thomas preconditioner is exact). D = 48+1 is far beyond the unrolled
+    LU's trace budget. FD oracle with consistency-restored ICs."""
+    n1 = 48
+    m = 2
+    dx = 1.0 / (n1 + 1)
+
+    def rhs(t, y, p):
+        nu, c = p
+        x, z = y[:, :n1], y[:, n1]
+        xl = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))       # Dirichlet 0 left
+        xr = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))        # free right
+        lap = (xl - 2.0 * x + xr) / dx ** 2
+        fx = nu * lap + x * (1.0 - x)
+        fx = fx.at[:, -1].add(c * z)                    # z feeds the flux
+        g = z - x[:, -1] ** 2
+        return jnp.concatenate([fx, g[:, None]], axis=-1)
+
+    def cost(t, y, p):
+        return jnp.mean(y[:, :n1] ** 2, axis=-1) + 0.5 * y[:, n1] ** 2
+
+    # FEM-style tridiagonal mass on the differential block, zero z row
+    a = (np.diag(np.full(n1, 2.0 / 3.0)) + np.diag(np.full(n1 - 1, 1.0 / 6.0), 1)
+         + np.diag(np.full(n1 - 1, 1.0 / 6.0), -1))
+    mass = jnp.asarray(np.block(
+        [[a, np.zeros((n1, 1))], [np.zeros((1, n1 + 1))]]))
+
+    xg = np.linspace(dx, 1.0 - dx, n1)
+    x0 = jnp.tile(jnp.asarray(np.exp(-60.0 * (xg - 0.6) ** 2))[None], (m, 1))
+    p0 = (jnp.array([0.02, 0.05])[:, None], jnp.array([0.8, 0.3]))
+    opts = Options(rtol=1e-7, atol=1e-10, stage_solver="gmres",
+                   gmres_iters=25)
+    w = jnp.asarray(np.concatenate([xg, [0.7]]))
+
+    @jax.jit
+    def loss(x, p):
+        z0 = x[:, -1:] ** 2                             # consistent IC
+        y0 = jnp.concatenate([x, z0], axis=-1)
+        yT, q = radau_adjoint(rhs, (0.0, 0.3), y0, args=p, options=opts,
+                              mass=mass, n_alg=1, cost=cost)
+        return jnp.sum(w[None, :] * yT ** 2) + jnp.sum(q)
+
+    g_x0, g_p = jax.jit(jax.grad(loss, argnums=(0, 1)))(x0, p0)
+    assert bool(jnp.all(jnp.isfinite(g_x0)))
+    eps = 1e-5
+    for i in range(m):
+        e_nu = (jnp.zeros((m, 1)).at[i, 0].set(eps), jnp.zeros((m,)))
+        fd = (loss(x0, (p0[0] + e_nu[0], p0[1]))
+              - loss(x0, (p0[0] - e_nu[0], p0[1]))) / (2 * eps)
+        np.testing.assert_allclose(float(g_p[0][i, 0]), float(fd),
+                                   rtol=3e-4, err_msg=f"d/dnu[{i}]")
+        e_c = jnp.zeros((m,)).at[i].set(eps)
+        fd = (loss(x0, (p0[0], p0[1] + e_c))
+              - loss(x0, (p0[0], p0[1] - e_c))) / (2 * eps)
+        np.testing.assert_allclose(float(g_p[1][i]), float(fd),
+                                   rtol=3e-4, atol=1e-9,
+                                   err_msg=f"d/dc[{i}]")
+    for j in (10, 30, 47):                              # spot-check x0 slots
+        e = jnp.zeros((m, n1)).at[0, j].set(eps)
+        fd = (loss(x0 + e, p0) - loss(x0 - e, p0)) / (2 * eps)
+        np.testing.assert_allclose(float(g_x0[0, j]), float(fd), rtol=3e-4,
+                                   atol=1e-8, err_msg=f"d/dx0[{j}]")
