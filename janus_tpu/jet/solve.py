@@ -91,8 +91,10 @@ def dual_solve_ivp(f: Callable, tspan, y0, method: str = "radau",
                     and o.min_stages != o.max_stages:
                 blockers.append("variable stage count "
                                 "(min_stages != max_stages)")
-            if o.stage_solver != "lu":
-                blockers.append("stage_solver='gmres' (IND is LU-only)")
+            if o.stage_solver != "lu" and method not in ("radau", "radau5",
+                                                         "radau9", "radau13"):
+                blockers.append("stage_solver='gmres' (IND rides the "
+                                "matrix-free stage solvers only in radau)")
         if not blockers:
             args_has_d = any(isinstance(a, Jet)
                              for a in jax.tree_util.tree_leaves(

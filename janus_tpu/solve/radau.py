@@ -284,7 +284,7 @@ def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
 
 def _tangent_stages(tab, f, t, y, h, z, yd, tol, lu_r, piv_r,
                     lu_c, piv_c, mask, args, mass=None, max_iter=7,
-                    args_d=None):
+                    args_d=None, gmres_solver=None):
     """Internal differentiation (Bock's IND; the reference's RadauTeD /
     solve_LUdual role, radauted_impl.hpp:1901-1936): tangent collocation
     stages for K seed directions through ONE accepted primal step, reusing
@@ -337,11 +337,27 @@ def _tangent_stages(tab, f, t, y, h, z, yd, tol, lu_r, piv_r,
         return jnp.stack([lins[i](dys[k], args_d_rows[k])
                           for k in range(k_dirs)])
 
-    def solve_k(rhs):                       # [K, M, D] -> [K, M, D]
-        return jax.vmap(lambda b: lu_solve(lu_r, piv_r, b))(rhs)
+    if gmres_solver is None:
+        def solve_k(rhs):                   # [K, M, D] -> [K, M, D]
+            return jax.vmap(lambda b: lu_solve(lu_r, piv_r, b))(rhs)
 
-    def solve_kc(p, rhs):                   # complex pair p
-        return jax.vmap(lambda b: lu_solve(lu_c[:, p], piv_c[:, p], b))(rhs)
+        def solve_kc(p, rhs):               # complex pair p
+            return jax.vmap(lambda b: lu_solve(lu_c[:, p], piv_c[:, p],
+                                               b))(rhs)
+    else:
+        # stage_solver='gmres': the tangent systems reuse the step's SAME
+        # frozen matrix-free solvers (they are preconditioners for the
+        # converging transformed iteration, exactly as on the LU path) —
+        # K solves per stage group, K static
+        solve_real, solve_cplx = gmres_solver
+
+        def solve_k(rhs):
+            return jnp.stack([solve_real(rhs[k])
+                              for k in range(rhs.shape[0])])
+
+        def solve_kc(p, rhs):
+            return jnp.stack([solve_cplx(p, rhs[k])
+                              for k in range(rhs.shape[0])])
 
     init = (jnp.zeros((k_dirs, m, s, dim), dtype),   # wd (transformed)
             jnp.zeros((k_dirs, m, s, dim), dtype),   # zd
@@ -542,10 +558,6 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     if opts.stage_solver not in ("lu", "gmres"):
         raise ValueError(f"unknown stage_solver {opts.stage_solver!r}")
     use_gmres = opts.stage_solver == "gmres"
-    if use_gmres and use_sens:
-        raise ValueError("tangents= (internal differentiation) requires the "
-                         "LU stage solver; stage_solver='gmres' targets "
-                         "large-D systems where IND should use jax.jvp")
     if use_gmres and jac is not None:
         raise ValueError("stage_solver='gmres' is matrix-free (J·v by jvp, "
                          "3-probe tridiagonal preconditioner); drop jac=")
@@ -895,7 +907,9 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             def do_tan(_):
                 zd = _tangent_stages(tab, f, st.t, st.y, h, ns.z, st.yd,
                                      newton_tol, lu_r, piv_r, lu_c, piv_c,
-                                     accept, args, mass=mass, args_d=args_d)
+                                     accept, args, mass=mass, args_d=args_d,
+                                     gmres_solver=(solver if use_gmres
+                                                   else None))
                 ydn = jnp.where(accept[None, :, None],
                                 st.yd + zd[:, :, -1, :], st.yd)
                 # tangent of the collocation interpolant: same θ-polynomial

@@ -106,20 +106,12 @@ def test_gmres_feature_exclusions():
     with pytest.raises(ValueError):              # analytic jac is dense-only
         solve_radau(f, 0.0, 1.0, y0, options=opts,
                     jac=lambda t, y, a: jnp.zeros((1, 4, 4)))
-    with pytest.raises(ValueError):              # IND tangents need LU
-        solve_radau(f, 0.0, 1.0, y0, options=opts,
-                    tangents=jnp.zeros((1, 1, 4)))
     with pytest.raises(ValueError):              # variable order needs LU
         solve_ivp(f, (0.0, 1.0), y0, method="radaup",
                   options=opts.replace(min_stages=1, max_stages=7))
-    with pytest.raises(ValueError):              # gmres adjoint: no n_alg
-        from janus_tpu.solve.adjoint import radau_adjoint
-        mass_s = jnp.diag(jnp.array([1.0, 1.0, 1.0, 0.0]))
-        fdae = lambda t, y, a: jnp.concatenate(           # noqa: E731
-            [-y[:, :3], (y[:, 3:] - y[:, :1])], axis=-1)
-        jax.grad(lambda z: jnp.sum(radau_adjoint(
-            fdae, (0.0, 1.0), z, options=opts, mass=mass_s,
-            n_alg=1) ** 2))(y0)
+    # (IND tangents and the n_alg DAE adjoint USED to be LU-only; both now
+    # ride the matrix-free solvers — see test_gmres_ind_tangents_match_fd
+    # and test_adjoint.py::test_adjoint_gmres_index1_dae_matches_fd)
 
 
 def test_gmres_adjoint_with_mass_matches_fd():
@@ -174,3 +166,49 @@ def test_gmres_adjoint_with_mass_matches_fd():
         fd = (loss(rates + e)[0] - loss(rates - e)[0]) / (2 * eps)
         np.testing.assert_allclose(float(g[i, 0]), float(fd), rtol=1e-4,
                                    err_msg=f"lane {i}")
+
+
+def test_gmres_ind_tangents_match_fd():
+    """First-class IND tangents on the matrix-free path: the tangent
+    collocation sweeps reuse the step's frozen GMRES stage solvers instead
+    of LU back-substitutions. D = 96 Fisher-KPP line, one y0 seed (a bump
+    in the initial condition) and one parameter seed (the reaction rate):
+    Solution.sens must match central-FD re-solves."""
+    d = 96
+    dx = 1.0 / (d + 1)
+    xg = np.linspace(dx, 1.0 - dx, d)
+    rhs = _mol_rhs(dx)
+    m = 2
+    y0 = jnp.tile(jnp.asarray(np.exp(-100 * (xg - 0.3) ** 2))[None], (m, 1))
+    rates = jnp.array([1.0, 8.0])[:, None]
+    nu = 0.01
+    tf = 0.4
+    opts = Options(rtol=1e-8, atol=1e-11, stage_solver="gmres",
+                   gmres_iters=25)
+
+    bump = jnp.asarray(np.exp(-50 * (xg - 0.5) ** 2))
+    seed_y = jnp.tile(bump[None], (m, 1))[None]          # [1, M, D]
+    seeds = jnp.concatenate([seed_y, jnp.zeros((1, m, d))], axis=0)
+    args_t = (jnp.zeros((2,)), jnp.stack(
+        [jnp.zeros((m, 1)), jnp.ones((m, 1))]))          # K=2: [0, drate]
+
+    @jax.jit
+    def run(z, r):
+        return solve_radau(rhs, 0.0, tf, z, args=(nu, r), options=opts,
+                           tangents=seeds, args_tangents=args_t)
+
+    sol = run(y0, rates)
+    assert bool(jnp.all(sol.status == SUCCESS))
+
+    @jax.jit
+    def term(z, r):
+        return solve_radau(rhs, 0.0, tf, z, args=(nu, r), options=opts).y
+
+    eps = 1e-4
+    fd_y = (term(y0 + eps * seed_y[0], rates)
+            - term(y0 - eps * seed_y[0], rates)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(sol.sens[0]), np.asarray(fd_y),
+                               rtol=5e-4, atol=5e-7)
+    fd_r = (term(y0, rates + eps) - term(y0, rates - eps)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(sol.sens[1]), np.asarray(fd_r),
+                               rtol=5e-4, atol=5e-7)
