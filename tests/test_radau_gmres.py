@@ -212,3 +212,33 @@ def test_gmres_ind_tangents_match_fd():
     fd_r = (term(y0, rates + eps) - term(y0, rates - eps)) / (2 * eps)
     np.testing.assert_allclose(np.asarray(sol.sens[1]), np.asarray(fd_r),
                                rtol=5e-4, atol=5e-7)
+
+
+def test_pcr_tridiag_matches_thomas():
+    """Parallel-cyclic-reduction tridiagonal solves (the TPU stage
+    preconditioner; backend-dispatched in the solver) must match the Thomas
+    scans, real and split-real complex, across sizes incl. non-powers of 2."""
+    from janus_tpu.control.precond import tridiag_solve
+    from janus_tpu.linalg.gmres import (tridiag_solve_pcr,
+                                        tridiag_solve_complex_pcr)
+
+    rng = np.random.default_rng(11)
+    for n in (1, 2, 3, 7, 48, 65, 96):
+        m = 3
+        dl, du = rng.normal(size=(2, m, n))
+        d = rng.normal(size=(m, n)) + 6.0
+        b = rng.normal(size=(m, n))
+        x_th = tridiag_solve(*map(jnp.asarray, (dl, d, du, b)))
+        x_pcr = tridiag_solve_pcr(*map(jnp.asarray, (dl, d, du, b)))
+        np.testing.assert_allclose(np.asarray(x_pcr), np.asarray(x_th),
+                                   rtol=1e-9, atol=1e-11, err_msg=f"n={n}")
+
+        z = lambda: jnp.asarray(rng.normal(size=(m, n)))  # noqa: E731
+        dlc, dc, duc, bc = ((z(), z()), (z() + 6.0, z()), (z(), z()),
+                            (z(), z()))
+        xr1, xi1 = tridiag_solve_complex(dlc, dc, duc, bc)
+        xr2, xi2 = tridiag_solve_complex_pcr(dlc, dc, duc, bc)
+        np.testing.assert_allclose(np.asarray(xr2), np.asarray(xr1),
+                                   rtol=1e-9, atol=1e-11, err_msg=f"n={n}")
+        np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi1),
+                                   rtol=1e-9, atol=1e-11, err_msg=f"n={n}")
