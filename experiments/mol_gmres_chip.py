@@ -7,6 +7,13 @@ MEASURED (TPU v5e-1, f32, M=1024, D=128, rtol 1e-4, gmres_iters=20):
   elimination sweeps over the whole [M, D] array): 48.6 ms/solve,
   compile 167 s -> 3.54x. Terminal state matches scipy Radau (rtol 1e-8
   oracle) to 3.5e-7.
+- PCR + gmres_iters=3 (the preconditioner is EXACT for this 3-point
+  stencil, so 20 Arnoldi steps were pure waste): 6.94 ms/solve, same
+  accuracy (7.6e-8). iters 5/8: 8.0/10.2 ms.
+- stage_solver='tridiag' (DIRECT PCR solve of the tridiagonal stage
+  operator, no Krylov at all — modified Newton, exact here): 3.02
+  ms/solve, err 9.9e-8, naccept 11-18. 57x the round-start Thomas@20
+  configuration; ~330k MOL-line solves/sec/chip at D=128.
 The sequential depth was the cost: every GMRES iteration applies the
 preconditioner once, so the stage solve's critical path was O(N) tiny
 steps; PCR collapses it to O(log N) VPU sweeps. The solver dispatches by

@@ -384,7 +384,7 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
     ti_mat = jnp.asarray(tab.ti_mat, dtype)
     tol = (opts.newton_tol if opts.newton_tol > 0
            else cm.derived_newton_tol(dtype, opts.rtol))
-    use_gmres = opts.stage_solver == "gmres"
+    use_gmres = opts.stage_solver != "lu"
     if use_gmres and jac_user is not None:
         raise ValueError("stage_solver='gmres' is matrix-free; drop jac=")
 
@@ -643,7 +643,7 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
             solve_real, solve_cplx = _gmres_core(
                 tab, jv_adj, bands_adj, hb,
                 _gmres_mass_ops(massT, m, dim, bands_adj[:, 1]),
-                opts.gmres_iters)
+                0 if opts.stage_solver == "tridiag" else opts.gmres_iters)
             ok = jnp.ones((m,), bool)
         else:
             jmat = jac_fn(t_end_s, y_end, dleaves)    # [M, D, D]

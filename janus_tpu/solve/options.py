@@ -64,9 +64,13 @@ class Options:
     pivoting: bool = _static(True)
     # stage linear solver for the radau collocation systems: "lu" = dense
     # unrolled batched LU (D up to a few tens); "gmres" = matrix-free
-    # batched GMRES(k) with a tridiagonal Thomas preconditioner — the
-    # large-D method-of-lines path (the reference's decom_rc_gmres role,
-    # odesolvers/linsolve.py:61-110). gmres_iters is the static Arnoldi
+    # batched GMRES(k) with a tridiagonal preconditioner (PCR on TPU,
+    # Thomas on CPU) — the large-D method-of-lines path (the reference's
+    # decom_rc_gmres role, odesolvers/linsolve.py:61-110); "tridiag" =
+    # DIRECT solve of the tridiagonal part of the stage operator (no
+    # Krylov work at all) — a modified-Newton iteration matrix, exact for
+    # 3-point-stencil (1-D MOL) Jacobians, policed by the Newton
+    # convergence monitor otherwise. gmres_iters is the static Arnoldi
     # depth k (no restart; no data-dependent control flow on TPU).
     stage_solver: str = _static("lu")
     gmres_iters: int = _static(20)

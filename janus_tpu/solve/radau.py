@@ -423,9 +423,16 @@ def _gmres_core(tab, jv, bands, h, mass_ops, iters):
     """Batched GMRES solvers for the transformed stage systems γ_q/h·M − J.
 
     jv applies J·v matrix-free; bands [M, 3, D] are J's tridiagonal
-    (dl, d, du) for the Thomas preconditioner; mass_ops is
+    (dl, d, du) for the tridiagonal preconditioner; mass_ops is
     ``_gmres_mass_ops`` output. Shared by the forward stage solves and the
     continuous-adjoint backward solves (there J := −Jᵀ, M := Mᵀ, h := h_b).
+
+    iters == 0 (stage_solver='tridiag'): skip GMRES entirely and DIRECT-
+    solve the tridiagonal part of the stage operator — a modified-Newton
+    iteration matrix, exact for 3-point-stencil (1-D MOL) Jacobians and
+    otherwise merely weaker: the surrounding simplified-Newton convergence
+    monitor polices contraction exactly as it does for stale Jacobians, so
+    a poor match slows or fails loudly, never silently corrupts.
     """
     # backend-dispatched preconditioner sweeps: PCR (log-depth parallel
     # cyclic reduction) on TPU — the Thomas scan's 2N sequential [M]-wide
@@ -452,6 +459,8 @@ def _gmres_core(tab, jv, bands, h, mass_ops, iters):
         pc_dl = jnp.where(ok, a_dl, 0.0)
         pc_du = jnp.where(ok, a_du, 0.0)
         pc = lambda v: tridiag_solve(pc_dl, pc_d, pc_du, v)    # noqa: E731
+        if iters == 0:
+            return pc(b)
         x, _ = gmres_batched(mv, b, pc, iters)
         return x
 
@@ -480,6 +489,8 @@ def _gmres_core(tab, jv, bands, h, mass_ops, iters):
                 (v[:, :dim], v[:, dim:]))
             return jnp.concatenate([xr, xi], axis=-1)
 
+        if iters == 0:
+            return pc(b2)
         x, _ = gmres_batched(mv, b2, pc, iters)
         return x
 
@@ -561,9 +572,9 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         _mesh_size = max(_mesh_size, int(dense))
     specs = normalize_events(events)
     use_sens = tangents is not None or args_tangents is not None
-    if opts.stage_solver not in ("lu", "gmres"):
+    if opts.stage_solver not in ("lu", "gmres", "tridiag"):
         raise ValueError(f"unknown stage_solver {opts.stage_solver!r}")
-    use_gmres = opts.stage_solver == "gmres"
+    use_gmres = opts.stage_solver != "lu"
     if use_gmres and jac is not None:
         raise ValueError("stage_solver='gmres' is matrix-free (J·v by jvp, "
                          "3-probe tridiagonal preconditioner); drop jac=")
@@ -773,8 +784,9 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             lu_c, piv_c = st.lu_cplx, st.piv_cplx
             fact_ok = jnp.all(jnp.isfinite(jmat), axis=(1, 2))
             h_fact = jnp.where(needf, h, st.h_fact)
-            solver = _gmres_stage_solver(tab, f, t_lin, y_lin, args, jmat,
-                                         h, mass, opts.gmres_iters)
+            solver = _gmres_stage_solver(
+                tab, f, t_lin, y_lin, args, jmat, h, mass,
+                0 if opts.stage_solver == "tridiag" else opts.gmres_iters)
         else:
             def do_fact(_):
                 lr, pr, lc, pc, ok = _factorize(tab, h, jmat, mass,
