@@ -30,6 +30,9 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 from jax import lax
 
+# XLA:TPU demotes f32 einsums to bf16 without this (CLAUDE.md convention)
+_EINSUM_PRECISION = lax.Precision.HIGHEST
+
 
 def gmres_batched(matvec: Callable, b, precond: Optional[Callable] = None,
                   iters: int = 20):
@@ -265,3 +268,32 @@ def tridiag_solve_complex_auto(dl, d, du, b):
     if _jax.default_backend() == "cpu":
         return tridiag_solve_complex(dl, d, du, b)
     return tridiag_solve_complex_pcr(dl, d, du, b)
+
+
+def tridiag_bands_of(mat):
+    """(dl, d, du) bands of an explicit batched matrix [M, N, N] (dl[...,0]
+    and du[...,-1] zero-padded) — the shared band-extraction convention for
+    the tridiagonal preconditioners."""
+    mb = mat.shape[0]
+    z1 = jnp.zeros((mb, 1), mat.dtype)
+    d_ = jnp.diagonal(mat, axis1=-2, axis2=-1)
+    dl_ = jnp.concatenate(
+        [z1, jnp.diagonal(mat, offset=-1, axis1=-2, axis2=-1)], axis=-1)
+    du_ = jnp.concatenate(
+        [jnp.diagonal(mat, offset=1, axis1=-2, axis2=-1), z1], axis=-1)
+    return dl_, d_, du_
+
+
+def gmres_dense_solve(mat, rhs, iters):
+    """GMRES solve of an EXPLICIT batched matrix (mass / DAE blocks) with
+    its own tridiagonal preconditioner — exact in one application for
+    FEM-style tridiagonal blocks, and convergent for the
+    diagonally-dominant blocks MOL discretizations produce. Large N never
+    meets the trace-time-unrolled LU this way."""
+    mb, n = rhs.shape
+    mmb = mat if mat.ndim == 3 else jnp.broadcast_to(mat, (mb, n, n))
+    mv = lambda v: jnp.einsum("mij,mj->mi", mmb, v,            # noqa: E731
+                              precision=_EINSUM_PRECISION)
+    dl_, d_, du_ = tridiag_bands_of(mmb)
+    pc = lambda v: tridiag_solve_auto(dl_, d_, du_, v)         # noqa: E731
+    return gmres_batched(mv, rhs, pc, iters)[0]

@@ -271,25 +271,10 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
 
 
 def _gmres_dense_solve(mat, rhs, iters):
-    """GMRES solve of an EXPLICIT batched matrix (mass / DAE blocks) with
-    its own tridiagonal Thomas preconditioner — exact in one application
-    for FEM-style tridiagonal blocks, and convergent for the
-    diagonally-dominant blocks MOL discretizations produce. Large N never
-    meets the trace-time-unrolled LU this way."""
-    from janus_tpu.linalg.gmres import (gmres_batched,
-                                        tridiag_solve_auto as tridiag_solve)
-    mb, n = rhs.shape
-    mmb = mat if mat.ndim == 3 else jnp.broadcast_to(mat, (mb, n, n))
-    mv = lambda v: jnp.einsum("mij,mj->mi", mmb, v,            # noqa: E731
-                              precision=_EINSUM_PRECISION)
-    z1 = jnp.zeros((mb, 1), rhs.dtype)
-    d_ = jnp.diagonal(mmb, axis1=-2, axis2=-1)
-    dl_ = jnp.concatenate(
-        [z1, jnp.diagonal(mmb, offset=-1, axis1=-2, axis2=-1)], axis=-1)
-    du_ = jnp.concatenate(
-        [jnp.diagonal(mmb, offset=1, axis1=-2, axis2=-1), z1], axis=-1)
-    pc = lambda v: tridiag_solve(dl_, d_, du_, v)              # noqa: E731
-    return gmres_batched(mv, rhs, pc, iters)[0]
+    """GMRES solve of an EXPLICIT batched matrix (mass / DAE blocks) —
+    see ``linalg.gmres.gmres_dense_solve``."""
+    from janus_tpu.linalg.gmres import gmres_dense_solve
+    return gmres_dense_solve(mat, rhs, iters)
 
 
 def _split_diff(args):

@@ -977,29 +977,60 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
 
         if use_sens and specs:
             # total derivative at an event: the event time t* moves with the
-            # seed direction — dt* = −(g_y·yd)/(g_t + g_y·f), so the lane's
-            # terminal sensitivity is yd(t*) + f(t*, y*)·dt* (implicit-
-            # function correction; reference EventZeroFcn on duals :2306)
+            # seed direction — dt*_k = −(g_y·yd_k + g_θ·dθ_k)/(g_t + g_y·ẏ*)
+            # with ẏ* = M⁻¹f(t*, y*), so the lane's terminal sensitivity is
+            # yd(t*) + ẏ*·dt*_k (implicit-function correction; reference
+            # EventZeroFcn on duals :2306). Mass must be invertible here
+            # (the forward solver has no algebraic-structure information —
+            # use radau_adjoint(n_alg=) for semi-explicit DAE events).
             theta_ev = jnp.clip((t_ev - st.t) / h, 0.0, 1.0)
             tp_ev = jnp.stack([theta_ev ** (q + 1) for q in range(s)],
                               axis=-1)                  # [M, s]
             yd_ev = st.yd + jnp.einsum("kmqd,mq->kmd", qd, tp_ev,
                                        precision=_EINSUM_PRECISION)
-            f_ev = f(t_ev, y_ev, args)
-            sens_sel = yd_ev
-            dts_sel = jnp.zeros(yd_ev.shape[:2], dtype)     # [K, M] dt*_k
-            for j, spec in enumerate(specs):
-                gfun = (lambda tt, yy, _sp=spec: _sp.fn(tt, yy, args))
-                _, gdot = jax.jvp(gfun, (t_ev, y_ev),
-                                  (jnp.ones_like(t_ev), f_ev))
-                gy_yd = jax.vmap(lambda yk: jax.jvp(
-                    gfun, (t_ev, y_ev),
-                    (jnp.zeros_like(t_ev), yk))[1])(yd_ev)      # [K, M]
-                dts = -gy_yd / jnp.where(gdot == 0.0, 1.0, gdot)[None]
-                corr_j = yd_ev + dts[:, :, None] * f_ev[None]
-                sens_sel = jnp.where((ev_idx == j)[None, :, None], corr_j,
-                                     sens_sel)
-                dts_sel = jnp.where((ev_idx == j)[None, :], dts, dts_sel)
+            zeros_sel = jnp.zeros(yd_ev.shape[:2], dtype)   # [K, M]
+
+            def ev_tangent(_):
+                f_ev = f(t_ev, y_ev, args)
+                if mass is None:
+                    ydot_ev = f_ev
+                elif use_gmres:
+                    from janus_tpu.linalg.gmres import gmres_dense_solve
+                    ydot_ev = gmres_dense_solve(
+                        jnp.asarray(mass, dtype), f_ev, opts.gmres_iters)
+                else:
+                    mb = jnp.broadcast_to(jnp.asarray(mass, dtype),
+                                          (m, dim, dim))
+                    lu_m, piv_m = lu_factor(mb, pivot=True)
+                    ydot_ev = lu_solve(lu_m, piv_m, f_ev)
+                sens_sel = yd_ev
+                dts_sel = zeros_sel                         # [K, M] dt*_k
+                for j, spec in enumerate(specs):
+                    gfun = (lambda tt, yy, aa, _sp=spec: _sp.fn(tt, yy, aa))
+                    _, gdot = jax.jvp(
+                        lambda tt, yy: gfun(tt, yy, args), (t_ev, y_ev),
+                        (jnp.ones_like(t_ev), ydot_ev))
+                    if args_d is None:
+                        gy_yd = jax.vmap(lambda yk: jax.jvp(
+                            lambda tt, yy: gfun(tt, yy, args), (t_ev, y_ev),
+                            (jnp.zeros_like(t_ev), yk))[1])(yd_ev)  # [K, M]
+                    else:
+                        # g_θ·dθ_k rides the same joint jvp (event functions
+                        # may depend directly on the seeded parameters)
+                        gy_yd = jax.vmap(lambda yk, ak: jax.jvp(
+                            lambda yy, aa: gfun(t_ev, yy, aa), (y_ev, args),
+                            (yk, ak))[1])(yd_ev, args_d)            # [K, M]
+                    dts = -gy_yd / jnp.where(gdot == 0.0, 1.0, gdot)[None]
+                    corr_j = yd_ev + dts[:, :, None] * ydot_ev[None]
+                    sens_sel = jnp.where((ev_idx == j)[None, :, None],
+                                         corr_j, sens_sel)
+                    dts_sel = jnp.where((ev_idx == j)[None, :], dts,
+                                        dts_sel)
+                return sens_sel, dts_sel
+
+            sens_sel, dts_sel = jax.lax.cond(
+                jnp.any(terminate), ev_tangent,
+                lambda _: (yd_ev, zeros_sel), operand=None)
             yd_new = jnp.where(terminate[None, :, None], sens_sel, yd_new)
             td_new = jnp.where(terminate[None, :], dts_sel, st.td)
         else:

@@ -296,3 +296,53 @@ def test_shooting_newton_with_ind_jacobian():
         np.asarray(solve_radau(rhs, 0.0, tf, r_ind.x, args=ks,
                                options=opts).y),
         np.asarray(target), rtol=1e-7, atol=1e-8)
+
+
+def test_ind_event_param_dependence_and_mass():
+    """The two event-tangent terms the plain formula misses (found by
+    review, fixed together): (1) an event function touching a SEEDED
+    parameter contributes −g_θ·dθ_k to dt*_k; (2) with a mass matrix the
+    velocity in the correction is ẏ* = M⁻¹f, not f. System: M·y' = f
+    (M = diag(2, 1)), event g = y0 − c with c seeded. FD oracle."""
+    from janus_tpu.solve.events import Event
+    from janus_tpu.solve import EVENT_TERMINATED
+
+    mass = jnp.diag(jnp.array([2.0, 1.0]))
+
+    def rhs(t, y, p):
+        return jnp.stack([-p["a"] * y[:, 0] - 0.1 * y[:, 1],
+                          -0.5 * y[:, 1] + 0.2 * y[:, 0]], axis=-1)
+
+    ev = Event(lambda t, y, p: y[:, 0] - p["c"], terminal=True,
+               direction=-1.0)
+    y0 = jnp.array([[2.0, 1.0]])
+    p0 = {"a": jnp.array([0.9]), "c": jnp.array([0.7])}
+    opts = Options(rtol=1e-11, atol=1e-14)
+
+    # K=2 directions: d/da and d/dc (pure parameter seeds)
+    seeds = jnp.zeros((2, 1, 2))
+    args_t = {"a": jnp.array([[1.0], [0.0]]), "c": jnp.array([[0.0], [1.0]])}
+    sol = solve_radau(rhs, 0.0, 20.0, y0, args=p0, options=opts, mass=mass,
+                      tangents=seeds, args_tangents=args_t, events=ev)
+    assert int(sol.status[0]) == EVENT_TERMINATED
+
+    eps = 1e-6
+    for k, name in enumerate(("a", "c")):
+        pp = dict(p0); pm = dict(p0)
+        pp[name] = p0[name] + eps
+        pm[name] = p0[name] - eps
+        sp = solve_radau(rhs, 0.0, 20.0, y0, args=pp, options=opts,
+                         mass=mass, events=ev)
+        sm = solve_radau(rhs, 0.0, 20.0, y0, args=pm, options=opts,
+                         mass=mass, events=ev)
+        fd_y = (sp.y - sm.y) / (2 * eps)
+        fd_t = (sp.t - sm.t) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(sol.sens[k]),
+                                   np.asarray(fd_y), rtol=1e-4, atol=1e-7,
+                                   err_msg=f"dy*/d{name}")
+        np.testing.assert_allclose(np.asarray(sol.sens_t[k]),
+                                   np.asarray(fd_t), rtol=1e-4, atol=1e-7,
+                                   err_msg=f"dt*/d{name}")
+    # the c-direction is the sharp check: y0(t*) ≡ c ⇒ dy0*/dc = 1 exactly,
+    # and dt*/dc = 1/ẏ0* = M00/f0(t*, y*) — both zero under the old formula
+    np.testing.assert_allclose(float(sol.sens[1, 0, 0]), 1.0, rtol=1e-6)
