@@ -171,7 +171,10 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
     if events is not None:
         if t_eval is not None:
             raise ValueError("radau_adjoint: events and t_eval are mutually "
-                             "exclusive")
+                             "exclusive (per-lane partial sample grids in "
+                             "the chained backward segments are not "
+                             "implemented; the FORWARD solvers do compose "
+                             "them — solve_ivp(events=, t_eval=))")
         if checkpoints:
             raise ValueError("checkpoints= is terminal-mode only (an event "
                              "crossing a segment boundary would be missed "

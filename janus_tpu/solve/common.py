@@ -232,6 +232,25 @@ def collect_dense(out_ys, t_eval, t_old, h, accept, y_interp_fn):
     return jnp.where(mask[..., None], vals, out_ys)
 
 
+def mask_dense_after_event(out_ys, t_eval, fired, t_event, h):
+    """Invalidate dense-output samples past a terminal event time.
+
+    scipy truncates ``t_eval`` at the event time t*; with static shapes the
+    analog is NaN for samples strictly beyond t* in the march direction.
+    ``fired`` [M] flags lanes whose terminal event fired THIS accepted step
+    (the step whose collect_dense pass filled samples across the whole step
+    window, including the part beyond t*); later steps never run for those
+    lanes, so one masking pass at fire time suffices. Samples at exactly t*
+    keep their interpolated value y(t*).
+    """
+    fwd = h >= 0
+    tg = t_eval[None, :]
+    past = jnp.where(fwd[:, None], tg > t_event[:, None],
+                     tg < t_event[:, None])
+    kill = past & fired[:, None]
+    return jnp.where(kill[..., None], jnp.nan, out_ys)
+
+
 def derived_newton_tol(dtype, rtol):
     """Hairer's FNewt with an upper cap: max(10*eps/rtol, sqrt(rtol)) capped
     at 0.03. The cap matters in f32 at tight tolerances (rtol <= 1e-5), where

@@ -287,6 +287,9 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
 
         ev, terminate, t_ev, y_ev, _ev_idx = handle_events(
             specs, s.ev, s.t, h, s.y, s.t + h, y1, interp, upd, args)
+        if use_dense and specs:
+            out_ys = cm.mask_dense_after_event(out_ys, t_eval, terminate,
+                                               t_ev, h)
 
         dyn = record_step(s.dyn, s.active, s.t, h, enorm,
                           jnp.zeros_like(s.stats["nsteps"]), accept)

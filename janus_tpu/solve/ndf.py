@@ -401,6 +401,9 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
 
         ev, terminate, t_ev, y_ev, _ev_idx = handle_events(
             specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
+        if use_dense and specs:
+            out_ys = cm.mask_dense_after_event(out_ys, t_eval, terminate,
+                                               t_ev, h)
 
         # ---- bookkeeping --------------------------------------------------
         done = accept & last

@@ -974,6 +974,12 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
 
         ev, terminate, t_ev, y_ev, ev_idx = handle_events(
             specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
+        if use_dense and specs:
+            out_ys = cm.mask_dense_after_event(out_ys, t_eval, terminate,
+                                               t_ev, h)
+            if use_sens:
+                out_sd = jax.vmap(lambda o: cm.mask_dense_after_event(
+                    o, t_eval, terminate, t_ev, h))(out_sd)
 
         if use_sens and specs:
             # total derivative at an event: the event time t* moves with the

@@ -426,6 +426,9 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
 
         ev, terminate, t_ev, y_ev, _ev_idx = handle_events(
             specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
+        if use_dense and specs:
+            out_ys = cm.mask_dense_after_event(out_ys, t_eval, terminate,
+                                               t_ev, h)
 
         dyn = record_step(st.dyn, attempted | singular, st.t, h, enorm,
                           niter, accept)

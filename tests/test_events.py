@@ -113,3 +113,62 @@ def test_stiff_event_radau():
              (0, 200.0), [2.0, 0.0], method="Radau", rtol=1e-8, atol=1e-11,
              events=ev)
     np.testing.assert_allclose(sol.event_t[0], ref.t_events[0][0], rtol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["dopri5", "dopri853", "radau", "radaup",
+                                    "bdf", "seulex", "rodas"])
+def test_terminal_event_with_t_eval(method):
+    """events= and t_eval= compose: samples up to t* are dense-output values,
+    samples strictly past t* are NaN (scipy's t_eval truncation in static
+    shapes), and lanes whose event never fires sample the whole grid."""
+    omega = 1.0
+    y0 = jnp.array([[1.0, 0.0], [1.0, 0.0]])
+    thresh = jnp.array([0.0, -2.0])      # lane1: cos(t) never reaches -2
+
+    def g(t, y, args):
+        return y[:, 0] - thresh
+
+    t_eval = jnp.linspace(0.0, 3.0, 13)
+    sol = solve_ivp(harmonic_rhs, (0.0, 3.0), y0, method=method, args=omega,
+                    rtol=1e-8, atol=1e-10, t_eval=t_eval,
+                    events=Event(g, terminal=True))
+    assert int(sol.status[0]) == EVENT_TERMINATED
+    assert int(sol.status[1]) == SUCCESS
+    # seulex locates the root on its quartic interpolant under big
+    # extrapolation steps — coarser t* than the collocation methods
+    ev_rtol = 5e-5 if method == "seulex" else 1e-6
+    np.testing.assert_allclose(sol.event_t[0], np.pi / 2, rtol=ev_rtol)
+
+    ts = np.asarray(t_eval)
+    ys = np.asarray(sol.ys)
+    exact = np.stack([np.cos(ts), -np.sin(ts)], axis=-1)
+    # seulex's quartic interpolant under big extrapolation steps plateaus
+    # around 1e-4 at this tolerance (both lanes; not an event artifact)
+    dtol = 3e-4 if method == "seulex" else 5e-5
+    # lane 0: valid (and accurate) up to t*, NaN strictly past it
+    before = ts <= np.pi / 2
+    np.testing.assert_allclose(ys[0, before], exact[before], atol=dtol)
+    assert np.all(np.isnan(ys[0, ~before]))
+    # lane 1 never fires: full grid, full accuracy
+    np.testing.assert_allclose(ys[1], exact, atol=dtol)
+
+
+def test_terminal_event_with_t_eval_reverse_time():
+    """Same truncation semantics marching backward: samples at t < t* die."""
+    omega = 1.0
+    y0 = jnp.array([[1.0, 0.0]])         # at t0=3: integrate back toward 0
+
+    def g(t, y, args):
+        return t - 1.5                   # fires at t* = 1.5 on the way down
+
+    t_eval = jnp.linspace(3.0, 0.0, 13)
+    sol = solve_ivp(harmonic_rhs, (3.0, 0.0), y0, method="radau", args=omega,
+                    rtol=1e-8, atol=1e-10, t_eval=t_eval,
+                    events=Event(g, terminal=True))
+    assert int(sol.status[0]) == EVENT_TERMINATED
+    np.testing.assert_allclose(sol.event_t[0], 1.5, rtol=1e-6)
+    ts = np.asarray(t_eval)
+    ys = np.asarray(sol.ys)
+    alive = ts >= 1.5
+    assert np.all(np.isfinite(ys[0, alive]))
+    assert np.all(np.isnan(ys[0, ~alive]))

@@ -346,3 +346,34 @@ def test_ind_event_param_dependence_and_mass():
     # the c-direction is the sharp check: y0(t*) ≡ c ⇒ dy0*/dc = 1 exactly,
     # and dt*/dc = 1/ẏ0* = M00/f0(t*, y*) — both zero under the old formula
     np.testing.assert_allclose(float(sol.sens[1, 0, 0]), 1.0, rtol=1e-6)
+
+
+def test_ind_dense_tangents_with_terminal_event():
+    """tangents + t_eval + events compose: sens_ys (and ys) carry dense
+    values up to t* and NaN strictly past it — the static-shape analog of
+    scipy's t_eval truncation. Analytic oracle: y' = −a·y gives
+    yd(t) = e^{−a t}·seed at every sample before the event."""
+    from janus_tpu.solve.events import Event
+    from janus_tpu.solve import EVENT_TERMINATED
+
+    a, c = 0.8, 0.5
+    y0 = jnp.array([[2.0]])
+    t_star = np.log(2.0 / c) / a                     # ≈ 1.7329
+    grid = jnp.array([0.5, 1.0, 1.5, 2.5])
+    ev = Event(lambda t, y, args: y[:, 0] - c, terminal=True)
+    sol = solve_radau(lambda t, y, args: -a * y, 0.0, 10.0, y0,
+                      options=Options(rtol=1e-10, atol=1e-13),
+                      tangents=jnp.ones((1, 1, 1)), events=ev, t_eval=grid)
+    assert int(sol.status[0]) == EVENT_TERMINATED
+    np.testing.assert_allclose(float(sol.t[0]), t_star, rtol=1e-7)
+
+    ys = np.asarray(sol.ys)[0]                       # [T, 1]
+    sd = np.asarray(sol.sens_ys)[0, 0]               # [T, 1]
+    tg = np.asarray(grid)
+    alive = tg < t_star
+    np.testing.assert_allclose(ys[alive, 0], 2.0 * np.exp(-a * tg[alive]),
+                               rtol=1e-7)
+    np.testing.assert_allclose(sd[alive, 0], np.exp(-a * tg[alive]),
+                               rtol=1e-6)
+    assert np.all(np.isnan(ys[~alive]))
+    assert np.all(np.isnan(sd[~alive]))
