@@ -113,30 +113,43 @@ def handle_events(specs, ev_state, t_old, h, y_old, t_new, y_new, interp,
         lo, hi, _ = jax.lax.fori_loop(0, N_BISECT, body, (lo, hi, glo))
         theta_root = 0.5 * (lo + hi)
         theta_root = jnp.where(crossed, theta_root, jnp.inf)
-        # earliest event per lane
+        # earliest crossing per lane (any event)
         first = jnp.argmin(theta_root, axis=-1)           # [M]
         theta_first = jnp.take_along_axis(theta_root, first[:, None],
                                           axis=-1)[:, 0]
+        # earliest TERMINAL crossing per lane — the solve must stop there
+        # even when a non-terminal event crossed earlier in the same step
+        # (scipy semantics: termination is decided by terminal events only).
+        theta_term = jnp.where(terminal[None, :], theta_root, jnp.inf)
+        first_term = jnp.argmin(theta_term, axis=-1)      # [M]
+        theta_first_term = jnp.take_along_axis(theta_term, first_term[:, None],
+                                               axis=-1)[:, 0]
         hit = jnp.any(crossed, axis=-1)
-        theta_eval = jnp.where(jnp.isfinite(theta_first), theta_first, 1.0)
+        hit_term = jnp.any(crossed & terminal[None, :], axis=-1)
+        # terminating lanes report the terminal crossing (truncation point +
+        # adjoint/IND jump data); others report the earliest crossing.
+        idx_sel = jnp.where(hit_term, first_term, first)
+        theta_sel = jnp.where(hit_term, theta_first_term, theta_first)
+        theta_eval = jnp.where(jnp.isfinite(theta_sel), theta_sel, 1.0)
         y_ev = interp(theta_eval[:, None])[:, 0, :]
         t_ev = t_old + theta_eval * h
-        return hit, first.astype(jnp.int32), t_ev, y_ev
+        return hit, hit_term, idx_sel.astype(jnp.int32), t_ev, y_ev
 
     def no_events(_):
-        return (jnp.zeros((m,), bool), jnp.zeros((m,), jnp.int32),
-                t_new, y_new)
+        return (jnp.zeros((m,), bool), jnp.zeros((m,), bool),
+                jnp.zeros((m,), jnp.int32), t_new, y_new)
 
-    hit, idx, t_ev, y_ev = jax.lax.cond(jnp.any(crossed), locate, no_events,
-                                        operand=None)
+    hit, terminate, idx, t_ev, y_ev = jax.lax.cond(
+        jnp.any(crossed), locate, no_events, operand=None)
 
-    # record FIRST event per lane only
-    fresh = hit & (ev_state["event_idx"] < 0)
+    # record the FIRST event per lane; a terminal crossing is authoritative
+    # (it is the truncation point the adjoint jump reads via event_idx/t)
+    # and overwrites a non-terminal recording from an earlier step.
+    fresh = (hit & (ev_state["event_idx"] < 0)) | terminate
     new_state = {
         "g": jnp.where(accept[:, None], g_new, g_old),
         "event_t": jnp.where(fresh, t_ev, ev_state["event_t"]),
         "event_y": jnp.where(fresh[:, None], y_ev, ev_state["event_y"]),
         "event_idx": jnp.where(fresh, idx, ev_state["event_idx"]),
     }
-    terminate = hit & terminal[idx]
     return new_state, terminate, t_ev, y_ev, idx

@@ -172,3 +172,29 @@ def test_terminal_event_with_t_eval_reverse_time():
     alive = ts >= 1.5
     assert np.all(np.isfinite(ys[0, alive]))
     assert np.all(np.isnan(ys[0, ~alive]))
+
+
+@pytest.mark.parametrize("method", ["dopri5", "radau"])
+def test_earlier_nonterminal_does_not_suppress_termination(method):
+    """A non-terminal crossing just before a terminal one in the SAME
+    accepted step must not eat the terminal crossing (scipy terminates at
+    the earliest TERMINAL crossing regardless of earlier non-terminal ones;
+    advisor round-3 finding)."""
+    omega = 1.0
+    y0 = jnp.array([[1.0, 0.0]])
+
+    def g_term(t, y, args):
+        return y[:, 0]                       # crosses at pi/2
+
+    def g_rec(t, y, args):
+        return y[:, 0] - 1e-3                # crosses ~1e-3 earlier in t
+
+    sol = solve_ivp(harmonic_rhs, (0.0, 10.0), y0, method=method, args=omega,
+                    rtol=1e-6, atol=1e-8,
+                    events=[Event(g_rec, terminal=False),
+                            Event(g_term, terminal=True)])
+    assert int(sol.status[0]) == EVENT_TERMINATED
+    np.testing.assert_allclose(sol.t[0], np.pi / 2, rtol=1e-5)
+    # the terminal crossing is the recorded (truncation) event
+    assert int(sol.event_idx[0]) == 1
+    np.testing.assert_allclose(sol.event_t[0], np.pi / 2, rtol=1e-5)
