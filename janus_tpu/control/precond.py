@@ -47,6 +47,81 @@ def probe_colored_jacobian(f: Callable, x, ncolors: int):
     return jax.vmap(one)(probes)                               # [C, M, N]
 
 
+def probe_custom_colors(f: Callable, x, colors, ncolors: int):
+    """Colored Jacobian probing with an arbitrary color assignment.
+
+    colors: [N] int array mapping column j to its color. Returns
+    cols[c] = J @ v_c with v_c[j] = (colors[j] == c), as [ncolors, M, N].
+    Entry J[i, j] is recovered exactly from cols[colors[j]][i] whenever no
+    OTHER nonzero column of row i shares color colors[j]."""
+    probes = (colors[None, :] ==
+              jnp.arange(ncolors)[:, None]).astype(x.dtype)     # [C, N]
+
+    def one(v):
+        _, out = jax.jvp(f, (x,), (jnp.broadcast_to(v, x.shape),))
+        return out
+
+    return jax.vmap(one)(probes)                               # [C, M, N]
+
+
+def line_tridiag_bands(f: Callable, x, block: int):
+    """In-line tridiagonal bands (dl, d, du) of J for a LINE-BLOCKED state
+    layout: the state is ``nb`` consecutive lines of length ``block`` (e.g.
+    the rows of an [ny, nx] 2-D MOL grid, or one species' grid in a
+    species-major multi-species layout).
+
+    Probing uses 6 colors — (j mod 3) crossed with line parity
+    ((j // block) mod 2) — so couplings into ADJACENT lines (the ±block
+    offsets of 5/9-point stencils) land in the other parity group and can
+    never alias onto the in-line bands, unlike the plain 3-color
+    ``tridiag_bands`` (where e.g. block % 3 == 0 folds the ±block diffusion
+    couplings straight onto the diagonal). In-line couplings at |offset| ≥ 2
+    and couplings two lines away still alias (same 3-color limit as the 1-D
+    extractor). dl/du are zero at line boundaries, so a single Thomas/PCR
+    sweep over the full length-N array solves the line-block system exactly
+    (the zeros decouple the lines).
+    """
+    m, n = x.shape
+    if block < 2 or n % block != 0:
+        raise ValueError(f"N={n} not divisible by line length block={block}")
+    j = jnp.arange(n)
+    colors = (j % 3) + 3 * ((j // block) % 2)
+    cols = probe_custom_colors(f, x, colors, 6)                # [6, M, N]
+    pick = jnp.moveaxis(cols, 0, -1)                           # [M, N, 6]
+    par3 = 3 * ((j // block) % 2)
+
+    def diag_at(offset):
+        pos = (j % block) + offset
+        valid = (pos >= 0) & (pos < block)
+        cread = (j + offset) % 3 + par3
+        onehot = (cread[:, None] == jnp.arange(6)[None, :]) & valid[:, None]
+        return jnp.sum(jnp.where(onehot[None], pick, 0.0), axis=-1)
+
+    return diag_at(-1), diag_at(0), diag_at(1)
+
+
+def blocks_of_jacobian(f: Callable, x, block: int):
+    """Diagonal blocks of J at ``x``: [M, nb, b, b] from 2b colored jvp's.
+
+    Parity-extended coloring ((j mod b) crossed with block parity) makes the
+    extraction EXACT whenever every cross-block coupling goes to an ADJACENT
+    block (cell-interleaved MOL layouts: reaction terms are in-block,
+    spatial neighbors are ±b). Couplings two or more blocks away alias.
+    """
+    m, n = x.shape
+    b = block
+    if b < 1 or n % b != 0:
+        raise ValueError(f"N={n} not divisible by block={b}")
+    nb = n // b
+    j = jnp.arange(n)
+    colors = (j % b) + b * ((j // b) % 2)
+    cols = probe_custom_colors(f, x, colors, 2 * b)            # [2b, M, N]
+    # pk[m, k, r, c, parity] = cols[parity*b + c][m, k*b + r]
+    pk = jnp.transpose(cols.reshape(2, b, m, nb, b), (2, 3, 4, 1, 0))
+    kpar = (jnp.arange(nb) % 2)[None, :, None, None]
+    return jnp.where(kpar == 0, pk[..., 0], pk[..., 1])
+
+
 def block_jacobi_precond(f: Callable, x, block: int) -> Callable:
     """Right-preconditioner v ↦ M⁻¹v from J's diagonal blocks at ``x``.
 

@@ -184,3 +184,56 @@ def e5_rhs(t, y, args):
     d4 = b * y1 * y3 - c * y4
     d3 = d2 - d4
     return jnp.stack([d1, d2, d3, d4], axis=-1)
+
+
+# -- 2-D method-of-lines problems ---------------------------------------------
+# The reference's PDE-line workload is meinhart_pseudo_transient.cpp (a
+# reaction-diffusion system solved with GMRES+ILU stage solves,
+# odesolvers/linsolve.py:60-111). These are the 2-D equivalents for the
+# matrix-free stage path: 5-point Laplacian stencils on an [ny, nx] grid,
+# Dirichlet-0 boundaries, flattened row-major so each grid ROW is one
+# line of length nx (Options(precond='lines', precond_block=nx)).
+
+def laplacian_2d(u, nx, ny, dx):
+    """5-point Dirichlet-0 Laplacian of u [M, ny*nx] -> [M, ny*nx]."""
+    g = u.reshape(u.shape[0], ny, nx)
+    left = jnp.pad(g[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
+    right = jnp.pad(g[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+    up = jnp.pad(g[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+    down = jnp.pad(g[:, 1:, :], ((0, 0), (0, 1), (0, 0)))
+    lap = (left + right + up + down - 4.0 * g) / dx ** 2
+    return lap.reshape(u.shape)
+
+
+def heat_2d_rhs(nx, ny, dx):
+    """u' = ν·Δu + r·u(1−u) (2-D Fisher-KPP), y [M, ny*nx], args (ν, r)."""
+    def rhs(t, y, args):
+        nu, r = args
+        return nu * laplacian_2d(y, nx, ny, dx) + r * y * (1.0 - y)
+    return rhs
+
+
+def brusselator_2d_rhs(nx, ny, dx):
+    """2-D Brusselator, SPECIES-MAJOR layout y = [u (ny·nx), v (ny·nx)]:
+
+        u' = Du·Δu + a − (b+1)·u + u²v
+        v' = Dv·Δv + b·u − u²v
+
+    args (a, b, Du, Dv); a/b may carry a batch axis [M] or [M, 1].
+    NOTE for Options(precond='lines', precond_block=nx): the cross-species
+    coupling is diagonal at offset ±ny·nx — choose ny ODD so it lands in
+    the opposite line-parity group of the 6-color probe (exact in-line
+    bands); with even ny it merely pollutes the preconditioner slightly
+    (GMRES still converges, one or two extra iterations).
+    """
+    def rhs(t, y, args):
+        a, b, du_, dv_ = args
+        n = nx * ny
+        u, v = y[..., :n], y[..., n:]
+        a = a[..., None] if jnp.ndim(a) == 1 else a
+        b = b[..., None] if jnp.ndim(b) == 1 else b
+        uu = u * u * v
+        fu = du_ * laplacian_2d(u, nx, ny, dx) + a - (b + 1.0) * u + uu
+        fv = dv_ * laplacian_2d(v, nx, ny, dx) + b * u - uu
+        return jnp.concatenate([fu, fv], axis=-1)
+    return rhs

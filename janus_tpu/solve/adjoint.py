@@ -133,7 +133,13 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
     terminal adjoint. Combines with ``n_alg`` (the event jump uses the
     DAE's constrained velocity ẏ* = (ẋ, −g_z⁻¹(g_t+g_xẋ)) and the jumped
     cotangent then passes through the adjoint-DAE terminal projections) and
-    with ``cost``. Not combinable with t_eval.
+    with ``cost``. Combines with ``t_eval``: returns
+    ``(ys [M,T,D], y_term [M,D], t_term [M])`` (+ q with ``cost``) where
+    samples past a lane's t* are NaN — the forward solvers' truncation
+    convention — and a triggered lane's later segments collapse to
+    zero-length solves so the event jump carries the whole gradient; mask
+    the NaN samples out of the loss (e.g. ``jnp.where(jnp.isfinite(ys),
+    (ys − data)**2, 0)``) exactly as with the forward path.
 
     cost: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
     (or ``[M, Q]``). Appends ``q = ∫ l dt`` (``solve_radau(quad=...)``, the
@@ -169,23 +175,82 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
                              "singular mass = blockdiag(A, 0)")
     t0, tf = tspan
     if events is not None:
-        if t_eval is not None:
-            raise ValueError("radau_adjoint: events and t_eval are mutually "
-                             "exclusive (per-lane partial sample grids in "
-                             "the chained backward segments are not "
-                             "implemented; the FORWARD solvers do compose "
-                             "them — solve_ivp(events=, t_eval=))")
         if checkpoints:
             raise ValueError("checkpoints= is terminal-mode only (an event "
                              "crossing a segment boundary would be missed "
                              "by the warm-started chain)")
         run = _build_adjoint(f, opts, jac_user=jac, mass=mass, events=events,
                              n_alg=n_alg, cost=cost)
+        if t_eval is None:
+            if use_cost:
+                y, t_term, _, q, _idx = run(t0, tf, y0, args, None)
+                return y, t_term, q
+            y, t_term, _, _idx = run(t0, tf, y0, args, None)
+            return y, t_term
+        # events + t_eval: chain the sample segments per lane; once a lane
+        # triggers, its later segments are ZERO-LENGTH solves t* → t* (the
+        # identity — their boundary cotangents cancel, so the event jump
+        # applied in the triggering segment's backward pass carries the
+        # whole gradient). Samples past t* are NaN (the forward solvers'
+        # truncation convention, commit ba70eaf); the sample exactly AT t*
+        # (a trigger on a segment boundary) stays valid.
+        if jnp.ndim(t0) != 0 or jnp.ndim(tf) != 0:
+            raise ValueError("radau_adjoint(t_eval=...) chains segments "
+                             "over a shared grid; t0/tf must be scalars")
+        t_eval = jnp.asarray(t_eval)
+        if t_eval.ndim != 1 or t_eval.shape[0] < 1:
+            raise ValueError("t_eval must be a non-empty 1-D grid")
+        t0b, _, y0b = cm.broadcast_batch(t0, tf, y0)
+        m = y0b.shape[0]
+        dtype = y0b.dtype
+        t_eval = t_eval.astype(dtype)
+        t_lo = jnp.concatenate([jnp.full((1,), t0, dtype), t_eval[:-1]])
+        t_hi = t_eval
+        h0c = jnp.zeros((m,), dtype)
+        done0 = jnp.zeros((m,), bool)
+        tstar0 = jnp.full((m,), t0, dtype)
+        nan = jnp.asarray(jnp.nan, dtype)
+
         if use_cost:
-            y, t_term, _, q = run(t0, tf, y0, args, None)
-            return y, t_term, q
-        y, t_term, _ = run(t0, tf, y0, args, None)
-        return y, t_term
+            q0 = jnp.zeros(jax.eval_shape(
+                lambda: cost(t0b, y0b, args)).shape, dtype)
+
+        def seg_ev(carry, bounds):
+            if use_cost:
+                y, h, done, tstar, q = carry
+            else:
+                y, h, done, tstar = carry
+            ta, tb = bounds
+            ta_l = jnp.where(done, tstar, jnp.full((m,), ta, dtype))
+            tb_l = jnp.where(done, tstar, jnp.full((m,), tb, dtype))
+            outs = run(ta_l, tb_l, y, args, h)
+            if use_cost:
+                y2, t2, h2, q2, idx2 = outs
+            else:
+                y2, t2, h2, idx2 = outs
+            trig = (idx2 >= 0) & ~done
+            tstar2 = jnp.where(trig, t2, tstar)
+            done2 = done | trig
+            # a trigger strictly inside the segment invalidates the segment's
+            # endpoint sample; a trigger exactly at tb keeps it
+            dead = done | (trig & (t2 != tb_l))
+            sample = jnp.where(dead[:, None], nan, y2)
+            if use_cost:
+                return (y2, h2, done2, tstar2, q + q2), sample
+            return (y2, h2, done2, tstar2), sample
+
+        if use_cost:
+            (yF, _, doneF, tstarF, q), ys = jax.lax.scan(
+                seg_ev, (y0b, h0c, done0, tstar0, q0), (t_lo, t_hi))
+        else:
+            (yF, _, doneF, tstarF), ys = jax.lax.scan(
+                seg_ev, (y0b, h0c, done0, tstar0), (t_lo, t_hi))
+        ys = jnp.swapaxes(ys, 0, 1)                    # [M, T, D]
+        t_term = jnp.where(doneF, tstarF,
+                           jnp.broadcast_to(t_eval[-1], (m,)))
+        if use_cost:
+            return ys, yF, t_term, q
+        return ys, yF, t_term
     if checkpoints and t_eval is not None:
         raise ValueError("checkpoints= is terminal-mode only; t_eval already "
                          "chains segments (size adjoint_steps per segment)")
@@ -311,9 +376,14 @@ def _build_adjoint(f, opts, jac_user, mass, events=None, n_alg=0, cost=None):
         sol = solve_radau(f, t0, tf, y0, args=args, options=opts,
                           jac=jac_user, mass=mass, events=events, quad=cost,
                           _h0=h0)
+        outs = (sol.y, sol.t, sol.h_next)
         if use_cost:
-            return sol.y, sol.t, sol.h_next, sol.quad
-        return sol.y, sol.t, sol.h_next
+            outs = outs + (sol.quad,)
+        if specs:
+            # which event fired (−1 none): lets the t_eval chain detect
+            # per-lane termination; int output, zero cotangent
+            outs = outs + (sol.event_idx,)
+        return outs
 
     def fwd(t0, tf, y0, args, h0):
         sol = solve_radau(f, t0, tf, y0, args=args, options=opts,
@@ -322,11 +392,16 @@ def _build_adjoint(f, opts, jac_user, mass, events=None, n_alg=0, cost=None):
         ev_idx = sol.event_idx if specs else None
         res = (sol.mesh, sol.stats["naccept"], t0, tf, y0, args, sol.y,
                sol.t, ev_idx, h0)
+        outs = (sol.y, sol.t, sol.h_next)
         if use_cost:
-            return (sol.y, sol.t, sol.h_next, sol.quad), res
-        return (sol.y, sol.t, sol.h_next), res
+            outs = outs + (sol.quad,)
+        if specs:
+            outs = outs + (ev_idx,)
+        return outs, res
 
     def bwd(res, out_bar):
+        if specs:                    # event-index output: no cotangent
+            out_bar = out_bar[:-1]
         if use_cost:                 # h_next is a non-differentiable knob
             ybar, tbar, _, qbar = out_bar
         else:
@@ -614,24 +689,49 @@ def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
         # frozen iteration matrix: (γ/h_b·Mᵀ + Jᵀ) from J at the step's
         # later end (where the backward step starts)
         if use_gmres:
-            # matrix-free: Jᵀ·v by a vjp pull at the frozen point; Thomas
-            # preconditioner bands of −Jᵀ by transposing the 3-probe bands
-            # ((Jᵀ)_dl[i] = J_du[i−1], (Jᵀ)_du[i] = J_dl[i+1])
-            from janus_tpu.control.precond import tridiag_bands
-            from janus_tpu.solve.radau import _gmres_core, _gmres_mass_ops
-            dl, d, du = tridiag_bands(
-                lambda yy: f2(t_end_s, yy, dleaves), y_end)
-            z1 = jnp.zeros((m, 1), dtype)
-            bands_adj = -jnp.stack(
-                [jnp.concatenate([z1, du[:, :-1]], axis=1), d,
-                 jnp.concatenate([dl[:, 1:], z1], axis=1)], axis=1)
+            # matrix-free: Jᵀ·v by a vjp pull at the frozen point; the
+            # preconditioner of −Jᵀ by transposing the probed structure —
+            # bands: (Jᵀ)_dl[i] = J_du[i−1], (Jᵀ)_du[i] = J_dl[i+1] (line-
+            # boundary zeros map to line-boundary zeros, so 'lines' rides
+            # the same shift); blocks: per-block transpose.
+            from janus_tpu.control.precond import (blocks_of_jacobian,
+                                                   line_tridiag_bands,
+                                                   tridiag_bands)
+            from janus_tpu.solve.radau import (_gmres_block_core,
+                                               _gmres_core,
+                                               _gmres_mass_blocks,
+                                               _gmres_mass_ops)
             pull_lin = jax.vjp(
                 lambda yy: f2(t_end_s, yy, dleaves), y_end)[1]
             jv_adj = lambda v: -pull_lin(v)[0]        # noqa: E731
-            solve_real, solve_cplx = _gmres_core(
-                tab, jv_adj, bands_adj, hb,
-                _gmres_mass_ops(massT, m, dim, bands_adj[:, 1]),
-                0 if opts.stage_solver == "tridiag" else opts.gmres_iters)
+            g_iters = 0 if opts.stage_solver == "tridiag" \
+                else opts.gmres_iters
+            if opts.precond == "block":
+                blocks = blocks_of_jacobian(
+                    lambda yy: f2(t_end_s, yy, dleaves), y_end,
+                    opts.precond_block)
+                blocks_adj = -jnp.swapaxes(blocks, -1, -2)
+                mdotv_t, mblk_t = _gmres_mass_blocks(
+                    massT, m, dim // opts.precond_block,
+                    opts.precond_block, dtype)
+                solve_real, solve_cplx = _gmres_block_core(
+                    tab, jv_adj, blocks_adj, hb, mdotv_t, mblk_t, g_iters)
+            else:
+                if opts.precond == "lines":
+                    dl, d, du = line_tridiag_bands(
+                        lambda yy: f2(t_end_s, yy, dleaves), y_end,
+                        opts.precond_block)
+                else:
+                    dl, d, du = tridiag_bands(
+                        lambda yy: f2(t_end_s, yy, dleaves), y_end)
+                z1 = jnp.zeros((m, 1), dtype)
+                bands_adj = -jnp.stack(
+                    [jnp.concatenate([z1, du[:, :-1]], axis=1), d,
+                     jnp.concatenate([dl[:, 1:], z1], axis=1)], axis=1)
+                solve_real, solve_cplx = _gmres_core(
+                    tab, jv_adj, bands_adj, hb,
+                    _gmres_mass_ops(massT, m, dim, bands_adj[:, 1]),
+                    g_iters)
             ok = jnp.ones((m,), bool)
         else:
             jmat = jac_fn(t_end_s, y_end, dleaves)    # [M, D, D]

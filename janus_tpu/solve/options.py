@@ -74,6 +74,24 @@ class Options:
     # depth k (no restart; no data-dependent control flow on TPU).
     stage_solver: str = _static("lu")
     gmres_iters: int = _static(20)
+    # stage-preconditioner STRUCTURE for the matrix-free path
+    # (stage_solver='gmres'/'tridiag'); all probed with colored jvp's
+    # (Curtis–Powell–Reid), J never materialized:
+    #   'tridiag' — 3-probe tridiagonal (1-D 3-point stencils; the default).
+    #   'lines'   — line-block tridiagonal: 6 probes give the EXACT in-line
+    #               tridiagonal of a line-blocked layout (2-D MOL rows of
+    #               length precond_block, or species-major multi-species
+    #               grids); applied with the same Thomas/PCR sweeps.
+    #   'block'   — dense block-Jacobi: 2·b probes give the EXACT diagonal
+    #               b×b blocks for adjacent-block couplings (cell-interleaved
+    #               MOL layouts, b = dofs per cell); factored with the
+    #               batched unrolled LU, complex pairs via the 2b×2b real
+    #               embedding. Keep b small (≤ 16).
+    # With stage_solver='tridiag' the chosen structure is solved DIRECTLY
+    # (no Krylov work) — a modified-Newton iteration matrix policed by the
+    # Newton convergence monitor.
+    precond: str = _static("tridiag")
+    precond_block: int = _static(0)
     # accepted-step mesh capacity for the continuous-adjoint backward pass
     # (solve.adjoint.radau_adjoint); gradients are NaN-poisoned if a lane
     # exceeds it. Memory: [M, adjoint_steps, s+1, D] floats.

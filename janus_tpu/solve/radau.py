@@ -497,24 +497,129 @@ def _gmres_core(tab, jv, bands, h, mass_ops, iters):
     return solve_real, solve_cplx
 
 
-def _gmres_stage_solver(tab, f, t_lin, y_lin, args, bands, h, mass, iters):
+def _gmres_mass_blocks(mass, m, nb, b, dtype):
+    """(mdotv, mblk [M, nb, b, b]) for the block-Jacobi stage preconditioner:
+    the full-mass matvec for the GMRES operator plus the mass's DIAGONAL
+    blocks for the preconditioner (off-block mass couplings are left to the
+    Krylov iteration, like the off-band couplings of the tridiag path)."""
+    eye = jnp.broadcast_to(jnp.eye(b, dtype=dtype), (m, nb, b, b))
+    if mass is None:
+        return (lambda v: v), eye
+    dim = nb * b
+    mm = mass if mass.ndim == 3 else jnp.broadcast_to(mass, (m, dim, dim))
+    mdotv = lambda v: jnp.einsum("mij,mj->mi", mm, v,          # noqa: E731
+                                 precision=_EINSUM_PRECISION)
+    mblk = jnp.moveaxis(
+        jnp.diagonal(mm.reshape(m, nb, b, nb, b), axis1=1, axis2=3), -1, 1)
+    return mdotv, mblk
+
+
+def _guarded_block_lu(a):
+    """Batched LU of preconditioner blocks with identity fallback on
+    singular/non-finite blocks (preconditioning must never inject NaN —
+    the Newton/GMRES layers police a weak preconditioner loudly)."""
+    lu, piv = lu_factor(a, pivot=True)
+    diag = jnp.abs(jnp.diagonal(lu, axis1=-2, axis2=-1))
+    bad = (jnp.min(diag, axis=-1) <= 0.0) | \
+        ~jnp.all(jnp.isfinite(lu), axis=(-2, -1))
+    eye = jnp.broadcast_to(jnp.eye(a.shape[-1], dtype=a.dtype), lu.shape)
+    lu = jnp.where(bad[..., None, None], eye, lu)
+    piv = jnp.where(bad[..., None],
+                    jnp.arange(a.shape[-1], dtype=piv.dtype), piv)
+    return lu, piv
+
+
+def _gmres_block_core(tab, jv, blocks, h, mdotv, mblk, iters):
+    """Block-Jacobi twin of ``_gmres_core``: the preconditioner is the
+    DIAGONAL-BLOCK part of the stage operator γ_q/h·M − J, factored once per
+    step with the batched unrolled LU ([M, nb, b, b]; complex pairs via the
+    2b×2b real embedding [[Ar, −Ai], [Ai, Ar]]). Exact for block-diagonal
+    Jacobians (cell-local reaction terms); the Krylov iteration carries the
+    cross-block (spatial) couplings. iters == 0 direct-solves the blocks
+    (block modified Newton)."""
+    from janus_tpu.linalg.gmres import gmres_batched
+
+    m, nb, b, _ = blocks.shape
+    dim = nb * b
+    gam = float(tab.mu_real) / h                               # [M]
+
+    a_r = gam[:, None, None, None] * mblk - blocks
+    lu_r, piv_r = _guarded_block_lu(a_r)
+
+    def solve_real(rhs):
+        mv = lambda v: gam[:, None] * mdotv(v) - jv(v)         # noqa: E731
+        pc = lambda v: lu_solve(                               # noqa: E731
+            lu_r, piv_r, v.reshape(m, nb, b)).reshape(m, dim)
+        if iters == 0:
+            return pc(rhs)
+        return gmres_batched(mv, rhs, pc, iters)[0]
+
+    lus_c, pivs_c = [], []
+    for p in range(len(tab.mu_complex)):
+        mu = tab.mu_complex[p]
+        gr = float(mu.real) / h
+        gi = float(mu.imag) / h
+        ar = gr[:, None, None, None] * mblk - blocks
+        ai = gi[:, None, None, None] * mblk
+        big = jnp.concatenate(
+            [jnp.concatenate([ar, -ai], axis=-1),
+             jnp.concatenate([ai, ar], axis=-1)], axis=-2)     # [M,nb,2b,2b]
+        lu_c, piv_c = _guarded_block_lu(big)
+        lus_c.append(lu_c)
+        pivs_c.append(piv_c)
+
+    def solve_cplx(p, b2):
+        mu = tab.mu_complex[p]
+        gr = float(mu.real) / h
+        gi = float(mu.imag) / h
+
+        def mv(v):
+            vr, vi = v[:, :dim], v[:, dim:]
+            mvr, mvi = mdotv(vr), mdotv(vi)
+            outr = gr[:, None] * mvr - gi[:, None] * mvi - jv(vr)
+            outi = gr[:, None] * mvi + gi[:, None] * mvr - jv(vi)
+            return jnp.concatenate([outr, outi], axis=-1)
+
+        def pc(v):
+            vr = v[:, :dim].reshape(m, nb, b)
+            vi = v[:, dim:].reshape(m, nb, b)
+            out = lu_solve(lus_c[p], pivs_c[p],
+                           jnp.concatenate([vr, vi], axis=-1))
+            return jnp.concatenate([out[..., :b].reshape(m, dim),
+                                    out[..., b:].reshape(m, dim)], axis=-1)
+
+        if iters == 0:
+            return pc(b2)
+        return gmres_batched(mv, b2, pc, iters)[0]
+
+    return solve_real, solve_cplx
+
+
+def _gmres_stage_solver(tab, f, t_lin, y_lin, args, pdata, h, mass, iters,
+                        precond="tridiag", block=0):
     """Matrix-free transformed-stage solvers for stage_solver='gmres'.
 
     The reference's decom_rc_gmres role (odesolvers/linsolve.py:61-110): in
     place of dense LU factors of (γ/h·M − J), each stage system is solved by
     batched GMRES(k) whose operator applies J·v as a jvp of the rhs at the
     FROZEN linearization point (t_lin, y_lin) — J is never materialized —
-    preconditioned by a (complex) tridiagonal Thomas sweep built from the
-    3-probe bands (the 1-D method-of-lines stencil structure).
-    bands: [M, 3, D] = (dl, d, du) of J at the linearization point.
+    preconditioned by the structure selected in Options(precond=):
+    (complex) tridiagonal Thomas/PCR sweeps from probed bands
+    (pdata [M, 3, D]; 'tridiag' = plain 1-D, 'lines' = line-blocked 2-D MOL)
+    or block-Jacobi LU solves from probed diagonal blocks
+    (pdata [M, nb, b, b]; 'block').
     """
     m, dim = y_lin.shape
 
     def jv(v):
         return jax.jvp(lambda yy: f(t_lin, yy, args), (y_lin,), (v,))[1]
 
-    mass_ops = _gmres_mass_ops(mass, m, dim, bands[:, 1])
-    return _gmres_core(tab, jv, bands, h, mass_ops, iters)
+    if precond == "block":
+        mdotv, mblk = _gmres_mass_blocks(mass, m, dim // block, block,
+                                         y_lin.dtype)
+        return _gmres_block_core(tab, jv, pdata, h, mdotv, mblk, iters)
+    mass_ops = _gmres_mass_ops(mass, m, dim, pdata[:, 1])
+    return _gmres_core(tab, jv, pdata, h, mass_ops, iters)
 
 
 def solve_radau(f: Callable, t0, tf, y0, args=None,
@@ -586,11 +691,29 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     npair = (s - 1) // 2
 
     if use_gmres:
-        from janus_tpu.control.precond import tridiag_bands
-
-        def jac_fn(t, y, a):       # [M, 3, D] tridiagonal preconditioner bands
-            dl, d, du = tridiag_bands(lambda yy: f(t, yy, a), y)
-            return jnp.stack([dl, d, du], axis=1)
+        from janus_tpu.control.precond import (blocks_of_jacobian,
+                                               line_tridiag_bands,
+                                               tridiag_bands)
+        if opts.precond not in ("tridiag", "lines", "block"):
+            raise ValueError(f"unknown precond {opts.precond!r}")
+        if opts.precond in ("lines", "block"):
+            if opts.precond_block <= 0 or dim % opts.precond_block != 0:
+                raise ValueError(
+                    f"precond={opts.precond!r} needs precond_block > 0 "
+                    f"dividing D={dim}, got {opts.precond_block}")
+        if opts.precond == "tridiag":
+            def jac_fn(t, y, a):   # [M, 3, D] tridiagonal preconditioner bands
+                dl, d, du = tridiag_bands(lambda yy: f(t, yy, a), y)
+                return jnp.stack([dl, d, du], axis=1)
+        elif opts.precond == "lines":
+            def jac_fn(t, y, a):   # [M, 3, D] in-line bands (2-D MOL rows)
+                dl, d, du = line_tridiag_bands(lambda yy: f(t, yy, a), y,
+                                               opts.precond_block)
+                return jnp.stack([dl, d, du], axis=1)
+        else:
+            def jac_fn(t, y, a):   # [M, nb, b, b] diagonal blocks
+                return blocks_of_jacobian(lambda yy: f(t, yy, a), y,
+                                          opts.precond_block)
     else:
         jac_fn = jac if jac is not None else default_jacobian(f)
     newton_tol = (opts.newton_tol if opts.newton_tol > 0
@@ -710,7 +833,10 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         t=t0, y=y0, yd=yd0,
         t_lo=jnp.zeros((m,), dtype), y_lo=jnp.zeros((m, dim), dtype),
         f0=f0, h=h,
-        jac=jnp.zeros((m, 3, dim) if use_gmres else (m, dim, dim), dtype),
+        jac=jnp.zeros(
+            (m, dim // opts.precond_block, opts.precond_block,
+             opts.precond_block) if (use_gmres and opts.precond == "block")
+            else (m, 3, dim) if use_gmres else (m, dim, dim), dtype),
         t_lin=t0, y_lin=y0,
         lu_real=jnp.zeros((m, 0, 0) if use_gmres else (m, dim, dim), dtype),
         piv_real=jnp.zeros((m, 0) if use_gmres else (m, dim), jnp.int32),
@@ -767,7 +893,8 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
 
         def do_jac(_):
             jnew = jac_fn(st.t, st.y, args)
-            return jnp.where(needj[:, None, None], jnew, st.jac)
+            sel = needj.reshape((m,) + (1,) * (jnew.ndim - 1))
+            return jnp.where(sel, jnew, st.jac)
 
         with jax.named_scope("radau.jacobian"):
             jmat = jax.lax.cond(jnp.any(needj), do_jac, lambda _: st.jac,
@@ -782,11 +909,13 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         if use_gmres:
             lu_r, piv_r = st.lu_real, st.piv_real
             lu_c, piv_c = st.lu_cplx, st.piv_cplx
-            fact_ok = jnp.all(jnp.isfinite(jmat), axis=(1, 2))
+            fact_ok = jnp.all(jnp.isfinite(jmat),
+                              axis=tuple(range(1, jmat.ndim)))
             h_fact = jnp.where(needf, h, st.h_fact)
             solver = _gmres_stage_solver(
                 tab, f, t_lin, y_lin, args, jmat, h, mass,
-                0 if opts.stage_solver == "tridiag" else opts.gmres_iters)
+                0 if opts.stage_solver == "tridiag" else opts.gmres_iters,
+                precond=opts.precond, block=opts.precond_block)
         else:
             def do_fact(_):
                 lr, pr, lc, pc, ok = _factorize(tab, h, jmat, mass,
