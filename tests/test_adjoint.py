@@ -732,3 +732,80 @@ def test_adjoint_gmres_index1_dae_matches_fd():
         fd = (loss(x0 + e, p0) - loss(x0 - e, p0)) / (2 * eps)
         np.testing.assert_allclose(float(g_x0[0, j]), float(fd), rtol=3e-4,
                                    atol=1e-8, err_msg=f"d/dx0[{j}]")
+
+
+def test_adjoint_events_with_t_eval_matches_fd():
+    """events + t_eval composition (VERDICT round-3 item 2): a trajectory-
+    fitting loss over dense samples TRUNCATED at t* plus event terms, on a
+    mixed trigger/no-trigger batch. Samples past t* are NaN (the forward
+    path's convention); the loss masks them. Gradients w.r.t. y0 and every
+    param (incl. the event level's g_θ term) must match FD re-solves."""
+    from janus_tpu.solve.events import Event
+
+    m = 2
+    y0 = jnp.array([[2.0, 0.0], [2.0, 0.0]])
+    # lane 0 crosses the level inside the grid; lane 1 never does
+    p0 = {"k": jnp.array([3.0, 3.0]), "c": jnp.array([0.3, 0.3]),
+          "level": jnp.array([-0.5, -50.0])}
+    opts = Options(rtol=1e-10, atol=1e-13, adjoint_steps=512)
+    ev = Event(_level_event, terminal=True, direction=-1.0)
+    t_eval = jnp.linspace(0.4, 3.2, 8)
+    w_t = jnp.array([0.7, 1.3])
+
+    def loss(z, p):
+        ys, y_star, t_star = radau_adjoint(_osc_rhs, (0.0, 4.0), z, args=p,
+                                           options=opts, events=ev,
+                                           t_eval=t_eval)
+        fit = jnp.sum(jnp.where(jnp.isfinite(ys), (ys - 0.3) ** 2, 0.0))
+        return fit + jnp.sum(w_t * t_star) + jnp.sum(y_star[:, 1] ** 2)
+
+    g_y0, g_p = jax.grad(loss, argnums=(0, 1))(y0, p0)
+    assert bool(jnp.all(jnp.isfinite(g_y0)))
+    eps = 1e-6
+    for name in ("k", "c", "level"):
+        for i in range(m):
+            e = jnp.zeros((m,)).at[i].set(eps)
+            pp = dict(p0); pm = dict(p0)                      # noqa: E702
+            pp[name] = p0[name] + e
+            pm[name] = p0[name] - e
+            fd = (loss(y0, pp) - loss(y0, pm)) / (2 * eps)
+            np.testing.assert_allclose(float(g_p[name][i]), float(fd),
+                                       rtol=5e-4, atol=1e-9,
+                                       err_msg=f"d/d{name}[{i}]")
+    for i in range(m):
+        for j in range(2):
+            e = jnp.zeros((m, 2)).at[i, j].set(eps)
+            fd = (loss(y0 + e, p0) - loss(y0 - e, p0)) / (2 * eps)
+            np.testing.assert_allclose(float(g_y0[i, j]), float(fd),
+                                       rtol=5e-4, atol=1e-9,
+                                       err_msg=f"d/dy0[{i},{j}]")
+
+
+def test_adjoint_events_t_eval_primal_matches_forward():
+    """The chained events+t_eval primal must reproduce the forward solver's
+    composed semantics: identical samples, NaN exactly past t*, identical
+    (t*, y*)."""
+    from janus_tpu.solve import solve_ivp
+    from janus_tpu.solve.events import Event
+
+    m = 2
+    y0 = jnp.array([[2.0, 0.0], [2.0, 0.0]])
+    p0 = {"k": jnp.array([3.0, 3.0]), "c": jnp.array([0.3, 0.3]),
+          "level": jnp.array([-0.5, -50.0])}
+    opts = Options(rtol=1e-10, atol=1e-13, adjoint_steps=512)
+    ev = Event(_level_event, terminal=True, direction=-1.0)
+    t_eval = jnp.linspace(0.4, 3.2, 8)
+
+    ys, y_star, t_star = radau_adjoint(_osc_rhs, (0.0, 4.0), y0, args=p0,
+                                       options=opts, events=ev,
+                                       t_eval=t_eval)
+    fwd = solve_ivp(_osc_rhs, (0.0, float(t_eval[-1])), y0, method="radau",
+                    args=p0, options=opts, events=ev, t_eval=t_eval)
+    np.testing.assert_allclose(np.asarray(t_star[0]),
+                               np.asarray(fwd.event_t[0]), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(y_star), np.asarray(fwd.y),
+                               rtol=1e-7, atol=1e-10)
+    a, b = np.asarray(ys), np.asarray(fwd.ys)
+    assert (np.isnan(a) == np.isnan(b)).all()
+    mask = ~np.isnan(a)
+    np.testing.assert_allclose(a[mask], b[mask], rtol=1e-7, atol=1e-10)
