@@ -25,7 +25,7 @@ FEATURES = {
     "radau":        (True,  True,  True,  True),
     "radaup":       (True,  True,  True,  True),
     "radau_fused":  (False, False, False, False),
-    "bdf":          (True,  False, True,  True),
+    "bdf":          (True,  True,  True,  True),
     "bdf2":         (True,  False, False, True),
     "seulex":       (True,  True,  True,  True),
     "rodas":        (True,  True,  True,  True),
@@ -47,7 +47,8 @@ def _check_features(method: str, jac, mass, events, t_eval):
                          "(explicit method); drop jac= or pick a stiff solver")
     if mass is not None and not sup_mass:
         raise ValueError(f"method {method!r} does not support a mass matrix; "
-                         "use method='radau', 'radaup', 'seulex' or 'rodas'")
+                         "use method='radau', 'radaup', 'seulex', 'rodas' "
+                         "or 'bdf' (invertible mass only)")
     if events is not None and not sup_events:
         raise ValueError(f"method {method!r} does not support events; "
                          "use 'dopri5', 'dopri853', 'radau', 'radaup', "
@@ -166,7 +167,8 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         from janus_tpu.solve.ndf import solve_bdf
         # variable-order 1-5 with the NDF kappas (as scipy's BDF)
         return solve_bdf(f, t0, tf, y0, args, options, t_eval,
-                         jac=jac, events=events, ndf=(method != "bdf_classic"))
+                         jac=jac, events=events, mass=mass,
+                         ndf=(method != "bdf_classic"))
     if canonical == "bdf2":
         from janus_tpu.solve.bdf import solve_bdf2
         return solve_bdf2(f, t0, tf, y0, args, options, t_eval, jac=jac)

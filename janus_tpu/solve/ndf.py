@@ -131,15 +131,52 @@ class _NdfState:
 
 def solve_bdf(f: Callable, t0, tf, y0, args=None,
               options: Optional[Options] = None, t_eval=None,
-              jac: Optional[Callable] = None, events=None,
+              jac: Optional[Callable] = None, events=None, mass=None,
               ndf: bool = True) -> cm.Solution:
-    """Batched adaptive variable-order BDF/NDF solve (orders 1-5)."""
+    """Batched adaptive variable-order BDF/NDF solve (orders 1-5).
+
+    mass: optional mass matrix [D,D] or [M,D,D] (M·y' = f): the corrector
+    iterates (M − c·J)·Δ = c·f − M·(ψ + d) — the mass-weighted NDF
+    corrector (scipy's BDF has none; MATLAB's ode15s is the role model).
+    SINGULAR index-1 masses (consistent y0) work too: the difference-array
+    startup uses one linearized backward-Euler increment
+    (M − h·J0)⁻¹·(h·f0) instead of h·M⁻¹f0, which stays finite and
+    consistent on the algebraic slots.
+
+    Options(stage_solver='gmres'/'tridiag') runs the corrector matrix-free
+    (the reference's BDF+Krylov mode: examples/cpp/vdp_bdf_gmres.cpp and
+    odesolvers/linsolve.py:60-111 serving CommonIntegrator's bdf2) with
+    the same probed preconditioner structures as radau
+    (Options(precond='tridiag'|'lines'|'block')) — the large-D
+    method-of-lines path for this family.
+    """
     opts = options if options is not None else Options()
     specs = normalize_events(events)
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
     m, dim = y0.shape
     dtype = y0.dtype
-    jac_fn = jac if jac is not None else default_jacobian(f)
+    if opts.stage_solver not in ("lu", "gmres", "tridiag"):
+        raise ValueError(f"unknown stage_solver {opts.stage_solver!r}")
+    use_gmres = opts.stage_solver != "lu"
+    if use_gmres and jac is not None:
+        raise ValueError("stage_solver='gmres' is matrix-free (J·v by jvp, "
+                         "probed structure preconditioner); drop jac=")
+    if use_gmres:
+        from janus_tpu.solve.radau import precond_probe_fn
+        jac_fn = precond_probe_fn(f, opts.precond, opts.precond_block, dim)
+    else:
+        jac_fn = jac if jac is not None else default_jacobian(f)
+    if mass is not None:
+        mass = jnp.asarray(mass, dtype)
+        if use_gmres:
+            from janus_tpu.solve.radau import _gmres_mass_ops
+            mdotv = _gmres_mass_ops(mass, m, dim, jnp.zeros((m, dim), dtype))[0]
+        else:
+            mb_full = jnp.broadcast_to(mass, (m, dim, dim))
+            mdotv = lambda v: jnp.einsum(                      # noqa: E731
+                "mij,mj->mi", mb_full, v, precision=_EINSUM_PRECISION)
+    else:
+        mdotv = lambda v: v                                    # noqa: E731
 
     kappa_np = _KAPPA_NDF if ndf else np.zeros(_K)
     gamma_np = np.hstack([0.0, np.cumsum(1.0 / np.arange(1, _K))])
@@ -154,14 +191,41 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
 
     f0 = f(t0, y0, args)
     if opts.h0 == 0.0:
-        h = cm.initial_step(f, t0, y0, f0, tf, 1, opts.rtol, opts.atol,
-                            args, opts.max_step)
+        if mass is None:
+            h = cm.initial_step(f, t0, y0, f0, tf, 1, opts.rtol, opts.atol,
+                                args, opts.max_step)
+        else:
+            # hinit's Euler probe treats f as the derivative — wrong under a
+            # mass matrix; start small and let the controller grow (the
+            # radau-family convention for mass systems)
+            direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
+            h = jnp.minimum(1e-3, jnp.abs(tf - t0) * 1e-2) * direction
     else:
         direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
         h = jnp.broadcast_to(jnp.asarray(opts.h0, dtype), (m,)) * direction
 
+    if mass is not None:
+        # difference-array startup: one LINEARIZED backward-Euler increment
+        # D[1] = (M − h·J0)⁻¹·(h·f0) — equals h·M⁻¹f0 + O(h²) for invertible
+        # mass and stays finite/consistent for SINGULAR index-1 masses
+        # (where ẏ0 = M⁻¹f0 does not exist; the ode15s startup role).
+        j0 = jac_fn(t0, y0, args)
+        if use_gmres:
+            from janus_tpu.solve.radau import gmres_shifted_solver
+            solve0, _ = gmres_shifted_solver(
+                f, t0, y0, args, j0, jnp.ones((m,), dtype), h, mass,
+                0 if opts.stage_solver == "tridiag" else opts.gmres_iters,
+                precond=opts.precond, block=opts.precond_block)
+            d1 = solve0(h[:, None] * f0)
+        else:
+            mb0 = jnp.broadcast_to(mass, (m, dim, dim))
+            lu0, piv0 = lu_factor(mb0 - h[:, None, None] * j0, pivot=True)
+            d1 = lu_solve(lu0, piv0, h[:, None] * f0)
+    else:
+        d1 = h[:, None] * f0
+
     D0 = jnp.zeros((m, _SLOTS, dim), dtype)
-    D0 = D0.at[:, 0].set(y0).at[:, 1].set(h[:, None] * f0)
+    D0 = D0.at[:, 0].set(y0).at[:, 1].set(d1)
 
     use_dense = t_eval is not None
     if use_dense:
@@ -181,9 +245,12 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         order=jnp.ones((m,), jnp.int32),
         neq=jnp.zeros((m,), jnp.int32),
         D=D0,
-        jac=jnp.zeros((m, dim, dim), dtype),
-        lu=jnp.zeros((m, dim, dim), dtype),
-        piv=jnp.zeros((m, dim), jnp.int32),
+        jac=jnp.zeros(
+            (m, dim // opts.precond_block, opts.precond_block,
+             opts.precond_block) if (use_gmres and opts.precond == "block")
+            else (m, 3, dim) if use_gmres else (m, dim, dim), dtype),
+        lu=jnp.zeros((m, 0, 0) if use_gmres else (m, dim, dim), dtype),
+        piv=jnp.zeros((m, 0) if use_gmres else (m, dim), jnp.int32),
         c_fact=jnp.zeros((m,), dtype),
         current_jac=jnp.zeros((m,), bool),
         need_jac=jnp.ones((m,), bool),
@@ -232,36 +299,55 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
 
         def do_jac(_):
             jn = jac_fn(t_new, y_pred, args)
-            return jnp.where(needj[:, None, None], jn, st.jac)
+            sel = needj.reshape((m,) + (1,) * (jn.ndim - 1))
+            return jnp.where(sel, jn, st.jac)
 
         jmat = jax.lax.cond(jnp.any(needj), do_jac, lambda _: st.jac, None)
         current_jac = st.current_jac | needj
 
-        # ---- factorization of (I - c J) (gated) --------------------------
+        # ---- factorization of (M - c J) (gated; nothing to factor in the
+        # matrix-free mode — the shifted solver closures are rebuilt each
+        # body with J·v frozen at the predictor) ---------------------------
         needf = st.active & (needj | (c != st.c_fact))
 
-        def do_fact(_):
-            amat = jnp.eye(dim, dtype=dtype)[None] - c[:, None, None] * jmat
-            lu_n, piv_n = lu_factor(amat, pivot=opts.pivoting)
-            ok = lu_ok(lu_n)
-            return (jnp.where(needf[:, None, None], lu_n, st.lu),
-                    jnp.where(needf[:, None], piv_n, st.piv),
-                    jnp.where(needf, ok, jnp.ones((m,), bool)),
-                    jnp.where(needf, c, st.c_fact))
+        if use_gmres:
+            from janus_tpu.solve.radau import gmres_shifted_solver
+            lu_m, piv_m = st.lu, st.piv
+            fact_ok = jnp.all(jnp.isfinite(jmat),
+                              axis=tuple(range(1, jmat.ndim)))
+            c_fact = jnp.where(needf, c, st.c_fact)
+            solve_corr, _ = gmres_shifted_solver(
+                f, t_new, y_pred, args, jmat, jnp.ones_like(c), c, mass,
+                0 if opts.stage_solver == "tridiag" else opts.gmres_iters,
+                precond=opts.precond, block=opts.precond_block)
+        else:
+            def do_fact(_):
+                mb = (jnp.broadcast_to(mass, (m, dim, dim))
+                      if mass is not None
+                      else jnp.eye(dim, dtype=dtype)[None])
+                amat = mb - c[:, None, None] * jmat
+                lu_n, piv_n = lu_factor(amat, pivot=opts.pivoting)
+                ok = lu_ok(lu_n)
+                return (jnp.where(needf[:, None, None], lu_n, st.lu),
+                        jnp.where(needf[:, None], piv_n, st.piv),
+                        jnp.where(needf, ok, jnp.ones((m,), bool)),
+                        jnp.where(needf, c, st.c_fact))
 
-        lu_m, piv_m, fact_ok, c_fact = jax.lax.cond(
-            jnp.any(needf), do_fact,
-            lambda _: (st.lu, st.piv, jnp.ones((m,), bool), st.c_fact), None)
+            lu_m, piv_m, fact_ok, c_fact = jax.lax.cond(
+                jnp.any(needf), do_fact,
+                lambda _: (st.lu, st.piv, jnp.ones((m,), bool), st.c_fact),
+                None)
+            solve_corr = lambda r: lu_solve(lu_m, piv_m, r)    # noqa: E731
         singular = st.active & ~fact_ok
 
-        # ---- Newton on the corrector d = c f(t+h, y_pred+d) - psi --------
+        # ---- Newton on the corrector M(d + psi) = c f(t+h, y_pred+d) -----
         run_newton = st.active & fact_ok
 
         def nbody(carry):
             d, yk, dn_old, rate, k, running, convd, niter, nfev = carry
             fk = f(t_new, yk, args)
-            res = c[:, None] * fk - psi - d
-            dy = lu_solve(lu_m, piv_m, res)
+            res = c[:, None] * fk - mdotv(psi + d)
+            dy = solve_corr(res)
             finite = jnp.all(jnp.isfinite(dy), axis=-1)
             dn = cm.safe_sqrt(jnp.mean(jnp.square(dy / scale_n), axis=-1))
             have = k > 0

@@ -595,6 +595,80 @@ def _gmres_block_core(tab, jv, blocks, h, mdotv, mblk, iters):
     return solve_real, solve_cplx
 
 
+def precond_probe_fn(f, precond, block, dim):
+    """jac_fn(t, y, args) -> probed preconditioner data for the matrix-free
+    stage path, dispatched on Options(precond=): [M, 3, D] bands for
+    'tridiag'/'lines', [M, nb, b, b] diagonal blocks for 'block'. Shared by
+    every solver family with matrix-free stage solves (radau, ndf)."""
+    from janus_tpu.control.precond import (blocks_of_jacobian,
+                                           line_tridiag_bands, tridiag_bands)
+    if precond not in ("tridiag", "lines", "block"):
+        raise ValueError(f"unknown precond {precond!r}")
+    if precond in ("lines", "block"):
+        if block <= 0 or dim % block != 0:
+            raise ValueError(
+                f"precond={precond!r} needs precond_block > 0 "
+                f"dividing D={dim}, got {block}")
+    if precond == "tridiag":
+        def jac_fn(t, y, a):     # [M, 3, D] tridiagonal preconditioner bands
+            dl, d, du = tridiag_bands(lambda yy: f(t, yy, a), y)
+            return jnp.stack([dl, d, du], axis=1)
+    elif precond == "lines":
+        def jac_fn(t, y, a):     # [M, 3, D] in-line bands (2-D MOL rows)
+            dl, d, du = line_tridiag_bands(lambda yy: f(t, yy, a), y, block)
+            return jnp.stack([dl, d, du], axis=1)
+    else:
+        def jac_fn(t, y, a):     # [M, nb, b, b] diagonal blocks
+            return blocks_of_jacobian(lambda yy: f(t, yy, a), y, block)
+    return jac_fn
+
+
+def gmres_shifted_solver(f, t_lin, y_lin, args, pdata, a_coef, b_coef, mass,
+                         iters, precond="tridiag", block=0):
+    """solve(rhs) for the REAL shifted system (a·M − b·J)·x = rhs,
+    matrix-free (J·v by jvp at the frozen linearization point), with the
+    probed structure preconditioner selected by ``precond``. a_coef/b_coef
+    are per-lane [M] scalars. The BDF/NDF corrector role (reference
+    vdp_bdf_gmres.cpp, odesolvers/linsolve.py:60-111 serving
+    CommonIntegrator's bdf2 mode); iters == 0 direct-solves the
+    preconditioner structure (modified Newton)."""
+    from janus_tpu.linalg.gmres import (gmres_batched, tridiag_solve_auto)
+
+    m, dim = y_lin.shape
+    dtype = y_lin.dtype
+
+    def jv(v):
+        return jax.jvp(lambda yy: f(t_lin, yy, args), (y_lin,), (v,))[1]
+
+    if precond == "block":
+        mdotv, mblk = _gmres_mass_blocks(mass, m, dim // block, block, dtype)
+        a_blk = (a_coef[:, None, None, None] * mblk
+                 - b_coef[:, None, None, None] * pdata)
+        lu_b, piv_b = _guarded_block_lu(a_blk)
+        pc = lambda v: lu_solve(                                # noqa: E731
+            lu_b, piv_b, v.reshape(m, -1, block)).reshape(m, dim)
+    else:
+        mdotv, m_dl, m_d, m_du = _gmres_mass_ops(mass, m, dim, pdata[:, 1])
+        a_dl = a_coef[:, None] * m_dl - b_coef[:, None] * pdata[:, 0]
+        a_d = a_coef[:, None] * m_d - b_coef[:, None] * pdata[:, 1]
+        a_du = a_coef[:, None] * m_du - b_coef[:, None] * pdata[:, 2]
+        okp = jnp.all(jnp.isfinite(a_d) & (a_d != 0.0), axis=-1,
+                      keepdims=True)
+        pc_d = jnp.where(okp, a_d, 1.0)
+        pc_dl = jnp.where(okp, a_dl, 0.0)
+        pc_du = jnp.where(okp, a_du, 0.0)
+        pc = lambda v: tridiag_solve_auto(pc_dl, pc_d, pc_du, v)  # noqa: E731
+
+    def solve(rhs):
+        mv = lambda v: a_coef[:, None] * mdotv(v) \
+            - b_coef[:, None] * jv(v)                           # noqa: E731
+        if iters == 0:
+            return pc(rhs)
+        return gmres_batched(mv, rhs, pc, iters)[0]
+
+    return solve, mdotv
+
+
 def _gmres_stage_solver(tab, f, t_lin, y_lin, args, pdata, h, mass, iters,
                         precond="tridiag", block=0):
     """Matrix-free transformed-stage solvers for stage_solver='gmres'.
@@ -691,29 +765,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     npair = (s - 1) // 2
 
     if use_gmres:
-        from janus_tpu.control.precond import (blocks_of_jacobian,
-                                               line_tridiag_bands,
-                                               tridiag_bands)
-        if opts.precond not in ("tridiag", "lines", "block"):
-            raise ValueError(f"unknown precond {opts.precond!r}")
-        if opts.precond in ("lines", "block"):
-            if opts.precond_block <= 0 or dim % opts.precond_block != 0:
-                raise ValueError(
-                    f"precond={opts.precond!r} needs precond_block > 0 "
-                    f"dividing D={dim}, got {opts.precond_block}")
-        if opts.precond == "tridiag":
-            def jac_fn(t, y, a):   # [M, 3, D] tridiagonal preconditioner bands
-                dl, d, du = tridiag_bands(lambda yy: f(t, yy, a), y)
-                return jnp.stack([dl, d, du], axis=1)
-        elif opts.precond == "lines":
-            def jac_fn(t, y, a):   # [M, 3, D] in-line bands (2-D MOL rows)
-                dl, d, du = line_tridiag_bands(lambda yy: f(t, yy, a), y,
-                                               opts.precond_block)
-                return jnp.stack([dl, d, du], axis=1)
-        else:
-            def jac_fn(t, y, a):   # [M, nb, b, b] diagonal blocks
-                return blocks_of_jacobian(lambda yy: f(t, yy, a), y,
-                                          opts.precond_block)
+        jac_fn = precond_probe_fn(f, opts.precond, opts.precond_block, dim)
     else:
         jac_fn = jac if jac is not None else default_jacobian(f)
     newton_tol = (opts.newton_tol if opts.newton_tol > 0

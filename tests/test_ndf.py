@@ -126,3 +126,126 @@ def test_analytic_jacobian_path():
                     method="bdf", args=mu, rtol=1e-7, atol=1e-10, jac=jac)
     assert int(sol.status[0]) == SUCCESS
     np.testing.assert_allclose(sol.y[0], ref.y[:, -1], rtol=1e-4, atol=1e-6)
+
+
+def test_ndf_invertible_mass_matches_scipy():
+    """FEM-style tridiagonal mass on a small reaction line: the NDF
+    corrector (M − c·J)·Δ = c·f − M·(ψ + d) must match scipy BDF on the
+    transformed system y' = M⁻¹f (scipy's BDF has no mass support —
+    MATLAB's ode15s is the role model)."""
+    from scipy.integrate import solve_ivp as ssolve
+
+    d = 12
+    dx = 1.0 / (d + 1)
+
+    def rhs(t, y, args):
+        left = jnp.pad(y[:, :-1], ((0, 0), (1, 0)))
+        right = jnp.pad(y[:, 1:], ((0, 0), (0, 1)))
+        lap = (left - 2 * y + right) / dx ** 2
+        return 0.02 * lap + args * y * (1.0 - y)
+
+    mass = (jnp.eye(d) * 2.0 / 3.0 + jnp.eye(d, k=1) / 6.0
+            + jnp.eye(d, k=-1) / 6.0)
+    xg = np.linspace(dx, 1.0 - dx, d)
+    y0 = jnp.asarray(np.exp(-100 * (xg - 0.4) ** 2))[None]
+    r = 4.0
+    sol = solve_ivp(rhs, (0.0, 0.5), y0, method="bdf", args=r, mass=mass,
+                    rtol=1e-9, atol=1e-12)
+    assert int(sol.status[0]) == SUCCESS
+
+    minv = np.linalg.inv(np.asarray(mass))
+
+    def f1(t, y):
+        lap = np.empty_like(y)
+        lap[0] = (y[1] - 2 * y[0]) / dx ** 2
+        lap[-1] = (y[-2] - 2 * y[-1]) / dx ** 2
+        lap[1:-1] = (y[:-2] - 2 * y[1:-1] + y[2:]) / dx ** 2
+        return minv @ (0.02 * lap + r * y * (1 - y))
+
+    ref = ssolve(f1, (0, 0.5), np.asarray(y0[0]), method="BDF",
+                 rtol=1e-11, atol=1e-14)
+    assert ref.success
+    np.testing.assert_allclose(np.asarray(sol.y[0]), ref.y[:, -1],
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_ndf_robertson_dae_matches_radau():
+    """Robertson in semi-explicit index-1 DAE form (mass = diag(1,1,0),
+    third row the conservation constraint): NDF must track the radau DAE
+    solve at tight tolerance — the ode15s singular-mass role, enabled by
+    the linearized backward-Euler difference-array startup (VERDICT
+    round-3 item 8)."""
+    from janus_tpu.solve.radau import solve_radau
+
+    def dae(t, y, args):
+        x1, x2, z = y[:, 0], y[:, 1], y[:, 2]
+        return jnp.stack([
+            -0.04 * x1 + 1e4 * x2 * z,
+            0.04 * x1 - 1e4 * x2 * z - 3e7 * x2 ** 2,
+            x1 + x2 + z - 1.0,
+        ], axis=-1)
+
+    mass = jnp.diag(jnp.array([1.0, 1.0, 0.0]))
+    y0 = jnp.array([[1.0, 0.0, 0.0]])
+    tf = 100.0
+    sol = solve_ivp(dae, (0.0, tf), y0, method="bdf", mass=mass,
+                    rtol=1e-8, atol=1e-12)
+    assert int(sol.status[0]) == SUCCESS
+    ref = solve_radau(dae, 0.0, tf, y0, mass=mass,
+                      options=Options(rtol=1e-11, atol=1e-14))
+    assert int(ref.status[0]) == SUCCESS
+    np.testing.assert_allclose(np.asarray(sol.y[0]), np.asarray(ref.y[0]),
+                               rtol=1e-6, atol=1e-12)
+    # constraint satisfied at the end
+    np.testing.assert_allclose(float(jnp.sum(sol.y[0])), 1.0, rtol=1e-9)
+
+
+@pytest.mark.parametrize("stage_solver", ["gmres", "tridiag"])
+def test_ndf_gmres_mol_line_matches_scipy(stage_solver):
+    """Matrix-free NDF corrector solves (the reference's BDF+Krylov mode,
+    vdp_bdf_gmres.cpp): D = 96 Fisher-KPP line far beyond the unrolled
+    dense LU; GMRES + tridiagonal probe preconditioner, or the direct
+    tridiagonal modified-Newton ('tridiag')."""
+    from scipy.integrate import solve_ivp as ssolve
+
+    d = 96
+    dx = 1.0 / (d + 1)
+    xg = np.linspace(dx, 1.0 - dx, d)
+
+    def rhs(t, y, args):
+        nu, r = args
+        left = jnp.pad(y[:, :-1], ((0, 0), (1, 0)))
+        right = jnp.pad(y[:, 1:], ((0, 0), (0, 1)))
+        lap = (left - 2 * y + right) / dx ** 2
+        return nu * lap + r * y * (1.0 - y)
+
+    m = 2
+    y0 = jnp.tile(jnp.asarray(np.exp(-100 * (xg - 0.3) ** 2))[None], (m, 1))
+    rates = jnp.array([1.0, 8.0])[:, None]
+    opts = Options(rtol=1e-7, atol=1e-10, stage_solver=stage_solver,
+                   gmres_iters=15)
+    sol = solve_ivp(rhs, (0.0, 0.4), y0, method="bdf", args=(0.01, rates),
+                    options=opts)
+    assert bool(jnp.all(sol.status == SUCCESS))
+    for i in range(m):
+        r = float(rates[i, 0])
+
+        def f1(t, y):
+            lap = np.empty_like(y)
+            lap[0] = (y[1] - 2 * y[0]) / dx ** 2
+            lap[-1] = (y[-2] - 2 * y[-1]) / dx ** 2
+            lap[1:-1] = (y[:-2] - 2 * y[1:-1] + y[2:]) / dx ** 2
+            return 0.01 * lap + r * y * (1 - y)
+
+        ref = ssolve(f1, (0, 0.4), np.asarray(y0[i]), method="BDF",
+                     rtol=1e-9, atol=1e-12)
+        assert ref.success
+        np.testing.assert_allclose(np.asarray(sol.y[i]), ref.y[:, -1],
+                                   rtol=1e-4, atol=1e-7, err_msg=f"lane {i}")
+
+
+def test_ndf_gmres_rejects_analytic_jac():
+    with pytest.raises(ValueError):
+        solve_ivp(lambda t, y, a: -y, (0.0, 1.0), jnp.zeros((1, 4)),
+                  method="bdf", jac=lambda t, y, a: jnp.zeros((1, 4, 4)),
+                  options=Options(stage_solver="gmres"))
