@@ -91,11 +91,12 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               Any method also differentiates via jax.jvp.
     quad    : optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
               or ``[M, Q]``; ``Solution.quad`` = ∫ l dt accumulated at the
-              solve's own order (fixed-stage radau only; the CVODES
-              quadrature-integration role). With ``tangents=`` the IND sweep
-              also fills ``Solution.sens_quad`` (quadrature sensitivities).
-              For reverse-mode gradients of integral costs use
-              ``radau_adjoint(cost=...)``.
+              solve's own order (the CVODES quadrature-integration role).
+              Fixed-stage radau uses the collocation-weight rule and with
+              ``tangents=`` also fills ``Solution.sens_quad``; rodas and
+              seulex integrate by Gauss-Legendre on their dense
+              interpolants. For reverse-mode gradients of integral costs
+              use ``radau_adjoint(cost=...)``.
     dense   : step-mesh capacity N > 0 (fixed-stage radau only): store each
               accepted step's collocation polynomial so
               ``Solution.interpolate(ts)`` evaluates the solution anywhere
@@ -123,10 +124,13 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
                          " is supported by the 'radau'/'radaup' methods, "
                          "'seulex' and 'rodas'; use jax.jvp through the "
                          "solve otherwise")
-    if quad is not None and canonical != "radau":
+    if quad is not None and canonical not in ("radau", "rodas", "seulex"):
         raise ValueError("quad= (running-cost quadratures) is supported by "
-                         "the fixed-stage 'radau' methods only; integrate "
-                         "the cost as an extra state otherwise")
+                         "the fixed-stage 'radau' methods (collocation-"
+                         "weight rule, incl. sens_quad), 'rodas' and "
+                         "'seulex' (Gauss-Legendre on the dense "
+                         "interpolant); integrate the cost as an extra "
+                         "state otherwise")
     if dense and canonical != "radau":
         raise ValueError("dense= (post-hoc Solution.interpolate) is "
                          "supported by the fixed-stage 'radau' methods "
@@ -176,12 +180,14 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         from janus_tpu.solve.seulex import solve_seulex
         return solve_seulex(f, t0, tf, y0, args, options, t_eval,
                             jac=jac, mass=mass, events=events,
-                            tangents=tangents, args_tangents=args_tangents)
+                            tangents=tangents, args_tangents=args_tangents,
+                            quad=quad)
     if canonical == "rodas":
         from janus_tpu.solve.rodas import solve_rodas
         return solve_rodas(f, t0, tf, y0, args, options, t_eval,
                            jac=jac, mass=mass, events=events,
-                           tangents=tangents, args_tangents=args_tangents)
+                           tangents=tangents, args_tangents=args_tangents,
+                           quad=quad)
     if canonical == "grk4t":
         from janus_tpu.solve.rosenbrock import solve_ros4
         return solve_ros4(f, t0, tf, y0, args, options, t_eval, jac=jac)

@@ -301,3 +301,40 @@ def comp_add(hi, lo, x):
     hi2 = s + lo2
     lo3 = lo2 - (hi2 - s)
     return hi2, lo3
+
+
+def quad_gl3_step(ql, t_old, h, interp, accept, terminate, t_ev, q_acc):
+    """Accumulate a running-cost quadrature over one accepted step by
+    3-point Gauss-Legendre on the step's dense-output interpolant (exact
+    to degree 5 — above every family's interpolant order, so the
+    quadrature error is dominated by the interpolant's own O(h^p)).
+
+    ql:     canonicalized integrand (t [M], y [M, D]) -> [M, Q]
+    interp: theta [M, K] -> y [M, K, D] (the step's continuous extension)
+    Event-terminated lanes integrate only to θ* = (t*−t_old)/h on the
+    scaled interpolant. Gated on any lane accepting (the optional-work
+    convention). Shared by the rodas and seulex quad= paths; radau uses
+    its own collocation-weight rule (the stages are already at the nodes).
+    """
+    import jax as _jax
+
+    dtype = t_old.dtype
+    s35 = 0.6 ** 0.5
+    gl_xi = jnp.asarray([0.5 * (1 - s35), 0.5, 0.5 * (1 + s35)], dtype)
+    gl_w = jnp.asarray([5.0 / 18.0, 8.0 / 18.0, 5.0 / 18.0], dtype)
+
+    def do_quad(_):
+        theta_q = jnp.where(terminate,
+                            jnp.clip((t_ev - t_old)
+                                     / jnp.where(h == 0.0, 1.0, h),
+                                     0.0, 1.0), 1.0)
+        nodes = theta_q[:, None] * gl_xi[None, :]              # [M, 3]
+        yq = interp(nodes)                                     # [M, 3, D]
+        tq = t_old[:, None] + nodes * h[:, None]
+        lv = jnp.stack([ql(tq[:, i], yq[:, i]) for i in range(3)],
+                       axis=1)                                 # [M, 3, Q]
+        dq = (h * theta_q)[:, None] * jnp.sum(
+            gl_w[None, :, None] * lv, axis=1)
+        return jnp.where(accept[:, None], q_acc + dq, q_acc)
+
+    return _jax.lax.cond(jnp.any(accept), do_quad, lambda _: q_acc, None)

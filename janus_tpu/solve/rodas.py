@@ -97,14 +97,25 @@ class _RodasState:
     out_ys: Any
     ev: Any
     yd: Any                   # [K, M, D] IND tangents (0-size when unused)
+    q_acc: Any                # [M, Q] running-cost quadrature (0-d unused)
 
 
 def solve_rodas(f: Callable, t0, tf, y0, args=None,
                 options: Optional[Options] = None, t_eval=None,
                 jac: Optional[Callable] = None, mass=None,
                 events=None, tangents=None,
-                args_tangents=None) -> cm.Solution:
+                args_tangents=None,
+                quad: Optional[Callable] = None) -> cm.Solution:
     """Batched adaptive RODAS4 solve (index-1 DAE capable via ``mass``).
+
+    quad: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
+    (or ``[M, Q]``); ``Solution.quad`` accumulates ∫ l dt per accepted step
+    by 3-point Gauss-Legendre on the step's CONTRO dense-output cubic
+    (exact to degree 5 — above the interpolant's own order, so the
+    quadrature error is dominated by the method's O(h⁴) like the state).
+    Event-terminated lanes integrate only to t* (the partial step is
+    re-quadratured on the scaled interpolant). The CVODES
+    quadrature-integration role on the Rosenbrock family.
 
     tangents / args_tangents: first-class internal-differentiation forward
     sensitivities. Rosenbrock steps are linearly implicit, so the tangent of
@@ -200,6 +211,21 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
     else:
         out_ys = jnp.zeros((), dtype)
 
+    use_quad = quad is not None
+    if use_quad:
+        qshape = jax.eval_shape(lambda: quad(t0, y0, args)).shape
+        if qshape not in ((m,),) and (len(qshape) != 2 or qshape[0] != m):
+            raise ValueError(f"quad must return [M] or [M, Q] with M={m}, "
+                             f"got {qshape}")
+        quad_scalar = len(qshape) == 1
+        qdim = 1 if quad_scalar else qshape[1]
+
+        def _ql(t, y):                       # canon [M, Q]
+            return cm.canon_cost(quad(t, y, args))
+        q_acc0 = jnp.zeros((m, qdim), dtype)
+    else:
+        q_acc0 = jnp.zeros((), dtype)
+
     stats = cm.zero_stats(m, ("nfev", "njev", "nlu", "nsteps", "naccept",
                               "nreject"))
     stats["nfev"] = stats["nfev"] + 2
@@ -220,6 +246,7 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         stats=stats, out_ys=out_ys,
         ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
         yd=yd0,
+        q_acc=q_acc0,
     )
     eps = jnp.finfo(dtype).eps
     eye = jnp.eye(dim, dtype=dtype)
@@ -321,7 +348,7 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         # ---- dense output & events (cubic CONTRO extension) --------------
         out_ys = st.out_ys
         interp = None
-        if use_dense or specs:
+        if use_dense or specs or use_quad:
             cont2 = D21 * k1 + D22 * k2 + D23 * k3 + D24 * k4 + D25 * k5
             cont3 = D31 * k1 + D32 * k2 + D33 * k3 + D34 * k4 + D35 * k5
 
@@ -340,6 +367,13 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         if use_dense and specs:
             out_ys = cm.mask_dense_after_event(out_ys, t_eval, terminate,
                                                t_ev, h)
+
+        # ---- running-cost quadrature (gated on any accept) ----------------
+        if use_quad:
+            q_acc = cm.quad_gl3_step(_ql, st.t, h, interp, accept,
+                                     terminate, t_ev, st.q_acc)
+        else:
+            q_acc = st.q_acc
 
         # ---- IND tangent sweep (exact derivative of the frozen-h step) ----
         if use_sens:
@@ -483,7 +517,7 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
             rejected=jnp.where(accept, False, st.rejected | reject),
             nsing=nsing,
             active=active, status=status, stats=stats, out_ys=out_ys,
-            ev=ev, yd=yd_new,
+            ev=ev, yd=yd_new, q_acc=q_acc,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -495,4 +529,6 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         event_y=final.ev["event_y"] if specs else None,
         event_idx=final.ev["event_idx"] if specs else None,
         sens=final.yd if use_sens else None,
+        quad=(final.q_acc[:, 0] if quad_scalar else final.q_acc)
+        if use_quad else None,
     )

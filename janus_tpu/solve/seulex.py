@@ -109,14 +109,24 @@ class _SxState:
     stats: dict
     out_ys: Any
     ev: Any
+    q_acc: Any                # [M, Q] running-cost quadrature (0-d unused)
 
 
 def solve_seulex(f: Callable, t0, tf, y0, args=None,
                  options: Optional[Options] = None, t_eval=None,
                  jac: Optional[Callable] = None, mass=None,
                  events=None, tangents=None,
-                 args_tangents=None) -> cm.Solution:
+                 args_tangents=None,
+                 quad: Optional[Callable] = None) -> cm.Solution:
     """Batched adaptive SEULEX solve (extrapolated linearly implicit Euler).
+
+    quad: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
+    (or ``[M, Q]``); ``Solution.quad`` = ∫ l dt accumulated per accepted
+    step by 3-point Gauss-Legendre on the extrapolation-consistent dense
+    interpolant (the quartic through (y0, f0, ymid, y1, f1); the
+    lower-order quadratic with a mass matrix). Event-terminated lanes
+    integrate only to t*. The CVODES quadrature-integration role on the
+    extrapolation family.
 
     tangents / args_tangents: first-class internal-differentiation forward
     sensitivities — the reference's SeulexTed dual architecture
@@ -215,6 +225,21 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
     else:
         out_ys = jnp.zeros((), dtype)
 
+    use_quad = quad is not None
+    if use_quad:
+        qshape = jax.eval_shape(lambda: quad(t0, y0, args)).shape
+        if qshape not in ((m,),) and (len(qshape) != 2 or qshape[0] != m):
+            raise ValueError(f"quad must return [M] or [M, Q] with M={m}, "
+                             f"got {qshape}")
+        quad_scalar = len(qshape) == 1
+        qdim = 1 if quad_scalar else qshape[1]
+
+        def _ql(t, y):                       # canon [M, Q]
+            return cm.canon_cost(quad(t, y, args))
+        q_acc0 = jnp.zeros((m, qdim), dtype)
+    else:
+        q_acc0 = jnp.zeros((), dtype)
+
     # tolerance-derived initial target order (reference seulexted.py:83-87)
     logfact = -np.log10(opts.rtol + opts.atol) * 0.6 + 0.5
     kt0 = int(np.clip(round(logfact), 1, kmax - 1))
@@ -237,6 +262,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
         stats=stats, out_ys=out_ys,
         ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
+        q_acc=q_acc0,
     )
     eps = jnp.finfo(dtype).eps
     eye = jnp.eye(dim, dtype=dtype)
@@ -543,7 +569,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         out_ys = st.out_ys
         interp = None
         nfev_interp = jnp.zeros((m,), jnp.int32)
-        if use_dense or specs:
+        if use_dense or specs or use_quad:
             def build_interp(_):
                 return f(t_new, y_new, args), f(st.t, st.y, args)
 
@@ -599,6 +625,13 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
             out_ys = cm.mask_dense_after_event(out_ys, t_eval, terminate,
                                                t_ev, h)
 
+        # ---- running-cost quadrature (gated on any accept) ----------------
+        if use_quad:
+            q_acc = cm.quad_gl3_step(_ql, st.t, h, interp, accept,
+                                     terminate, t_ev, st.q_acc)
+        else:
+            q_acc = st.q_acc
+
         # ---- bookkeeping --------------------------------------------------
         done = accept & last
 
@@ -641,7 +674,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
             nbad=nbad,
             yd=jnp.where(accept[None, :, None], yd_acc, st.yd),
             active=active, status=status, stats=stats, out_ys=out_ys,
-            ev=ev,
+            ev=ev, q_acc=q_acc,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -653,4 +686,6 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         event_y=final.ev["event_y"] if specs else None,
         event_idx=final.ev["event_idx"] if specs else None,
         sens=final.yd if use_sens else None,
+        quad=(final.q_acc[:, 0] if quad_scalar else final.q_acc)
+        if use_quad else None,
     )

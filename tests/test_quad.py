@@ -19,6 +19,10 @@ from janus_tpu.solve.adjoint import radau_adjoint
 from janus_tpu.solve.events import Event
 from janus_tpu.solve.radau import solve_radau
 
+# heavy tier: large custom-vjp / jacfwd-through-solve compiles (CLAUDE.md
+# suite-budget notes); excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def _clear_caches_each_test():
@@ -324,3 +328,59 @@ def test_forward_quad_with_t_eval():
     np.testing.assert_allclose(np.asarray(s.quad), np.asarray(s2.quad),
                                rtol=0, atol=0)
     assert s.ys.shape == (1, 2, 2) and bool(jnp.all(jnp.isfinite(s.ys)))
+
+
+@pytest.mark.parametrize("method,qtol", [("rodas", 1e-6), ("seulex", 5e-5)])
+def test_quad_rodas_seulex_matches_scipy_augmented(method, qtol):
+    """quad= on the Rosenbrock and extrapolation families (VERDICT round-3
+    item 5): GL-3 on the dense interpolant vs scipy Radau on the augmented
+    system. Mildly stiff VdP so both families take real adaptive steps.
+    The quadrature tracks each family's INTERPOLANT accuracy: RODAS's
+    CONTRO cubic rides the order-4 method; SEULEX's quartic is O(h^5) per
+    step while the ladder takes big high-order steps — same plateau its
+    t_eval sampling has, hence the looser bound."""
+    from scipy.integrate import solve_ivp as sp_solve
+    from janus_tpu.solve import solve_ivp
+
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.5]])
+    sol = solve_ivp(_vdp, (0.0, 3.0), y0, method=method, args=5.0,
+                    options=Options(rtol=1e-9, atol=1e-12),
+                    quad=lambda t, y, a: y[:, 0] ** 2)
+    assert sol.quad.shape == (2,)
+    for i in range(2):
+        ref = sp_solve(lambda t, y: [y[1], 5.0 * (1 - y[0] ** 2) * y[1] - y[0],
+                                     y[0] ** 2],
+                       (0.0, 3.0), list(np.asarray(y0[i])) + [0.0],
+                       method="Radau", rtol=1e-12, atol=1e-13)
+        np.testing.assert_allclose(float(sol.quad[i]), ref.y[2, -1],
+                                   rtol=qtol, err_msg=f"lane {i}")
+
+
+@pytest.mark.parametrize("method,qtol", [("rodas", 1e-6), ("seulex", 2e-5)])
+def test_quad_rodas_seulex_event_truncation(method, qtol):
+    """An elapsed-time quadrature slot (l ≡ 1) must integrate to exactly t*
+    on event-terminated lanes — the partial last step re-quadratures on the
+    scaled interpolant."""
+    from janus_tpu.solve import solve_ivp, EVENT_TERMINATED
+
+    y0 = jnp.array([[1.0, 0.0], [1.0, 0.0]])
+    levels = jnp.array([-0.5, -2.0])          # lane 1 never crosses
+
+    def g(t, y, a):
+        return y[:, 0] - levels
+
+    sol = solve_ivp(_osc, (0.0, 2.5), y0, method=method, args=1.0,
+                    options=Options(rtol=1e-10, atol=1e-13),
+                    events=Event(g, terminal=True),
+                    quad=lambda t, y, a: jnp.stack(
+                        [jnp.ones_like(t), y[:, 0] ** 2], axis=-1))
+    assert int(sol.status[0]) == EVENT_TERMINATED
+    np.testing.assert_allclose(float(sol.quad[0, 0]), float(sol.t[0]),
+                               rtol=1e-7)
+    np.testing.assert_allclose(float(sol.quad[1, 0]), 2.5, rtol=1e-9)
+    # analytic: ∫₀ᵗ cos² = t/2 + sin(2t)/4 (tolerance per interpolant order,
+    # see test_quad_rodas_seulex_matches_scipy_augmented)
+    for i in range(2):
+        t = float(sol.t[i])
+        np.testing.assert_allclose(float(sol.quad[i, 1]),
+                                   t / 2 + np.sin(2 * t) / 4, rtol=qtol)
