@@ -67,6 +67,86 @@ def _measure_cpu_baseline(mu, tf, rtol, atol, n_probe=8):
     return best                          # trajectories(+sens)/sec on CPU
 
 
+def _mol_metrics(jax, jnp):
+    """Secondary tracked metrics: the round-3 MOL-line wins (D=128
+    Fisher-KPP, stage_solver='tridiag' direct PCR solve + the continuous-
+    adjoint full gradient) so regressions are machine-visible in
+    BENCH_r*.json, not just README prose. Returns a dict of extra JSON
+    fields; never raises (the headline metric must survive a MOL break)."""
+    try:
+        from janus_tpu.solve import Options
+        from janus_tpu.solve.adjoint import radau_adjoint
+        from janus_tpu.solve.radau import solve_radau
+
+        d, m = 128, 1024
+        dx = 1.0 / (d + 1)
+        xg = np.linspace(dx, 1.0 - dx, d)
+        dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+
+        def rhs(t, y, args):
+            nu, r = args
+            left = jnp.pad(y[:, :-1], ((0, 0), (1, 0)))
+            right = jnp.pad(y[:, 1:], ((0, 0), (0, 1)))
+            lap = (left - 2 * y + right) / dx ** 2
+            return nu * lap + r * y * (1.0 - y)
+
+        y0 = jnp.tile(jnp.asarray(np.exp(-100 * (xg - 0.3) ** 2),
+                                  dtype)[None], (m, 1))
+        rates = jnp.linspace(1.0, 8.0, m, dtype=dtype)[:, None]
+        opts = Options(rtol=1e-4, atol=1e-7, stage_solver="tridiag",
+                       pivoting=False)
+
+        def chain(z, n):
+            def one(c, _):
+                s = solve_radau(rhs, 0.0, 0.4, c, args=(0.01, rates),
+                                options=opts)
+                return s.y * 0.999 + z * 0.001, s.status
+            return jax.lax.scan(one, z, None, length=n)
+
+        f1 = jax.jit(lambda z: chain(z, 1))
+        f3 = jax.jit(lambda z: chain(z, 3))
+        _, s1 = f1(y0)
+        np.asarray(f3(y0 + 1e-6)[0])
+        best = np.inf
+        for it in range(3):
+            z = y0 + 1e-5 * it
+            t0 = time.perf_counter()
+            np.asarray(f1(z)[0])
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(f3(z)[0])
+            t3 = time.perf_counter() - t0
+            best = min(best, (t3 - t1) / 2)
+        mol_ok = bool(jnp.all(s1 == 1))
+
+        aopts = opts.replace(adjoint_steps=64)
+
+        def loss(z, r):
+            yT = radau_adjoint(rhs, (0.0, 0.4), z, args=(0.01, r),
+                               options=aopts)
+            return jnp.sum(yT ** 2)
+
+        grad = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        g0, _ = grad(y0, rates)
+        np.asarray(g0)
+        besta = np.inf
+        for it in range(3):
+            z = y0 + 1e-5 * (it + 1)
+            t0 = time.perf_counter()
+            g0, g1 = grad(z, rates)
+            np.asarray(g0)
+            besta = min(besta, time.perf_counter() - t0)
+        finite = bool(jnp.all(jnp.isfinite(g0)) & jnp.all(jnp.isfinite(g1)))
+        return {
+            "mol_d128_tridiag_ms_per_solve": round(best * 1e3, 2),
+            "mol_d128_tridiag_ok": mol_ok,
+            "mol_d128_adjoint_ms_per_gradient": round(besta * 1e3, 2),
+            "mol_d128_adjoint_finite": finite,
+        }
+    except Exception as e:                    # pragma: no cover
+        return {"mol_metrics_error": f"{type(e).__name__}: {e}"}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -94,8 +174,11 @@ def main():
     # dominant iteration matrices, far faster XLA:TPU compiles.
     # s=5 (Radau9): measured 1.4x over Radau5 at rtol 1e-6 on chip (half the
     # steps, same success/accuracy); s=7 stage systems lose f32 Newton.
+    # pallas_lu: the fused SoA stage factor/solve kernels — measured 1.27x
+    # end-to-end at this exact config (experiments/pallas_lu_chip.py) plus
+    # ~30x faster compiles; jnp-dispatched off-TPU
     opts = Options(rtol=rtol, atol=atol, pivoting=False, compensated=on_tpu,
-                   min_stages=5, max_stages=5)
+                   min_stages=5, max_stages=5, pallas_lu=on_tpu)
 
     # forward sensitivities ∂y(T)/∂y0 by INTERNAL DIFFERENTIATION: one
     # primal solve + K linear tangent sweeps reusing each step's LU factors
@@ -162,6 +245,8 @@ def main():
     cpu_rate = cpu_pinned if cpu_pinned is not None else cpu_live
     vs_baseline = traj_per_sec / cpu_rate
 
+    mol = _mol_metrics(jax, jnp)
+
     print(json.dumps({
         "metric": "stiff VdP mu=1e3 trajectories/sec/chip (with fwd sens, "
                   f"batch={batch}, rtol={rtol}, {np.dtype(np.float32).name if on_tpu else 'float64'})",
@@ -174,6 +259,7 @@ def main():
         "success_fraction": ok,
         "accept_fraction": round(accept_fraction, 4),
         "seconds_per_solve": round(dt, 4),
+        **mol,
     }))
 
 

@@ -62,6 +62,24 @@ class Options:
     # faster and safe for the strongly diagonally-dominant iteration
     # matrices (gamma/h·M − J) of very stiff regimes)
     pivoting: bool = _static(True)
+    # use the fused Pallas SoA LU kernels for the stage factor/solves
+    # (radau LU path; requires pivoting=False — the kernel is pivot-free).
+    # Measured 1.27x END-TO-END on the 65k-lane bench config on chip
+    # (1.20M -> 1.53M traj/s w/ 2 IND dirs) AND ~30x faster XLA compiles
+    # (the unrolled jnp LU's trace is the compile hot spot); dispatches to
+    # the jnp path off-TPU. NOT compatible with differentiating THROUGH the
+    # solve by jax.jvp/jax.grad transforms (Pallas kernels carry no AD
+    # rules) — IND tangents and the continuous adjoint work (they apply the
+    # factors linearly, never differentiate them).
+    pallas_lu: bool = _static(False)
+    # keep a Householder-QR factorization alive as a per-lane fallback when
+    # the stage LU breaks (zero/tiny pivot — e.g. pivoting=False on
+    # structurally permuted DAE masses): instead of halving h, the failing
+    # lanes solve their stage systems with QR while the rest stay on LU
+    # (the reference keeps both decompositions side by side,
+    # radaute_impl.hpp:1558-1573). Zero cost until a lane actually fails
+    # (the QR work is cond-gated); radau LU path only.
+    qr_fallback: bool = _static(False)
     # stage linear solver for the radau collocation systems: "lu" = dense
     # unrolled batched LU (D up to a few tens); "gmres" = matrix-free
     # batched GMRES(k) with a tridiagonal preconditioner (PCR on TPU,

@@ -90,6 +90,11 @@ class _RadauState:
     piv_real: jnp.ndarray     # [M, D]
     lu_cplx: jnp.ndarray      # [M, P, 2D, 2D]
     piv_cplx: jnp.ndarray     # [M, P, 2D]
+    qr_vs_r: jnp.ndarray      # QR-fallback factors (Options.qr_fallback;
+    qr_r_r: jnp.ndarray       # [M, D, D], or [M, 0, 0] when the flag is off)
+    qr_vs_c: jnp.ndarray      # [M, P, 2D, 2D] (or [M, 0, 0, 0])
+    qr_r_c: jnp.ndarray
+    use_qr: jnp.ndarray       # [M] lane solves its stage systems via QR
     h_fact: jnp.ndarray       # [M] signed h the factors were built with (0 = none)
     current_jac: jnp.ndarray  # [M] Jacobian is fresh at (t, y)
     need_jac: jnp.ndarray     # [M]
@@ -120,15 +125,15 @@ class _RadauState:
     #                           unless tangents= AND events=)
 
 
-def _factorize(tab, h, jac, mass=None, pivot=True):
-    """Build and factor the real and split-complex iteration matrices."""
+def _build_iter_matrices(tab, h, jac, mass=None):
+    """(a_real [M,D,D], blocks list of [M,2D,2D]): the real and split-real
+    complex stage iteration matrices γ_q/h·M − J (shared by the LU
+    factorization and the QR fallback)."""
     dim = jac.shape[-1]
     eye = jnp.eye(dim, dtype=jac.dtype)
     mm = eye if mass is None else mass
     a_real = (float(tab.mu_real) / h)[..., None, None] * mm - jac
-    lu_r, piv_r = lu_factor(a_real, pivot=pivot)
-    ok = lu_ok(lu_r)
-    lus, pivs = [], []
+    blocks = []
     for p in range((tab.s - 1) // 2):
         mu = tab.mu_complex[p]
         mur, mui = float(mu.real), float(mu.imag)       # weak-typed scalars
@@ -136,8 +141,44 @@ def _factorize(tab, h, jac, mass=None, pivot=True):
         ai = (mui / h)[..., None, None] * mm            # Im(mu) < 0
         top = jnp.concatenate([ar, -ai], axis=-1)
         bot = jnp.concatenate([ai, ar], axis=-1)
-        block = jnp.concatenate([top, bot], axis=-2)
-        lu_c, piv_c = lu_factor(block, pivot=pivot)
+        blocks.append(jnp.concatenate([top, bot], axis=-2))
+    return a_real, blocks
+
+
+def _pallas_lu_factor(a, pivot=False):
+    """Pivot-free SoA Pallas LU of [..., D, D] (Options.pallas_lu): the
+    AoS↔SoA transposes at the call boundary are the integration cost and
+    the kernel still wins 1.27× end-to-end at the bench shape (chip A/B,
+    experiments/pallas_lu_chip.py)."""
+    from janus_tpu.ops.smalllu_pallas import lu_factor_t
+    batch = a.shape[:-2]
+    d = a.shape[-1]
+    m = int(np.prod(batch))
+    lu = lu_factor_t(a.reshape(m, d * d).T).T.reshape(*batch, d, d)
+    piv = jnp.broadcast_to(jnp.arange(d, dtype=jnp.int32), batch + (d,))
+    return lu, piv
+
+
+def _pallas_lu_solve(lu, b):
+    """Substitution with Pallas-packed factors; b [..., D] (vector rhs)."""
+    from janus_tpu.ops.smalllu_pallas import lu_solve_t
+    batch = lu.shape[:-2]
+    d = lu.shape[-1]
+    m = int(np.prod(batch))
+    x = lu_solve_t(lu.reshape(m, d * d).T, b.reshape(m, d).T)
+    return x.T.reshape(*batch, d)
+
+
+def _factorize(tab, h, jac, mass=None, pivot=True, factor=None):
+    """Build and factor the real and split-complex iteration matrices."""
+    dim = jac.shape[-1]
+    factor = lu_factor if factor is None else factor
+    a_real, blocks = _build_iter_matrices(tab, h, jac, mass)
+    lu_r, piv_r = factor(a_real, pivot=pivot)
+    ok = lu_ok(lu_r)
+    lus, pivs = [], []
+    for block in blocks:
+        lu_c, piv_c = factor(block, pivot=pivot)
         ok = ok & lu_ok(lu_c)
         lus.append(lu_c)
         pivs.append(piv_c)
@@ -148,6 +189,40 @@ def _factorize(tab, h, jac, mass=None, pivot=True):
         lu_c = jnp.zeros(jac.shape[:-2] + (0, 2 * dim, 2 * dim), jac.dtype)
         piv_c = jnp.zeros(jac.shape[:-2] + (0, 2 * dim), jnp.int32)
     return lu_r, piv_r, lu_c, piv_c, ok
+
+
+def _qr_reg_ok(r):
+    """Per-lane regularity of a Householder R factor (the lu_ok twin)."""
+    diag = jnp.abs(jnp.diagonal(r, axis1=-2, axis2=-1))
+    scale = jnp.max(jnp.abs(r), axis=(-2, -1))
+    tol = jnp.finfo(r.dtype).eps * r.shape[-1] * 32.0
+    return jnp.all(jnp.isfinite(r), axis=(-2, -1)) & \
+        (jnp.min(diag, axis=-1) > tol * jnp.maximum(scale, 1e-30))
+
+
+def _qr_factor_all(tab, h, jac, mass=None):
+    """Householder QR of every stage iteration matrix — the per-lane
+    fallback when the LU breaks (Options.qr_fallback; the reference keeps
+    LU and QR side by side, radaute_impl.hpp:1558-1573). Returns
+    (vs_r, r_r [M,D,D], vs_c, r_c [M,P,2D,2D], ok [M])."""
+    from janus_tpu.linalg.qr import qr_factor
+    a_real, blocks = _build_iter_matrices(tab, h, jac, mass)
+    vs_r, r_r = qr_factor(a_real)
+    ok = _qr_reg_ok(r_r)
+    vs_cs, r_cs = [], []
+    for block in blocks:
+        vs_c, r_c = qr_factor(block)
+        ok = ok & _qr_reg_ok(r_c)
+        vs_cs.append(vs_c)
+        r_cs.append(r_c)
+    dim = jac.shape[-1]
+    if vs_cs:
+        vs_c = jnp.stack(vs_cs, axis=1)
+        r_c = jnp.stack(r_cs, axis=1)
+    else:
+        vs_c = jnp.zeros(jac.shape[:-2] + (0, 2 * dim, 2 * dim), jac.dtype)
+        r_c = vs_c
+    return vs_r, r_r, vs_c, r_c, ok
 
 
 def _newton(tab, f, t, y, h, z0, scale, tol, lu_r, piv_r, lu_c, piv_c,
@@ -757,6 +832,16 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     if use_gmres and jac is not None:
         raise ValueError("stage_solver='gmres' is matrix-free (J·v by jvp, "
                          "3-probe tridiagonal preconditioner); drop jac=")
+    use_qr_fb = opts.qr_fallback and not use_gmres
+    use_pallas = (opts.pallas_lu and not use_gmres
+                  and jax.default_backend() == "tpu")
+    if opts.pallas_lu:
+        if opts.pivoting:
+            raise ValueError("Options(pallas_lu=True) needs pivoting=False "
+                             "(the fused SoA kernel is pivot-free)")
+        if opts.qr_fallback:
+            raise ValueError("pallas_lu and qr_fallback are mutually "
+                             "exclusive (pick one stage-solve override)")
     s = opts.min_stages
     tab = radau_tableau(s)
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
@@ -896,6 +981,13 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                           else (m, npair, 2 * dim, 2 * dim), dtype),
         piv_cplx=jnp.zeros((m, npair, 0) if use_gmres
                            else (m, npair, 2 * dim), jnp.int32),
+        qr_vs_r=jnp.zeros((m, dim, dim) if use_qr_fb else (m, 0, 0), dtype),
+        qr_r_r=jnp.zeros((m, dim, dim) if use_qr_fb else (m, 0, 0), dtype),
+        qr_vs_c=jnp.zeros((m, npair, 2 * dim, 2 * dim) if use_qr_fb
+                          else (m, 0, 0, 0), dtype),
+        qr_r_c=jnp.zeros((m, npair, 2 * dim, 2 * dim) if use_qr_fb
+                         else (m, 0, 0, 0), dtype),
+        use_qr=jnp.zeros((m,), bool),
         h_fact=jnp.zeros((m,), dtype),
         current_jac=jnp.zeros((m,), bool),
         need_jac=jnp.ones((m,), bool),
@@ -970,8 +1062,9 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                 precond=opts.precond, block=opts.precond_block)
         else:
             def do_fact(_):
-                lr, pr, lc, pc, ok = _factorize(tab, h, jmat, mass,
-                                                opts.pivoting)
+                lr, pr, lc, pc, ok = _factorize(
+                    tab, h, jmat, mass, opts.pivoting,
+                    factor=_pallas_lu_factor if use_pallas else None)
                 sel = needf
                 return (
                     jnp.where(sel[:, None, None], lr, st.lu_real),
@@ -990,6 +1083,64 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                 lu_r, piv_r, lu_c, piv_c, fact_ok, h_fact = jax.lax.cond(
                     jnp.any(needf), do_fact, keep_fact, operand=None)
             solver = None
+            if use_pallas:
+                solver = (lambda b: _pallas_lu_solve(lu_r, b),
+                          lambda p, b: _pallas_lu_solve(lu_c[:, p], b))
+
+        qr_vs_r, qr_r_r = st.qr_vs_r, st.qr_r_r
+        qr_vs_c, qr_r_c = st.qr_vs_c, st.qr_r_c
+        use_qr = st.use_qr
+        if opts.qr_fallback and not use_gmres:
+            # per-lane QR rescue of broken LU factorizations (zero/tiny
+            # pivots; reference keeps both decompositions alive,
+            # radaute_impl.hpp:1558-1573). Cond-gated: zero cost until a
+            # lane actually fails.
+            lu_fail = needf & ~fact_ok
+
+            def do_qr(_):
+                vs_r, r_r, vs_c, r_c, qok = _qr_factor_all(tab, h, jmat,
+                                                           mass)
+                sel = lu_fail
+                return (jnp.where(sel[:, None, None], vs_r, st.qr_vs_r),
+                        jnp.where(sel[:, None, None], r_r, st.qr_r_r),
+                        jnp.where(sel[:, None, None, None], vs_c,
+                                  st.qr_vs_c),
+                        jnp.where(sel[:, None, None, None], r_c,
+                                  st.qr_r_c),
+                        sel & qok)
+
+            def keep_qr(_):
+                return (st.qr_vs_r, st.qr_r_r, st.qr_vs_c, st.qr_r_c,
+                        jnp.zeros((m,), bool))
+
+            with jax.named_scope("radau.qr_fallback"):
+                qr_vs_r, qr_r_r, qr_vs_c, qr_r_c, qr_new = jax.lax.cond(
+                    jnp.any(lu_fail), do_qr, keep_qr, operand=None)
+            # freshly-factored lanes switch solver per this factorization;
+            # others keep whatever mode their live factors use
+            use_qr = jnp.where(needf, qr_new, st.use_qr)
+            fact_ok = fact_ok | qr_new
+
+            from janus_tpu.linalg.qr import qr_solve
+
+            def solve_real_h(b):
+                base = lu_solve(lu_r, piv_r, b)
+                return jax.lax.cond(
+                    jnp.any(use_qr),
+                    lambda _: jnp.where(use_qr[:, None],
+                                        qr_solve(qr_vs_r, qr_r_r, b), base),
+                    lambda _: base, operand=None)
+
+            def solve_cplx_h(p, b):
+                base = lu_solve(lu_c[:, p], piv_c[:, p], b)
+                return jax.lax.cond(
+                    jnp.any(use_qr),
+                    lambda _: jnp.where(
+                        use_qr[:, None],
+                        qr_solve(qr_vs_c[:, p], qr_r_c[:, p], b), base),
+                    lambda _: base, operand=None)
+
+            solver = (solve_real_h, solve_cplx_h)
 
         singular = st.active & ~fact_ok
 
@@ -1035,7 +1186,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         if mass is not None:
             ze = jnp.einsum("...ij,m...j->m...i" if mass.ndim == 2 else "mij,mj->mi",
                             mass, ze, precision=_EINSUM_PRECISION)
-        err1 = (solver[0](st.f0 + ze) if use_gmres
+        err1 = (solver[0](st.f0 + ze) if solver is not None
                 else lu_solve(lu_r, piv_r, st.f0 + ze))
         scale_e = opts.atol + opts.rtol * jnp.maximum(jnp.abs(st.y),
                                                       jnp.abs(y_new))
@@ -1048,7 +1199,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
 
         def do_refine(_):
             fe = f(st.t, st.y + err1, args)
-            err2 = (solver[0](fe + ze) if use_gmres
+            err2 = (solver[0](fe + ze) if solver is not None
                     else lu_solve(lu_r, piv_r, fe + ze))
             en2 = cm.safe_sqrt(jnp.mean(jnp.square(err2 / scale_e), axis=-1))
             return jnp.where(refine, jnp.where(jnp.isfinite(en2), en2, 1e10),
@@ -1107,8 +1258,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                 zd = _tangent_stages(tab, f, st.t, st.y, h, ns.z, st.yd,
                                      newton_tol, lu_r, piv_r, lu_c, piv_c,
                                      accept, args, mass=mass, args_d=args_d,
-                                     gmres_solver=(solver if use_gmres
-                                                   else None))
+                                     gmres_solver=solver)
                 ydn = jnp.where(accept[None, :, None],
                                 st.yd + zd[:, :, -1, :], st.yd)
                 # tangent of the collocation interpolant: same θ-polynomial
@@ -1406,6 +1556,8 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             h=h_next,
             jac=jmat, t_lin=t_lin, y_lin=y_lin,
             lu_real=lu_r, piv_real=piv_r, lu_cplx=lu_c, piv_cplx=piv_c,
+            qr_vs_r=qr_vs_r, qr_r_r=qr_r_r, qr_vs_c=qr_vs_c, qr_r_c=qr_r_c,
+            use_qr=use_qr,
             # deadzone lanes keep factors; everyone else refactors next time
             h_fact=jnp.where(accept & ~deadzone, 0.0,
                              jnp.where(reject_err | nf_fresh, 0.0, h_fact)),
