@@ -19,6 +19,10 @@ from janus_tpu.solve import Options
 from janus_tpu.solve.adjoint import radau_adjoint
 from janus_tpu.solve.fixed import odeint_fixed
 
+# heavy tier: large custom-vjp / jacfwd-through-solve compiles (CLAUDE.md
+# suite-budget notes); excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def _clear_caches_each_test():

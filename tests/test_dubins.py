@@ -7,6 +7,11 @@ import numpy as np
 from janus_tpu.control import single_shooting
 from janus_tpu.models.problems import dubins_rhs, dubins_pmp_rhs
 from janus_tpu.solve import solve_ivp, Options
+import pytest
+
+# heavy tier: large custom-vjp / jacfwd-through-solve compiles (CLAUDE.md
+# suite-budget notes); excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def test_dubins_circle():

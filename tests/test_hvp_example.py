@@ -4,6 +4,11 @@ adjoint-solve budget on the Mayer+Lagrange oscillator fit."""
 
 import os
 import sys
+import pytest
+
+# heavy tier: large custom-vjp / jacfwd-through-solve compiles (CLAUDE.md
+# suite-budget notes); excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 

@@ -5,6 +5,11 @@ continuation steps than the fixed schedule on held-out instances."""
 
 import os
 import sys
+import pytest
+
+# heavy tier: large custom-vjp / jacfwd-through-solve compiles (CLAUDE.md
+# suite-budget notes); excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 

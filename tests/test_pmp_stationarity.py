@@ -15,6 +15,11 @@ import numpy as np
 from janus_tpu import ham
 from janus_tpu.control import newton_solve
 from janus_tpu.solve import solve_ivp, Options
+import pytest
+
+# heavy tier: large custom-vjp / jacfwd-through-solve compiles (CLAUDE.md
+# suite-budget notes); excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 V = 1.0
 LAM = 0.5

@@ -8,6 +8,11 @@ from janus_tpu.control import (newton_solve, single_shooting,
                                multiple_shooting_residual)
 from janus_tpu.control.homotopy import homotopy
 from janus_tpu.solve import solve_ivp, Options
+import pytest
+
+# heavy tier: large custom-vjp / jacfwd-through-solve compiles (CLAUDE.md
+# suite-budget notes); excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 X0 = jnp.array([1.0, 0.5])
 TF = 2.0

@@ -24,6 +24,10 @@ from janus_tpu.models.problems import (brusselator_2d_rhs, heat_2d_rhs,
 from janus_tpu.solve import Options, SUCCESS, solve_ivp
 from janus_tpu.solve.radau import solve_radau
 
+# heavy tier: large custom-vjp / jacfwd-through-solve compiles (CLAUDE.md
+# suite-budget notes); excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _dense_jac(f, y):
     """[M, D, D] dense Jacobian oracle (per lane, forward mode)."""
