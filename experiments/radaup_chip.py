@@ -1,0 +1,103 @@
+"""Chip breakdown: where does radaup's 3.3x gap over fixed radau go?
+
+README chip matrix (8192-lane heterogeneous-mu VdP, rtol 1e-4 f32):
+radaup 15.3 ms/solve vs fixed radau 4.7. Candidate costs: (a) the padded
+smax-stage buffers every lane carries regardless of its live order, (b) the
+always-traced per-order Newton ladder (each body iteration runs cond-gated
+Newton machinery for every order bucket), (c) order-controller thrash
+(extra rejected steps while the ladder settles). Decomposition:
+
+- solve_radau s=3 / s=5: the fixed baselines;
+- radaup min=max=3: the VO MACHINERY at a pinned order — isolates (a)+(b)'s
+  fixed overhead with zero controller dynamics;
+- radaup min=max=5: same at the padded top order (f32 cap);
+- radaup 1..7 (f32-capped to 5): the shipping default = everything incl. (c).
+
+Run from /root/repo as `python - < experiments/radaup_chip.py`.
+Measured numbers appended below after each chip run.
+"""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from janus_tpu.models.problems import vdp_rhs, vdp_jac
+from janus_tpu.solve import Options, SUCCESS, solve_ivp
+
+M = 8192
+RTOL, ATOL = 1e-4, 1e-7
+
+
+def time_method(label, method, opts, y0, mus):
+    # the solve_ivp dispatcher rewrites radaup min==max to the 1..7 default,
+    # so pinned-order radaup must call the VO driver directly
+    if method == "radaup":
+        from janus_tpu.solve.radaup import solve_radau_vo
+
+        def solve(z, mm):
+            return solve_radau_vo(vdp_rhs, 0.0, 1.0, z, mm, opts,
+                                  jac=vdp_jac)
+    else:
+        def solve(z, mm):
+            return solve_ivp(vdp_rhs, (0.0, 1.0), z, method=method, args=mm,
+                             options=opts, jac=vdp_jac)
+
+    def chain(y0, mus, n):
+        def body(i, c):
+            s = solve(y0 + c[:, None] * 1e-9, mus)
+            return s.y[:, 0]
+        return jax.lax.fori_loop(0, n, body, y0[:, 0])
+
+    r1 = jax.jit(chain, static_argnums=2)
+    r3 = jax.jit(chain, static_argnums=2)
+    t0 = time.perf_counter()
+    np.asarray(r1(y0, mus, 1))
+    compile_s = time.perf_counter() - t0
+    np.asarray(r3(y0, mus, 3))
+    best = np.inf
+    for it in range(3):
+        z = y0 + 1e-5 * it
+        t0 = time.perf_counter()
+        np.asarray(r1(z, mus, 1))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(r3(z, mus, 3))
+        t3 = time.perf_counter() - t0
+        best = min(best, (t3 - t1) / 2)
+
+    sol = jax.jit(lambda z: solve(z, mus))(y0)
+    ok = float(jnp.mean((sol.status == SUCCESS).astype(jnp.float32)))
+    nst = np.asarray(sol.stats["nsteps"], np.float64)
+    nacc = np.asarray(sol.stats["naccept"], np.float64)
+    nfev = float(np.mean(np.asarray(sol.stats["nfev"], np.float64)))
+    print(f"{label:22s}: {best*1e3:6.2f} ms/solve  ok={ok:.3f}  "
+          f"steps={np.mean(nst):5.1f} accept={np.mean(nacc/np.maximum(nst,1)):.3f}  "
+          f"nfev={nfev:6.1f}  compile={compile_s:.0f}s", flush=True)
+    return best
+
+
+def main():
+    rng = np.random.RandomState(0)
+    mus = jnp.asarray(10.0 ** rng.uniform(1.0, 3.0, M), jnp.float32)
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]], jnp.float32), (M, 1))
+    base = dict(rtol=RTOL, atol=ATOL, pivoting=False)
+
+    time_method("radau s=3 (fixed)", "radau",
+                Options(min_stages=3, max_stages=3, **base), y0, mus)
+    time_method("radau s=5 (fixed)", "radau",
+                Options(min_stages=5, max_stages=5, **base), y0, mus)
+    time_method("radaup pinned s=3", "radaup",
+                Options(min_stages=3, max_stages=3, **base), y0, mus)
+    time_method("radaup pinned s=5", "radaup",
+                Options(min_stages=5, max_stages=5, **base), y0, mus)
+    time_method("radaup 1..7 (ship)", "radaup",
+                Options(min_stages=1, max_stages=7, **base), y0, mus)
+    time_method("radaup 1..5", "radaup",
+                Options(min_stages=1, max_stages=5, **base), y0, mus)
+    time_method("radaup 3..5", "radaup",
+                Options(min_stages=3, max_stages=5, **base), y0, mus)
+
+
+if __name__ == "__main__":
+    main()
