@@ -208,9 +208,17 @@ def radau_hvp(*a, **kw):
     return _impl(*a, **kw)
 
 
+def rodas_adjoint(*a, **kw):
+    """Reverse-differentiable adaptive RODAS4 final state (discrete
+    adjoint — the exact transpose of the frozen-mesh step map); see
+    janus_tpu.solve.adjoint_rodas.rodas_adjoint."""
+    from janus_tpu.solve.adjoint_rodas import rodas_adjoint as _impl
+    return _impl(*a, **kw)
+
+
 __all__ = [
     "solve_ivp", "Solution", "Options", "FEATURES", "radau_adjoint",
-    "radau_hvp",
+    "radau_hvp", "rodas_adjoint",
     "RUNNING", "SUCCESS", "MAX_STEPS", "STEP_UNDERFLOW", "NEWTON_STALL",
     "EVENT_TERMINATED",
 ]

@@ -1,0 +1,224 @@
+"""Discrete-adjoint reverse mode on the batched RODAS4 solver.
+
+``rodas_adjoint`` returns the final state of an adaptive ``solve_rodas`` run
+as a ``jax.custom_vjp`` whose backward pass is the EXACT TRANSPOSE of the
+solver's step map on the recorded accepted-step mesh. Rosenbrock steps are
+linearly implicit — one factorization, six solves, no Newton iteration — so
+one accepted step is a closed-form differentiable function
+
+    y_{n+1} = Φ(t_n, h_n, y_n, θ)
+
+and its vjp (obtained by ``jax.vjp`` of a replay of the step at the recorded
+(t_n, h_n, y_n)) is exact to machine precision. The backward pass is a
+``lax.scan`` over the step index k = S−1..0 with a per-lane live mask and a
+``lax.cond`` gate on dead mesh slots (the house lockstep style, cf.
+solve/adjoint.py). Each backward step costs one step replay + its reverse
+sweep — second-order AD through the Jacobian evaluation is handled natively
+(the dJ[δ]ᵀ pull that the forward IND tangents build by an explicit
+linearization of the jac map, solve/rodas.py:404-427, falls out of the vjp).
+
+Frozen-mesh convention: (t_n, h_n) are data, exactly like the forward IND
+tangents (``solve_rodas(tangents=)`` — "the exact derivative of the
+frozen-h step"). Consequently
+
+    grad(rodas_adjoint)ᵀ · δ  ==  ȳ · solve_rodas(tangents=[δ]).sens
+
+to roundoff — the two are transposes of the SAME linear map, which is the
+test oracle (tests/test_adjoint_rodas.py). Against FD of the full solver the
+gradients differ by the controller's O(local error) = O(rtol) sensitivity,
+the same accuracy contract as the continuous adjoint (solve/adjoint.py:65).
+CAUTION (measured): on long limit-cycle horizons the frozen-mesh gradient
+error amplifies with phase sensitivity like the IND tangents it transposes —
+a μ=1e3 VdP over t∈[0,3000] (~2 periods) at rtol 1e-6 is 22% off the tight
+oracle (rtol 1e-9 recovers 4e-4). Tighten rtol for long oscillatory spans.
+
+Contrast with ``radau_adjoint`` (continuous, optimize-then-discretize): this
+is discretize-then-optimize — the gradient of the NUMERICAL solution itself,
+preferred inside optimization loops because descent directions are exact for
+the computed loss. The reference has forward duals only (rosenbrock family:
+src/fortran/radau.f ROSCOR + radauted_impl.hpp duals); reverse mode on a
+Rosenbrock integrator has no reference counterpart.
+
+Scope: terminal mode (t_eval/events/quad raise — use radau_adjoint for
+those workflows); mass matrices supported including singular index-1 DAE
+masses for the y0/args gradients (the step map is well-defined whenever the
+forward solve is; algebraic-slot y0 cotangents are the true derivatives of
+the discrete scheme). t0/tf cotangents use the continuous boundary formulas
+±ȳ·ẏ with ẏ = M⁻¹f and therefore require mass=None or invertible mass.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from janus_tpu.linalg.smalllu import lu_factor, lu_solve
+from janus_tpu.solve import common as cm
+from janus_tpu.solve import rodas as rd
+from janus_tpu.solve.adjoint import _split_diff
+from janus_tpu.solve.options import Options
+from janus_tpu.solve.radau import _EINSUM_PRECISION, default_jacobian
+
+
+def _one_step(f, jac_fn, mass, opts, t, h, y, args):
+    """Replay ONE accepted RODAS4 step at frozen (t, h) — the differentiable
+    step map Φ. Mirrors the accepted-step arithmetic of solve/rodas.py:263-319
+    exactly: J, f, f_t at the step start (every accepted step begins with
+    need_jac=True there, so the replay's fresh evaluations reproduce the
+    forward values bit-for-bit), E = M/(hγ) − J factored once, six solves."""
+    dim = y.shape[-1]
+    eye = jnp.eye(dim, dtype=y.dtype)
+    jmat = jac_fn(t, y, args)
+    f1 = f(t, y, args)
+    _, fx = jax.jvp(lambda tt: f(tt, y, args), (t,), (jnp.ones_like(t),))
+
+    def mdot(v):
+        if mass is None:
+            return v
+        if mass.ndim == 2:
+            return jnp.einsum("ij,mj->mi", mass, v,
+                              precision=_EINSUM_PRECISION)
+        return jnp.einsum("mij,mj->mi", mass, v, precision=_EINSUM_PRECISION)
+
+    mm = eye[None] if mass is None else (
+        mass[None] if mass.ndim == 2 else mass)
+    emat = mm / (h * rd.GAMMA)[:, None, None] - jmat
+    lu_m, piv_m = lu_factor(emat, pivot=opts.pivoting)
+
+    def slv(rhs):
+        return lu_solve(lu_m, piv_m, rhs)
+
+    hc = h[:, None]
+    k1 = slv(f1 + (h * rd.D1)[:, None] * fx)
+    f2 = f(t + rd.C2 * h, y + rd.A21 * k1, args)
+    k2 = slv(f2 + (h * rd.D2)[:, None] * fx + mdot(rd.C21 * k1) / hc)
+    f3 = f(t + rd.C3 * h, y + rd.A31 * k1 + rd.A32 * k2, args)
+    k3 = slv(f3 + (h * rd.D3)[:, None] * fx
+             + mdot(rd.C31 * k1 + rd.C32 * k2) / hc)
+    f4 = f(t + rd.C4 * h, y + rd.A41 * k1 + rd.A42 * k2 + rd.A43 * k3, args)
+    k4 = slv(f4 + (h * rd.D4)[:, None] * fx
+             + mdot(rd.C41 * k1 + rd.C42 * k2 + rd.C43 * k3) / hc)
+    y5 = y + rd.A51 * k1 + rd.A52 * k2 + rd.A53 * k3 + rd.A54 * k4
+    t_new = t + h
+    f5 = f(t_new, y5, args)
+    k5 = slv(f5 + mdot(rd.C51 * k1 + rd.C52 * k2 + rd.C53 * k3
+                       + rd.C54 * k4) / hc)
+    y_emb = y5 + k5
+    f6 = f(t_new, y_emb, args)
+    k6 = slv(f6 + mdot(rd.C61 * k1 + rd.C62 * k2 + rd.C63 * k3
+                       + rd.C64 * k4 + rd.C65 * k5) / hc)
+    return y_emb + k6
+
+
+def rodas_adjoint(f: Callable, tspan, y0, args=None,
+                  options: Optional[Options] = None,
+                  jac: Optional[Callable] = None, mass=None):
+    """Reverse-differentiable batched adaptive RODAS4 solve.
+
+    Returns the final state y(T) [M, D]. ``jax.grad``/``jax.vjp`` of any
+    function of the result flows through the discrete adjoint w.r.t. y0,
+    every inexact leaf of ``args``, t0, and tf. Memory: the reverse pass
+    stores one (t, h, y)-slot per accepted step, ``options.adjoint_steps``
+    slots per lane (gradient poisoned with NaN on overflow).
+    """
+    opts = options if options is not None else Options()
+    if opts.pallas_lu:
+        raise ValueError("rodas_adjoint replays steps under jax.vjp; the "
+                         "Pallas LU has no AD rules — use pallas_lu=False")
+    cap = opts.adjoint_steps
+    jac_user = jac
+
+    t0_in, tf_in = tspan
+
+    @jax.custom_vjp
+    def run(t0, tf, y0, args):
+        sol = rd.solve_rodas(f, t0, tf, y0, args, opts, jac=jac_user,
+                             mass=mass)
+        return sol.y
+
+    def fwd(t0, tf, y0, args):
+        sol = rd.solve_rodas(f, t0, tf, y0, args, opts, jac=jac_user,
+                             mass=mass, _mesh_size=cap)
+        return sol.y, (sol.mesh, sol.stats["naccept"], t0, tf, y0, args,
+                       sol.y, sol.t)
+
+    def bwd(res, ybar):
+        mesh, nacc, t0, tf, y0, args, yT, t_end = res
+        t0b, tfb, y0b = cm.broadcast_batch(t0, tf, y0)
+        m, dim = y0b.shape
+        dtype = y0b.dtype
+        ybar = jnp.asarray(ybar, dtype)
+
+        dleaves, rebuild, leaves, treedef, diff_idx = _split_diff(args)
+
+        def fa(t, y, dl):
+            return f(t, y, rebuild(dl))
+
+        jac_fn = (lambda t, y, dl: jac_user(t, y, rebuild(dl))) if jac_user \
+            else default_jacobian(fa)
+
+        def step(t, h, y, dl):
+            return _one_step(fa, jac_fn, mass, opts, t, h, y, dl)
+
+        gl0 = [jnp.zeros(jnp.shape(l), dtype) for l in dleaves]
+
+        def body(carry, k):
+            lam, gl = carry
+            live = k < nacc                                   # [M]
+
+            def do(_):
+                # dead slots hold zeros (h=0 → inf in the replay, and
+                # 0-cotangent × inf = NaN would pollute per-lane arg grads):
+                # substitute a benign step, its pull sees a zero cotangent
+                tk = jnp.where(live, mesh["t"][:, k], t0b)
+                hk = jnp.where(live, mesh["h"][:, k], 1.0)
+                yk = jnp.where(live[:, None], mesh["y"][:, k], y0b)
+                _, pull = jax.vjp(
+                    lambda yy, dl: step(tk, hk, yy, dl), yk, dleaves)
+                dy, dgl = pull(jnp.where(live[:, None], lam, 0.0))
+                return (jnp.where(live[:, None], dy, lam),
+                        [g + dg for g, dg in zip(gl, dgl)])
+
+            lam, gl = jax.lax.cond(jnp.any(live), do,
+                                   lambda _: (lam, gl), None)
+            return (lam, gl), None
+
+        (lam0, gl), _ = jax.lax.scan(
+            body, (ybar, gl0), jnp.arange(cap - 1, -1, -1))
+
+        # overflow: a lane that accepted more steps than the ring holds has
+        # an incomplete mesh — poison its gradient (and shared-leaf grads)
+        over = nacc > cap                                     # [M]
+        lam0 = jnp.where(over[:, None], jnp.nan, lam0)
+        any_over = jnp.any(over)
+        gl = [jnp.where(any_over, jnp.nan, g) for g in gl]
+
+        # boundary-time cotangents (continuous formulas; need M invertible)
+        def ydot(t, y):
+            fv = fa(t, y, dleaves)
+            if mass is None:
+                return fv
+            mm = mass[None] if mass.ndim == 2 else mass
+            mm = jnp.broadcast_to(mm, (m, dim, dim))
+            lu_m, piv_m = lu_factor(mm, pivot=opts.pivoting)
+            return lu_solve(lu_m, piv_m, fv)
+
+        tf_bar = jnp.sum(ybar * ydot(t_end, yT), axis=-1)     # [M]
+        t0_bar = -jnp.sum(lam0 * ydot(t0b, y0b), axis=-1)     # [M]
+
+        t0_ct = jnp.sum(t0_bar) if jnp.ndim(t0) == 0 else \
+            jnp.reshape(t0_bar, jnp.shape(t0))
+        tf_ct = jnp.sum(tf_bar) if jnp.ndim(tf) == 0 else \
+            jnp.reshape(tf_bar, jnp.shape(tf))
+        y0_ct = jnp.reshape(lam0, jnp.shape(y0))
+        out = [np.zeros(jnp.shape(l), jax.dtypes.float0) for l in leaves]
+        for i, g in zip(diff_idx, gl):
+            out[i] = jnp.reshape(g, jnp.shape(leaves[i]))
+        args_ct = jax.tree_util.tree_unflatten(treedef, out)
+        return (t0_ct, tf_ct, y0_ct, args_ct)
+
+    run.defvjp(fwd, bwd)
+    return run(t0_in, tf_in, y0, args)

@@ -98,6 +98,7 @@ class _RodasState:
     ev: Any
     yd: Any                   # [K, M, D] IND tangents (0-size when unused)
     q_acc: Any                # [M, Q] running-cost quadrature (0-d unused)
+    mesh: Any                 # accepted-step rings for the discrete adjoint
 
 
 def solve_rodas(f: Callable, t0, tf, y0, args=None,
@@ -105,7 +106,8 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
                 jac: Optional[Callable] = None, mass=None,
                 events=None, tangents=None,
                 args_tangents=None,
-                quad: Optional[Callable] = None) -> cm.Solution:
+                quad: Optional[Callable] = None,
+                _mesh_size: int = 0) -> cm.Solution:
     """Batched adaptive RODAS4 solve (index-1 DAE capable via ``mass``).
 
     quad: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
@@ -229,6 +231,16 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
     stats = cm.zero_stats(m, ("nfev", "njev", "nlu", "nsteps", "naccept",
                               "nreject"))
     stats["nfev"] = stats["nfev"] + 2
+    if _mesh_size:
+        # accepted-step rings for the discrete adjoint (solve/adjoint_rodas):
+        # (t, h, y) at the START of each accepted step, written once per slot
+        # by scatter-add with mode='drop' (overflow steps dropped; the
+        # adjoint pass detects naccept > capacity and poisons the gradient)
+        mesh0 = {"t": jnp.zeros((m, _mesh_size), dtype),
+                 "h": jnp.zeros((m, _mesh_size), dtype),
+                 "y": jnp.zeros((m, _mesh_size, dim), dtype)}
+    else:
+        mesh0 = {}
     already_done = t0 == tf
     state = _RodasState(
         t=t0, y=y0, f1=f0, fx=jnp.zeros((m, dim), dtype), h=h,
@@ -247,6 +259,7 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
         yd=yd0,
         q_acc=q_acc0,
+        mesh=mesh0,
     )
     eps = jnp.finfo(dtype).eps
     eye = jnp.eye(dim, dtype=dtype)
@@ -471,6 +484,19 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         else:
             yd_new = st.yd
 
+        if _mesh_size:
+            rows = jnp.arange(m)
+            idx = st.stats["naccept"]
+            af = accept.astype(dtype)
+            mesh = {
+                "t": st.mesh["t"].at[rows, idx].add(af * st.t, mode="drop"),
+                "h": st.mesh["h"].at[rows, idx].add(af * h, mode="drop"),
+                "y": st.mesh["y"].at[rows, idx].add(
+                    af[:, None] * st.y, mode="drop"),
+            }
+        else:
+            mesh = st.mesh
+
         # ---- bookkeeping --------------------------------------------------
         done = accept & last
         h_next_abs = jnp.where(accept | reject, h_abs * factor,
@@ -517,7 +543,7 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
             rejected=jnp.where(accept, False, st.rejected | reject),
             nsing=nsing,
             active=active, status=status, stats=stats, out_ys=out_ys,
-            ev=ev, yd=yd_new, q_acc=q_acc,
+            ev=ev, yd=yd_new, q_acc=q_acc, mesh=mesh,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -531,4 +557,5 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         sens=final.yd if use_sens else None,
         quad=(final.q_acc[:, 0] if quad_scalar else final.q_acc)
         if use_quad else None,
+        mesh=final.mesh if _mesh_size else None,
     )

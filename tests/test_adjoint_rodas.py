@@ -1,0 +1,191 @@
+"""Discrete-adjoint reverse-mode gradients through the adaptive RODAS4 solve.
+
+rodas_adjoint (solve/adjoint_rodas.py) is a jax.custom_vjp whose backward
+pass is the exact transpose of the solver's frozen-mesh step map (one
+jax.vjp of a step replay per recorded accepted step). The sharp oracle is
+the forward IND tangents of solve/rodas.py: both differentiate the SAME
+frozen-(t,h) discrete map, so  grad·δ == ȳ·sens(δ)  must hold to roundoff —
+a far tighter contract than the O(rtol) continuous-adjoint comparison.
+Secondary oracles: central FD of the full solver (agrees to O(rtol) — the
+controller's mesh sensitivity is the only difference) and analytic flows.
+The reference has forward duals only on its Rosenbrock family
+(src/fortran/radau.f ROSCOR; radauted_impl.hpp duals) — no reverse mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from janus_tpu.models.problems import vdp_rhs
+from janus_tpu.solve import Options
+from janus_tpu.solve.adjoint_rodas import rodas_adjoint
+from janus_tpu.solve.rodas import solve_rodas
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_each_test():
+    yield
+    jax.clear_caches()
+
+
+def _rob_dae(t, y, k):
+    """Robertson, semi-explicit index-1 form: z = y3, 0 = 1 − y1 − y2 − y3."""
+    k1, k2, k3 = k[..., 0], k[..., 1], k[..., 2]
+    y1, y2, y3 = y[..., 0], y[..., 1], y[..., 2]
+    f1 = -k1 * y1 + k3 * y2 * y3
+    f2 = k1 * y1 - k2 * y2 ** 2 - k3 * y2 * y3
+    return jnp.stack([f1, f2, 1.0 - y1 - y2 - y3], axis=-1)
+
+
+def test_transpose_of_ind_tangents_vdp():
+    """grad(rodas_adjoint)·δ == ȳ·IND-sens(δ) to roundoff: the two are
+    transposes of the same frozen-mesh linear map."""
+    opts = Options(rtol=1e-6, atol=1e-9, adjoint_steps=256)
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.5], [2.5, -0.3]])
+    mu = jnp.array([5.0, 20.0, 50.0])
+    m = y0.shape[0]
+
+    def loss(y0, mu):
+        yT = rodas_adjoint(vdp_rhs, (0.0, 3.0), y0, args=mu, options=opts)
+        return jnp.sum(yT ** 2)
+
+    g_y0, g_mu = jax.jit(jax.grad(loss, argnums=(0, 1)))(y0, mu)
+    assert jnp.all(jnp.isfinite(g_y0)) and jnp.all(jnp.isfinite(g_mu))
+
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        d_y0 = jnp.asarray(rng.standard_normal(y0.shape))
+        d_mu = jnp.asarray(rng.standard_normal(mu.shape))
+        sol = solve_rodas(vdp_rhs, jnp.zeros(m), jnp.full(m, 3.0), y0, mu,
+                          opts, tangents=d_y0[None],
+                          args_tangents=d_mu[None])
+        lhs = jnp.sum(g_y0 * d_y0) + jnp.sum(g_mu * d_mu)
+        rhs = jnp.sum(2.0 * sol.y * sol.sens[0])
+        assert abs(lhs - rhs) <= 1e-10 * abs(rhs)
+
+
+def test_matches_fd_and_boundary_times():
+    opts = Options(rtol=1e-7, atol=1e-10, adjoint_steps=256)
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.5]])
+    mu = jnp.array([5.0, 30.0])
+    m = 2
+
+    def loss(y0, mu, t0, tf):
+        yT = rodas_adjoint(vdp_rhs, (t0, tf), y0, args=mu, options=opts)
+        return jnp.sum(yT ** 2)
+
+    g_y0, g_mu, g_t0, g_tf = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        y0, mu, 0.0, 3.0)
+
+    def lfd(y0v, muv, t0v, tfv):
+        s = solve_rodas(vdp_rhs, jnp.full(m, t0v), jnp.full(m, tfv),
+                        y0v, muv, opts)
+        return float(jnp.sum(s.y ** 2))
+
+    eps = 1e-6
+    for i in range(m):
+        fd = (lfd(y0, mu.at[i].add(eps), 0.0, 3.0)
+              - lfd(y0, mu.at[i].add(-eps), 0.0, 3.0)) / (2 * eps)
+        assert abs(g_mu[i] - fd) <= 3e-5 * max(abs(fd), 1e-10)
+        for j in range(2):
+            fd = (lfd(y0.at[i, j].add(eps), mu, 0.0, 3.0)
+                  - lfd(y0.at[i, j].add(-eps), mu, 0.0, 3.0)) / (2 * eps)
+            assert abs(g_y0[i, j] - fd) <= 3e-5 * max(abs(fd), 1e-10)
+    fd_t0 = (lfd(y0, mu, eps, 3.0) - lfd(y0, mu, -eps, 3.0)) / (2 * eps)
+    fd_tf = (lfd(y0, mu, 0.0, 3.0 + eps)
+             - lfd(y0, mu, 0.0, 3.0 - eps)) / (2 * eps)
+    assert abs(g_t0 - fd_t0) <= 1e-4 * abs(fd_t0)
+    assert abs(g_tf - fd_tf) <= 1e-4 * abs(fd_tf)
+
+
+def test_dae_index1_robertson():
+    """Singular-mass (index-1) gradients: the discrete step map is defined
+    whenever the forward solve is — transpose identity and FD both hold."""
+    mass = jnp.diag(jnp.array([1.0, 1.0, 0.0]))
+    m = 2
+    y0 = jnp.tile(jnp.array([1.0, 0.0, 0.0]), (m, 1))
+    k = jnp.tile(jnp.array([0.04, 3e7, 1e4]), (m, 1)) \
+        * jnp.array([[1.0], [1.3]])
+    opts = Options(rtol=1e-7, atol=1e-10, adjoint_steps=512)
+
+    def loss(y0, k):
+        yT = rodas_adjoint(_rob_dae, (0.0, 100.0), y0, args=k,
+                           options=opts, mass=mass)
+        return jnp.sum(yT[:, 1] ** 2 * 1e8)
+
+    g_y0, g_k = jax.grad(loss, argnums=(0, 1))(y0, k)
+    assert jnp.all(jnp.isfinite(g_y0)) and jnp.all(jnp.isfinite(g_k))
+
+    rng = np.random.default_rng(1)
+    d_y0 = jnp.asarray(rng.standard_normal(y0.shape))
+    d_k = jnp.asarray(rng.standard_normal(k.shape)) * k
+    sol = solve_rodas(_rob_dae, jnp.zeros(m), jnp.full(m, 100.0), y0, k,
+                      opts, mass=mass, tangents=d_y0[None],
+                      args_tangents=d_k[None])
+    ybar = jnp.zeros_like(sol.y).at[:, 1].set(2e8 * sol.y[:, 1])
+    lhs = jnp.sum(g_y0 * d_y0) + jnp.sum(g_k * d_k)
+    rhs = jnp.sum(ybar * sol.sens[0])
+    assert abs(lhs - rhs) <= 1e-9 * abs(rhs)
+
+    def lfd(kv):
+        s = solve_rodas(_rob_dae, jnp.zeros(m), jnp.full(m, 100.0), y0, kv,
+                        opts, mass=mass)
+        return float(jnp.sum(s.y[:, 1] ** 2 * 1e8))
+
+    eps = 1e-3 * 3e7
+    fd = (lfd(k.at[0, 1].add(eps)) - lfd(k.at[0, 1].add(-eps))) / (2 * eps)
+    assert abs(g_k[0, 1] - fd) <= 1e-4 * abs(fd)
+
+
+def test_overflow_poisons_gradient():
+    """A lane whose accepted-step count exceeds adjoint_steps must yield NaN
+    (never a silently-truncated gradient)."""
+    opts = Options(rtol=1e-8, atol=1e-11, adjoint_steps=8)
+    y0 = jnp.array([[2.0, 0.0]])
+    mu = jnp.array([50.0])
+
+    g = jax.grad(lambda y0_: jnp.sum(
+        rodas_adjoint(vdp_rhs, (0.0, 3.0), y0_, args=mu,
+                      options=opts) ** 2))(y0)
+    assert bool(jnp.all(jnp.isnan(g)))
+
+
+def test_pytree_args_and_heterogeneous_lanes():
+    """args as a pytree with shared (scalar) + per-lane leaves; lanes finish
+    at different step counts (live-mask path). Oracle: IND transpose."""
+    opts = Options(rtol=1e-6, atol=1e-9, adjoint_steps=512)
+
+    def rhs(t, y, p):
+        mu, drive = p["mu"], p["drive"]
+        x, v = y[..., 0], y[..., 1]
+        return jnp.stack(
+            [v, mu * (1.0 - x ** 2) * v - x + drive * jnp.sin(t)], axis=-1)
+
+    m = 3
+    y0 = jnp.array([[2.0, 0.0], [1.0, 1.0], [0.5, -0.5]])
+    p = {"mu": jnp.array([1.0, 100.0, 400.0]), "drive": jnp.float64(0.3)}
+
+    def loss(y0, p):
+        yT = rodas_adjoint(rhs, (0.0, 2.0), y0, args=p, options=opts)
+        return jnp.sum(yT[:, 0] ** 2)
+
+    g_y0, g_p = jax.grad(loss, argnums=(0, 1))(y0, p)
+    assert jnp.all(jnp.isfinite(g_y0))
+    assert jnp.all(jnp.isfinite(g_p["mu"])) and jnp.isfinite(g_p["drive"])
+
+    rng = np.random.default_rng(2)
+    d_y0 = jnp.asarray(rng.standard_normal(y0.shape))
+    d_mu = jnp.asarray(rng.standard_normal(m))
+    d_dr = jnp.float64(0.7)
+    sol = solve_rodas(rhs, jnp.zeros(m), jnp.full(m, 2.0), y0, p, opts,
+                      tangents=d_y0[None],
+                      args_tangents={"mu": d_mu[None],
+                                     "drive": jnp.array([d_dr])})
+    ybar = jnp.zeros_like(sol.y).at[:, 0].set(2.0 * sol.y[:, 0])
+    lhs = (jnp.sum(g_y0 * d_y0) + jnp.sum(g_p["mu"] * d_mu)
+           + g_p["drive"] * d_dr)
+    rhs_v = jnp.sum(ybar * sol.sens[0])
+    assert abs(lhs - rhs_v) <= 1e-9 * abs(rhs_v)
