@@ -115,14 +115,23 @@ def _one_step(f, jac_fn, mass, opts, t, h, y, args):
 
 def rodas_adjoint(f: Callable, tspan, y0, args=None,
                   options: Optional[Options] = None,
-                  jac: Optional[Callable] = None, mass=None):
+                  jac: Optional[Callable] = None, mass=None, t_eval=None):
     """Reverse-differentiable batched adaptive RODAS4 solve.
 
-    Returns the final state y(T) [M, D]. ``jax.grad``/``jax.vjp`` of any
-    function of the result flows through the discrete adjoint w.r.t. y0,
-    every inexact leaf of ``args``, t0, and tf. Memory: the reverse pass
-    stores one (t, h, y)-slot per accepted step, ``options.adjoint_steps``
-    slots per lane (gradient poisoned with NaN on overflow).
+    Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
+    trajectory ys [M, T, D]. ``jax.grad``/``jax.vjp`` of any function of the
+    result flows through the discrete adjoint w.r.t. y0, every inexact leaf
+    of ``args``, t0, tf, and (in t_eval mode) the sample times. Memory: the
+    reverse pass stores one (t, h, y)-slot per accepted step,
+    ``options.adjoint_steps`` slots per lane PER SEGMENT (gradient poisoned
+    with NaN on overflow).
+
+    t_eval: optional strictly monotonic 1-D grid inside (t0, tf], ordered in
+    the integration direction. The solve is CHAINED over the segments
+    t0 → t_eval[0] → … → t_eval[-1], each an adaptive solve warm-started
+    with the previous segment's step proposal, so samples are exact solve
+    endpoints (the radau_adjoint convention, solve/adjoint.py:100-110).
+    Integration stops at t_eval[-1] — include tf to get the endpoint.
     """
     opts = options if options is not None else Options()
     if opts.pallas_lu:
@@ -134,19 +143,20 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
     t0_in, tf_in = tspan
 
     @jax.custom_vjp
-    def run(t0, tf, y0, args):
+    def run(t0, tf, y0, args, h0):
         sol = rd.solve_rodas(f, t0, tf, y0, args, opts, jac=jac_user,
-                             mass=mass)
-        return sol.y
+                             mass=mass, _h0=h0)
+        return sol.y, sol.h_next
 
-    def fwd(t0, tf, y0, args):
+    def fwd(t0, tf, y0, args, h0):
         sol = rd.solve_rodas(f, t0, tf, y0, args, opts, jac=jac_user,
-                             mass=mass, _mesh_size=cap)
-        return sol.y, (sol.mesh, sol.stats["naccept"], t0, tf, y0, args,
-                       sol.y, sol.t)
+                             mass=mass, _mesh_size=cap, _h0=h0)
+        return (sol.y, sol.h_next), (sol.mesh, sol.stats["naccept"], t0, tf,
+                                     y0, args, sol.y, sol.t, h0)
 
-    def bwd(res, ybar):
-        mesh, nacc, t0, tf, y0, args, yT, t_end = res
+    def bwd(res, out_bar):
+        ybar, _ = out_bar            # h_next is a non-differentiable knob
+        mesh, nacc, t0, tf, y0, args, yT, t_end, h0 = res
         t0b, tfb, y0b = cm.broadcast_batch(t0, tf, y0)
         m, dim = y0b.shape
         dtype = y0b.dtype
@@ -218,7 +228,32 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
         for i, g in zip(diff_idx, gl):
             out[i] = jnp.reshape(g, jnp.shape(leaves[i]))
         args_ct = jax.tree_util.tree_unflatten(treedef, out)
-        return (t0_ct, tf_ct, y0_ct, args_ct)
+        h0_ct = None if h0 is None else jnp.zeros_like(h0)
+        return (t0_ct, tf_ct, y0_ct, args_ct, h0_ct)
 
     run.defvjp(fwd, bwd)
-    return run(t0_in, tf_in, y0, args)
+
+    if t_eval is None:
+        y, _ = run(t0_in, tf_in, y0, args, None)
+        return y
+
+    if jnp.ndim(t0_in) != 0 or jnp.ndim(tf_in) != 0:
+        raise ValueError("rodas_adjoint(t_eval=...) chains segments over a "
+                         "shared grid; t0/tf must be scalars")
+    t_eval = jnp.asarray(t_eval)
+    if t_eval.ndim != 1 or t_eval.shape[0] < 1:
+        raise ValueError("t_eval must be a non-empty 1-D grid")
+    t0b, _, y0b = cm.broadcast_batch(t0_in, tf_in, y0)
+    dtype = y0b.dtype
+    t_eval = t_eval.astype(dtype)
+    t_lo = jnp.concatenate([jnp.full((1,), t0_in, dtype), t_eval[:-1]])
+    t_hi = t_eval
+    h_carry0 = jnp.zeros(t0b.shape, dtype)     # 0 ⇒ automatic initial step
+
+    def seg(carry, bounds):
+        y, h = carry
+        y2, h2 = run(bounds[0], bounds[1], y, args, h)
+        return (y2, h2), y2
+
+    (_, _), ys = jax.lax.scan(seg, (y0b, h_carry0), (t_lo, t_hi))
+    return jnp.swapaxes(ys, 0, 1)              # [M, T, D]

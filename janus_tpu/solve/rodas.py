@@ -107,7 +107,7 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
                 events=None, tangents=None,
                 args_tangents=None,
                 quad: Optional[Callable] = None,
-                _mesh_size: int = 0) -> cm.Solution:
+                _mesh_size: int = 0, _h0=None) -> cm.Solution:
     """Batched adaptive RODAS4 solve (index-1 DAE capable via ``mass``).
 
     quad: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
@@ -192,7 +192,17 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         return jnp.einsum("mij,mj->mi", mass, v, precision=_EINSUM_PRECISION)
 
     f0 = f(t0, y0, args)
-    if opts.h0 == 0.0:
+    if _h0 is not None:
+        # per-lane warm-start step (segment chaining, solve/adjoint_rodas):
+        # lanes with _h0 == 0 fall back to the automatic initial step
+        direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
+        h_mag = jnp.abs(jnp.broadcast_to(jnp.asarray(_h0, dtype), (m,)))
+        h_auto = jnp.abs(cm.initial_step(f, t0, y0, f0, tf, 4, opts.rtol,
+                                         opts.atol, args, opts.max_step)) \
+            if mass is None else jnp.minimum(1e-3, jnp.abs(tf - t0) * 1e-2)
+        h_mag = jnp.where(h_mag > 0, h_mag, h_auto)
+        h = jnp.minimum(h_mag, jnp.abs(tf - t0)) * direction
+    elif opts.h0 == 0.0:
         if mass is None:
             h = cm.initial_step(f, t0, y0, f0, tf, 4, opts.rtol, opts.atol,
                                 args, opts.max_step)
@@ -558,4 +568,5 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         quad=(final.q_acc[:, 0] if quad_scalar else final.q_acc)
         if use_quad else None,
         mesh=final.mesh if _mesh_size else None,
+        h_next=final.h,
     )

@@ -189,3 +189,38 @@ def test_pytree_args_and_heterogeneous_lanes():
            + g_p["drive"] * d_dr)
     rhs_v = jnp.sum(ybar * sol.sens[0])
     assert abs(lhs - rhs_v) <= 1e-9 * abs(rhs_v)
+
+
+def test_t_eval_trajectory_fitting():
+    """t_eval mode: chained warm-started segments; gradients w.r.t. y0,
+    args, and the SAMPLE TIMES all match FD of the plain t_eval solve."""
+    opts = Options(rtol=1e-7, atol=1e-10, adjoint_steps=256)
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.5]])
+    mu = jnp.array([5.0, 30.0])
+    ts = jnp.array([0.7, 1.4, 2.1, 3.0])
+    m = 2
+
+    def loss(y0, mu, ts):
+        ys = rodas_adjoint(vdp_rhs, (0.0, 3.0), y0, args=mu, options=opts,
+                           t_eval=ts)
+        return jnp.sum(ys ** 2)
+
+    g_y0, g_mu, g_ts = jax.grad(loss, argnums=(0, 1, 2))(y0, mu, ts)
+
+    def lfd(y0v, muv, tsv):
+        s = solve_rodas(vdp_rhs, jnp.zeros(m), jnp.full(m, 3.0), y0v, muv,
+                        opts, t_eval=tsv)
+        return float(jnp.sum(s.ys ** 2))
+
+    eps = 1e-6
+    for i in range(m):
+        fd = (lfd(y0, mu.at[i].add(eps), ts)
+              - lfd(y0, mu.at[i].add(-eps), ts)) / (2 * eps)
+        assert abs(g_mu[i] - fd) <= 3e-5 * abs(fd)
+        fd = (lfd(y0.at[i, 0].add(eps), mu, ts)
+              - lfd(y0.at[i, 0].add(-eps), mu, ts)) / (2 * eps)
+        assert abs(g_y0[i, 0] - fd) <= 3e-5 * abs(fd)
+    for j in range(3):        # interior sample times (last ±eps exits tspan)
+        fd = (lfd(y0, mu, ts.at[j].add(eps))
+              - lfd(y0, mu, ts.at[j].add(-eps))) / (2 * eps)
+        assert abs(g_ts[j] - fd) <= 3e-5 * abs(fd)
