@@ -66,9 +66,10 @@ class Solution:
         """Post-hoc dense-output evaluation (scipy's ``sol.sol(t)`` role).
 
         Requires the solve to have stored its accepted-step mesh
-        (``solve_ivp(..., method='radau', dense=N)`` with N ≥ the step
-        count). ts: [T] shared query times or [M, T] per-lane. Returns
-        [M, T, D]: each lane's collocation polynomial evaluated on its OWN
+        (``solve_ivp(..., method='radau'|'rodas', dense=N)`` with N ≥ the
+        step count). ts: [T] shared query times or [M, T] per-lane. Returns
+        [M, T, D]: each lane's interpolant (radau: collocation polynomial;
+        rodas: CONTRO cubic) evaluated on its OWN
         step containing the query (θ-powers of the stored coefficients —
         solve order everywhere, not Hermite). Queries are clamped to the
         lane's integrated span; lanes whose step count overflowed the mesh
@@ -78,9 +79,9 @@ class Solution:
         CLAUDE.md rule); peak memory O(M·N·T), so chunk very large query
         grids at the call site.
         """
-        if self.mesh is None or not self.mesh:
+        if self.mesh is None or not self.mesh or "q" not in self.mesh:
             raise ValueError("interpolate() needs the stored step mesh: "
-                             "solve with dense=N (method='radau')")
+                             "solve with dense=N (method='radau'|'rodas')")
         tm, hm = self.mesh["t"], self.mesh["h"]        # [M, N]
         ym, qm = self.mesh["y"], self.mesh["q"]        # [M, N, D], [M,N,s,D]
         m, n = tm.shape

@@ -106,9 +106,16 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
                 jac: Optional[Callable] = None, mass=None,
                 events=None, tangents=None,
                 args_tangents=None,
-                quad: Optional[Callable] = None,
+                quad: Optional[Callable] = None, dense: int = 0,
                 _mesh_size: int = 0, _h0=None) -> cm.Solution:
     """Batched adaptive RODAS4 solve (index-1 DAE capable via ``mass``).
+
+    dense: step-mesh capacity N > 0: store each accepted step's CONTRO
+    dense-output cubic (expanded into the shared power basis
+    y_k + Σ_p θ^{p+1}·q_k[p]) so ``Solution.interpolate(ts)`` evaluates
+    the solution anywhere post hoc — the same scipy ``sol.sol(t)`` role as
+    radau's ``dense=``. Size N above the worst lane's step count;
+    overflowing lanes interpolate to NaN (never silently-wrong values).
 
     quad: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
     (or ``[M, Q]``); ``Solution.quad`` accumulates ∫ l dt per accepted step
@@ -134,6 +141,11 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
     events with tangents raise — use jax.jvp through the solve there).
     """
     opts = options if options is not None else Options()
+    store_q = bool(dense)
+    if dense:
+        # public face of the adjoint's step rings: also store the dense-
+        # output polynomial of every accepted step for Solution.interpolate
+        _mesh_size = max(_mesh_size, int(dense))
     if opts.nind2 or opts.nind3:
         raise ValueError("Options.nind2/nind3 (higher-index DAE error "
                          "weighting) is honored by 'radau'/'radaup' only; "
@@ -249,6 +261,8 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         mesh0 = {"t": jnp.zeros((m, _mesh_size), dtype),
                  "h": jnp.zeros((m, _mesh_size), dtype),
                  "y": jnp.zeros((m, _mesh_size, dim), dtype)}
+        if store_q:
+            mesh0["q"] = jnp.zeros((m, _mesh_size, 3, dim), dtype)
     else:
         mesh0 = {}
     already_done = t0 == tf
@@ -371,7 +385,7 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         # ---- dense output & events (cubic CONTRO extension) --------------
         out_ys = st.out_ys
         interp = None
-        if use_dense or specs or use_quad:
+        if use_dense or specs or use_quad or store_q:
             cont2 = D21 * k1 + D22 * k2 + D23 * k3 + D24 * k4 + D25 * k5
             cont3 = D31 * k1 + D32 * k2 + D33 * k3 + D34 * k4 + D35 * k5
 
@@ -504,6 +518,18 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
                 "y": st.mesh["y"].at[rows, idx].add(
                     af[:, None] * st.y, mode="drop"),
             }
+            if store_q:
+                # CONTRO cubic y(θ) = y0(1−θ) + θ[y1 + (1−θ)(c2 + θ·c3)]
+                # expanded into the shared power basis y0 + Σ_p θ^{p+1} q[p]
+                q_new = jnp.stack([(y_new - st.y) + cont2,
+                                   cont3 - cont2,
+                                   -cont3], axis=1)          # [M, 3, D]
+                # where, not af*: finished lanes carry NaN stage values and
+                # 0·NaN would poison the (dead) slot, which the interpolate
+                # one-hot sum still touches (CLAUDE.md round-4 mesh rule)
+                q_new = jnp.where(accept[:, None, None], q_new, 0.0)
+                mesh["q"] = st.mesh["q"].at[rows, idx].add(
+                    q_new, mode="drop")
         else:
             mesh = st.mesh
 

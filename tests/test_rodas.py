@@ -224,3 +224,33 @@ def test_rodas_ind_terminal_only_and_routing():
                                     method="rodas", rtol=1e-8, atol=1e-11)
     assert yT.d.shape == (2, 1, 2)
     assert sol.sens is not None
+
+
+def test_dense_mesh_interpolate():
+    """dense=N stores the CONTRO cubic in the shared power basis:
+    Solution.interpolate(ts) must equal the t_eval sampling path exactly
+    (same polynomial, two evaluation routes), track scipy at tight tol,
+    clamp beyond-span queries to the endpoint, and NaN on overflow."""
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.3]])
+    mu = jnp.array([100.0, 800.0])
+    ts = jnp.linspace(0.1, 3.0, 17)
+    kw = dict(method="rodas", args=mu, rtol=1e-8, atol=1e-11)
+    s_d = solve_ivp(vdp_rhs, (0.0, 3.0), y0, dense=512, **kw)
+    s_t = solve_ivp(vdp_rhs, (0.0, 3.0), y0, t_eval=ts, **kw)
+    yi = s_d.interpolate(ts)
+    assert np.all(np.asarray(s_d.status) == SUCCESS)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(s_t.ys),
+                               rtol=0, atol=1e-13)
+    for i in range(2):
+        r = ss(lambda t, y, m=float(mu[i]):
+               [y[1], m * ((1 - y[0] ** 2) * y[1]) - y[0]],
+               (0.0, 3.0), np.asarray(y0[i]), method="Radau",
+               rtol=1e-10, atol=1e-13, t_eval=np.asarray(ts))
+        np.testing.assert_allclose(np.asarray(yi[i]).T, r.y,
+                                   rtol=0, atol=1e-8)
+    ye = s_d.interpolate(jnp.array([3.0, 99.0]))   # endpoint + span clamp
+    np.testing.assert_allclose(
+        np.asarray(ye),
+        np.broadcast_to(np.asarray(s_d.y)[:, None, :], ye.shape), atol=0)
+    s_small = solve_ivp(vdp_rhs, (0.0, 3.0), y0, dense=4, **kw)
+    assert bool(jnp.all(jnp.isnan(s_small.interpolate(ts))))
