@@ -97,9 +97,9 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               seulex integrate by Gauss-Legendre on their dense
               interpolants. For reverse-mode gradients of integral costs
               use ``radau_adjoint(cost=...)``.
-    dense   : step-mesh capacity N > 0 (fixed-stage radau + rodas): store
-              each accepted step's interpolant (collocation polynomial /
-              CONTRO cubic) so
+    dense   : step-mesh capacity N > 0 (fixed-stage radau, rodas, seulex):
+              store each accepted step's interpolant (collocation
+              polynomial / CONTRO cubic / extrapolation quartic) so
               ``Solution.interpolate(ts)`` evaluates the solution anywhere
               post hoc (scipy's dense_output role). Size N above the worst
               lane's step count; overflowing lanes interpolate to NaN.
@@ -132,10 +132,10 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
                          "'seulex' (Gauss-Legendre on the dense "
                          "interpolant); integrate the cost as an extra "
                          "state otherwise")
-    if dense and canonical not in ("radau", "rodas"):
+    if dense and canonical not in ("radau", "rodas", "seulex"):
         raise ValueError("dense= (post-hoc Solution.interpolate) is "
-                         "supported by the fixed-stage 'radau' methods "
-                         "and 'rodas'; use t_eval= otherwise")
+                         "supported by the fixed-stage 'radau' methods, "
+                         "'rodas' and 'seulex'; use t_eval= otherwise")
 
     if canonical in ("dopri5", "dopri853"):
         from janus_tpu.solve.dopri import TABLEAUS, solve_erk
@@ -182,7 +182,7 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         return solve_seulex(f, t0, tf, y0, args, options, t_eval,
                             jac=jac, mass=mass, events=events,
                             tangents=tangents, args_tangents=args_tangents,
-                            quad=quad)
+                            quad=quad, dense=dense)
     if canonical == "rodas":
         from janus_tpu.solve.rodas import solve_rodas
         return solve_rodas(f, t0, tf, y0, args, options, t_eval,

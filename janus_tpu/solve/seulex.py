@@ -110,6 +110,7 @@ class _SxState:
     out_ys: Any
     ev: Any
     q_acc: Any                # [M, Q] running-cost quadrature (0-d unused)
+    mesh: Any                 # accepted-step rings (dense= interpolation)
 
 
 def solve_seulex(f: Callable, t0, tf, y0, args=None,
@@ -117,8 +118,16 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                  jac: Optional[Callable] = None, mass=None,
                  events=None, tangents=None,
                  args_tangents=None,
-                 quad: Optional[Callable] = None) -> cm.Solution:
+                 quad: Optional[Callable] = None,
+                 dense: int = 0) -> cm.Solution:
     """Batched adaptive SEULEX solve (extrapolated linearly implicit Euler).
+
+    dense: step-mesh capacity N > 0: store each accepted step's
+    extrapolation-consistent interpolant (the quartic / cubic-Hermite /
+    quadratic of the module docstring, expanded into the shared power basis
+    y_k + Σ_p θ^{p+1}·q_k[p]) so ``Solution.interpolate(ts)`` evaluates the
+    solution anywhere post hoc (scipy's ``sol.sol(t)`` role). Size N above
+    the worst lane's step count; overflowing lanes interpolate to NaN.
 
     quad: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
     (or ``[M, Q]``); ``Solution.quad`` = ∫ l dt accumulated per accepted
@@ -148,6 +157,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                          "weighting) is honored by 'radau'/'radaup' only; "
                          "seulex would silently integrate with wrong weights")
     specs = normalize_events(events)
+    store_q = bool(dense)
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
     m, dim = y0.shape
     dtype = y0.dtype
@@ -263,6 +273,10 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         stats=stats, out_ys=out_ys,
         ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
         q_acc=q_acc0,
+        mesh={"t": jnp.zeros((m, dense), dtype),
+              "h": jnp.zeros((m, dense), dtype),
+              "y": jnp.zeros((m, dense, dim), dtype),
+              "q": jnp.zeros((m, dense, 4, dim), dtype)} if store_q else {},
     )
     eps = jnp.finfo(dtype).eps
     eye = jnp.eye(dim, dtype=dtype)
@@ -569,7 +583,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         out_ys = st.out_ys
         interp = None
         nfev_interp = jnp.zeros((m,), jnp.int32)
-        if use_dense or specs or use_quad:
+        if use_dense or specs or use_quad or store_q:
             def build_interp(_):
                 return f(t_new, y_new, args), f(st.t, st.y, args)
 
@@ -615,6 +629,50 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                          + a2[:, None] * th ** 2 + a3[:, None] * th ** 3
                          + a4[:, None] * th ** 4)
                 return jnp.where(mid_ok[:, None, None], quart, cubic)
+
+        if store_q:
+            # the same interpolants expanded into the shared power basis
+            # y0 + Σ_p θ^{p+1}·q[p] (Solution.interpolate's contract)
+            if mass is not None:
+                a1q = 4 * ymid_acc - y_new - 3 * st.y
+                a2q = 2 * y_new + 2 * st.y - 4 * ymid_acc
+                zero = jnp.zeros((m, dim), dtype)
+                q_hi = jnp.stack([a1q, a2q, zero, zero], axis=1)
+                q_lo = jnp.stack([y_new - st.y, zero, zero, zero], axis=1)
+            else:
+                b1 = h[:, None] * fy
+                r1 = y_new - st.y - b1
+                r2 = h[:, None] * fn - b1
+                r3 = ymid_acc - st.y - 0.5 * b1
+                a2 = _QI[0, 0] * r1 + _QI[0, 1] * r2 + _QI[0, 2] * r3
+                a3 = _QI[1, 0] * r1 + _QI[1, 1] * r2 + _QI[1, 2] * r3
+                a4 = _QI[2, 0] * r1 + _QI[2, 1] * r2 + _QI[2, 2] * r3
+                q_hi = jnp.stack([b1, a2, a3, a4], axis=1)
+                # cubic Hermite (no trusted midpoint) in the power basis
+                hf1 = h[:, None] * fn
+                q_lo = jnp.stack(
+                    [b1,
+                     3.0 * (y_new - st.y) - 2.0 * b1 - hf1,
+                     -2.0 * (y_new - st.y) + b1 + hf1,
+                     jnp.zeros((m, dim), dtype)], axis=1)
+            q_step = jnp.where(mid_ok[:, None, None], q_hi, q_lo)
+            # where, not accept*: finished lanes can carry non-finite stage
+            # values and 0·NaN poisons dead slots the one-hot sum touches
+            rows = jnp.arange(m)
+            idx = st.stats["naccept"]
+            mesh = {
+                "t": st.mesh["t"].at[rows, idx].add(
+                    jnp.where(accept, st.t, 0.0), mode="drop"),
+                "h": st.mesh["h"].at[rows, idx].add(
+                    jnp.where(accept, h, 0.0), mode="drop"),
+                "y": st.mesh["y"].at[rows, idx].add(
+                    jnp.where(accept[:, None], st.y, 0.0), mode="drop"),
+                "q": st.mesh["q"].at[rows, idx].add(
+                    jnp.where(accept[:, None, None], q_step, 0.0),
+                    mode="drop"),
+            }
+        else:
+            mesh = st.mesh
 
         if use_dense:
             out_ys = cm.collect_dense(out_ys, t_eval, st.t, h, accept, interp)
@@ -674,7 +732,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
             nbad=nbad,
             yd=jnp.where(accept[None, :, None], yd_acc, st.yd),
             active=active, status=status, stats=stats, out_ys=out_ys,
-            ev=ev, q_acc=q_acc,
+            ev=ev, q_acc=q_acc, mesh=mesh,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -688,4 +746,5 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         sens=final.yd if use_sens else None,
         quad=(final.q_acc[:, 0] if quad_scalar else final.q_acc)
         if use_quad else None,
+        mesh=final.mesh if store_q else None,
     )

@@ -236,3 +236,49 @@ def test_dual_solve_ivp_routes_seulex_to_ind():
         _, dy = jax.jvp(final, (y0,), (seeds[k],))
         np.testing.assert_allclose(np.asarray(yj.d[k]), np.asarray(dy),
                                    rtol=5e-4, atol=1e-7)
+
+
+def test_dense_mesh_interpolate():
+    """dense=N stores the extrapolation interpolant in the shared power
+    basis: Solution.interpolate(ts) must equal the t_eval sampling path
+    exactly (same polynomial, two evaluation routes) on both the quartic
+    (no mass) and quadratic (mass) branches, clamp beyond-span queries,
+    and NaN on ring overflow."""
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.3]])
+    mu = jnp.array([100.0, 800.0])
+    ts = jnp.linspace(0.1, 3.0, 17)
+    kw = dict(method="seulex", args=mu, rtol=1e-8, atol=1e-11)
+    s_d = solve_ivp(vdp_rhs, (0.0, 3.0), y0, dense=512, **kw)
+    s_t = solve_ivp(vdp_rhs, (0.0, 3.0), y0, t_eval=ts, **kw)
+    yi = s_d.interpolate(ts)
+    assert np.all(np.asarray(s_d.status) == SUCCESS)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(s_t.ys),
+                               rtol=0, atol=1e-13)
+    for i in range(2):
+        r = ss(lambda t, y, m=float(mu[i]):
+               [y[1], m * ((1 - y[0] ** 2) * y[1]) - y[0]],
+               (0.0, 3.0), np.asarray(y0[i]), method="Radau",
+               rtol=1e-10, atol=1e-13, t_eval=np.asarray(ts))
+        # interpolant accuracy plateaus at its quartic O(h^5) (documented)
+        np.testing.assert_allclose(np.asarray(yi[i]).T, r.y,
+                                   rtol=0, atol=5e-5)
+    ye = s_d.interpolate(jnp.array([3.0, 99.0]))
+    np.testing.assert_allclose(
+        np.asarray(ye),
+        np.broadcast_to(np.asarray(s_d.y)[:, None, :], ye.shape), atol=0)
+    assert bool(jnp.all(jnp.isnan(
+        solve_ivp(vdp_rhs, (0.0, 3.0), y0, dense=4, **kw).interpolate(ts))))
+
+    # mass branch (quadratic through y0/ymid/y1)
+    M = jnp.array([[2.0, 0.0], [0.0, 2.0]])
+
+    def rhs2(t, y, a):
+        return 2.0 * harmonic_rhs(t, y, a)
+
+    mkw = dict(method="seulex", args=1.0, mass=M, rtol=1e-8, atol=1e-11)
+    sm = solve_ivp(rhs2, (0.0, 3.0), jnp.array([[1.0, 0.0]]), dense=256,
+                   **mkw)
+    smt = solve_ivp(rhs2, (0.0, 3.0), jnp.array([[1.0, 0.0]]), t_eval=ts,
+                    **mkw)
+    np.testing.assert_allclose(np.asarray(sm.interpolate(ts)),
+                               np.asarray(smt.ys), rtol=0, atol=1e-13)
