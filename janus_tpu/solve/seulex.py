@@ -119,8 +119,17 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                  events=None, tangents=None,
                  args_tangents=None,
                  quad: Optional[Callable] = None,
-                 dense: int = 0) -> cm.Solution:
+                 dense: int = 0,
+                 _mesh_size: int = 0, _h0=None,
+                 _force_jac: bool = False) -> cm.Solution:
     """Batched adaptive SEULEX solve (extrapolated linearly implicit Euler).
+
+    _mesh_size / _h0 / _force_jac are internal (solve/adjoint_seulex.py):
+    record (t, h, y, accepted level k) rings for the discrete adjoint's
+    frozen-mesh step replay; warm-start the per-lane initial step for
+    segment chaining; and refresh the Jacobian at EVERY new step point
+    (ignoring the theta gate) so the replay's fresh ``jac_fn(t_n, y_n)``
+    reproduces the forward iteration matrices bit-for-bit.
 
     dense: step-mesh capacity N > 0: store each accepted step's
     extrapolation-consistent interpolant (the quartic / cubic-Hermite /
@@ -158,6 +167,8 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                          "seulex would silently integrate with wrong weights")
     specs = normalize_events(events)
     store_q = bool(dense)
+    mesh_size = max(int(_mesh_size), int(dense))
+    store_mesh = bool(mesh_size)
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
     m, dim = y0.shape
     dtype = y0.dtype
@@ -216,7 +227,17 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         return jnp.einsum("mij,mj->mi", mass, v, precision=_EINSUM_PRECISION)
 
     f0 = f(t0, y0, args)
-    if opts.h0 == 0.0:
+    if _h0 is not None:
+        # per-lane warm-start step (segment chaining, solve/adjoint_seulex):
+        # lanes with _h0 == 0 fall back to the automatic initial step
+        direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
+        h_mag = jnp.abs(jnp.broadcast_to(jnp.asarray(_h0, dtype), (m,)))
+        h_auto = jnp.abs(cm.initial_step(f, t0, y0, f0, tf, 4, opts.rtol,
+                                         opts.atol, args, opts.max_step)) \
+            if mass is None else jnp.minimum(1e-3, jnp.abs(tf - t0) * 1e-2)
+        h_mag = jnp.where(h_mag > 0, h_mag, h_auto)
+        h = jnp.minimum(h_mag, jnp.abs(tf - t0)) * direction
+    elif opts.h0 == 0.0:
         if mass is None:
             h = cm.initial_step(f, t0, y0, f0, tf, 4, opts.rtol, opts.atol,
                                 args, opts.max_step)
@@ -273,10 +294,14 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         stats=stats, out_ys=out_ys,
         ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
         q_acc=q_acc0,
-        mesh={"t": jnp.zeros((m, dense), dtype),
-              "h": jnp.zeros((m, dense), dtype),
-              "y": jnp.zeros((m, dense, dim), dtype),
-              "q": jnp.zeros((m, dense, 4, dim), dtype)} if store_q else {},
+        mesh=(
+            {"t": jnp.zeros((m, mesh_size), dtype),
+             "h": jnp.zeros((m, mesh_size), dtype),
+             "y": jnp.zeros((m, mesh_size, dim), dtype),
+             "k": jnp.zeros((m, mesh_size), jnp.int32),
+             **({"q": jnp.zeros((m, mesh_size, 4, dim), dtype)}
+                if store_q else {})}
+            if store_mesh else {}),
     )
     eps = jnp.finfo(dtype).eps
     eye = jnp.eye(dim, dtype=dtype)
@@ -293,7 +318,12 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         scale = opts.atol + opts.rtol * jnp.abs(st.y)
 
         # ---- theta-gated Jacobian refresh (reference :328) ----------------
-        needj = st.active & (st.theta > jac_redo) & ~st.calcjac
+        # _force_jac (adjoint recording): every NEW step point refreshes, so
+        # the replay's fresh jac_fn(t_n, y_n) is the forward matrix exactly
+        if _force_jac:
+            needj = st.active & ~st.calcjac
+        else:
+            needj = st.active & (st.theta > jac_redo) & ~st.calcjac
 
         def do_jac(_):
             jn = jac_fn(st.t, st.y, args)
@@ -630,6 +660,23 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                          + a4[:, None] * th ** 4)
                 return jnp.where(mid_ok[:, None, None], quart, cubic)
 
+        if store_mesh:
+            # where, not accept*: finished lanes can carry non-finite stage
+            # values and 0·NaN poisons dead slots the one-hot sum touches
+            rows_sc = jnp.arange(m)
+            idx = st.stats["naccept"]
+            mesh = {
+                "t": st.mesh["t"].at[rows_sc, idx].add(
+                    jnp.where(accept, st.t, 0.0), mode="drop"),
+                "h": st.mesh["h"].at[rows_sc, idx].add(
+                    jnp.where(accept, h, 0.0), mode="drop"),
+                "y": st.mesh["y"].at[rows_sc, idx].add(
+                    jnp.where(accept[:, None], st.y, 0.0), mode="drop"),
+                "k": st.mesh["k"].at[rows_sc, idx].add(
+                    jnp.where(accept, k_dec, 0), mode="drop"),
+            }
+        else:
+            mesh = st.mesh
         if store_q:
             # the same interpolants expanded into the shared power basis
             # y0 + Σ_p θ^{p+1}·q[p] (Solution.interpolate's contract)
@@ -656,23 +703,8 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                      -2.0 * (y_new - st.y) + b1 + hf1,
                      jnp.zeros((m, dim), dtype)], axis=1)
             q_step = jnp.where(mid_ok[:, None, None], q_hi, q_lo)
-            # where, not accept*: finished lanes can carry non-finite stage
-            # values and 0·NaN poisons dead slots the one-hot sum touches
-            rows = jnp.arange(m)
-            idx = st.stats["naccept"]
-            mesh = {
-                "t": st.mesh["t"].at[rows, idx].add(
-                    jnp.where(accept, st.t, 0.0), mode="drop"),
-                "h": st.mesh["h"].at[rows, idx].add(
-                    jnp.where(accept, h, 0.0), mode="drop"),
-                "y": st.mesh["y"].at[rows, idx].add(
-                    jnp.where(accept[:, None], st.y, 0.0), mode="drop"),
-                "q": st.mesh["q"].at[rows, idx].add(
-                    jnp.where(accept[:, None, None], q_step, 0.0),
-                    mode="drop"),
-            }
-        else:
-            mesh = st.mesh
+            mesh["q"] = st.mesh["q"].at[rows_sc, idx].add(
+                jnp.where(accept[:, None, None], q_step, 0.0), mode="drop")
 
         if use_dense:
             out_ys = cm.collect_dense(out_ys, t_eval, st.t, h, accept, interp)
@@ -746,5 +778,6 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         sens=final.yd if use_sens else None,
         quad=(final.q_acc[:, 0] if quad_scalar else final.q_acc)
         if use_quad else None,
-        mesh=final.mesh if store_q else None,
+        mesh=final.mesh if store_mesh else None,
+        h_next=final.h,
     )
