@@ -217,9 +217,63 @@ def rodas_adjoint(*a, **kw):
     return _impl(*a, **kw)
 
 
+def seulex_adjoint(*a, **kw):
+    """Reverse-differentiable adaptive SEULEX final state (discrete
+    adjoint — vjp of the frozen-mesh extrapolation-ladder replay); see
+    janus_tpu.solve.adjoint_seulex.seulex_adjoint."""
+    from janus_tpu.solve.adjoint_seulex import seulex_adjoint as _impl
+    return _impl(*a, **kw)
+
+
+def dopri_adjoint(*a, **kw):
+    """Reverse-differentiable adaptive Dormand-Prince final state (discrete
+    adjoint — exact vjp of the frozen-mesh explicit stage cascade; the
+    neural-ODE training path); see
+    janus_tpu.solve.adjoint_dopri.dopri_adjoint."""
+    from janus_tpu.solve.adjoint_dopri import dopri_adjoint as _impl
+    return _impl(*a, **kw)
+
+
+def solve_adjoint(f: Callable, tspan, y0, method: str = "radau",
+                  args: Any = None, options: Optional[Options] = None,
+                  t_eval=None, **kw):
+    """Reverse-differentiable batched solve — the ``solve_ivp`` counterpart
+    for training/optimization loops. Returns y(T) [M, D] (or ys [M, T, D]
+    with ``t_eval=``); ``jax.grad`` of any function of the result flows
+    through the family's adjoint w.r.t. y0, args leaves, t0, tf, and the
+    sample times.
+
+    method: 'radau' (continuous adjoint: also takes events=, cost=, n_alg=,
+    checkpoints=, mass=, jac= — see radau_adjoint), 'rodas' / 'seulex'
+    (discrete adjoints; mass=, jac=), 'dopri5' / 'dopri853' (discrete
+    adjoint on the explicit family). Aliases follow solve_ivp's table.
+    Unsupported methods raise — forward-mode (tangents=/jet) covers the
+    rest; reference: the upstream framework has forward duals only.
+    """
+    method = _ALIASES.get(method, method)
+    if method == "radau":
+        return radau_adjoint(f, tspan, y0, args=args, options=options,
+                             t_eval=t_eval, **kw)
+    if method == "rodas":
+        return rodas_adjoint(f, tspan, y0, args=args, options=options,
+                             t_eval=t_eval, **kw)
+    if method == "seulex":
+        return seulex_adjoint(f, tspan, y0, args=args, options=options,
+                              t_eval=t_eval, **kw)
+    if method in ("dopri5", "dopri853"):
+        return dopri_adjoint(f, tspan, y0, args=args, options=options,
+                             t_eval=t_eval, method=method, **kw)
+    raise ValueError(
+        f"solve_adjoint: no reverse mode for method {method!r}; available: "
+        "radau (continuous), rodas/seulex (discrete), dopri5/dopri853 "
+        "(discrete). Forward sensitivities cover every method "
+        "(solve_ivp(tangents=) / jet.dual_solve_ivp)")
+
+
 __all__ = [
     "solve_ivp", "Solution", "Options", "FEATURES", "radau_adjoint",
-    "radau_hvp", "rodas_adjoint",
+    "radau_hvp", "rodas_adjoint", "seulex_adjoint", "dopri_adjoint",
+    "solve_adjoint",
     "RUNNING", "SUCCESS", "MAX_STEPS", "STEP_UNDERFLOW", "NEWTON_STALL",
     "EVENT_TERMINATED",
 ]

@@ -88,6 +88,7 @@ class _ERKState:
     out_ys: Any              # [M,T,D] or 0 (disabled)
     ev: Any                  # event-detection state dict
     dyn: Any                 # per-step playback (DynTe role)
+    mesh: Any                # accepted-step rings for the discrete adjoint
 
 
 def _stages(tab: ERKTableau, f, t, y, h, f0, args):
@@ -191,8 +192,18 @@ def _dense_eval_dop853(fall, y):
 
 def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
               options: Optional[Options] = None, t_eval=None,
-              events=None) -> cm.Solution:
-    """Integrate a batch with an explicit RK method under one lax.while_loop."""
+              events=None, _mesh_size: int = 0, _h0=None) -> cm.Solution:
+    """Integrate a batch with an explicit RK method under one lax.while_loop.
+
+    _mesh_size / _h0 are internal (solve/adjoint_dopri.py): record
+    (t, h, y) rings of the accepted steps for the discrete adjoint's
+    frozen-mesh step replay, and warm-start the per-lane initial step for
+    segment chaining. The replay is bit-exact without any forward-pass
+    change: the FSAL derivative s.f0 always equals a fresh f(t, y) at the
+    step start (f_new was evaluated at exactly that point when the previous
+    step was accepted), so the replay's fresh stage-0 evaluation reproduces
+    the forward stages exactly.
+    """
     opts = options if options is not None else Options()
     specs = normalize_events(events)
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
@@ -208,7 +219,17 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         expo1 = 1.0 / 8.0 - beta * 0.2
 
     f0 = f(t0, y0, args)
-    if opts.h0 == 0.0:
+    if _h0 is not None:
+        # per-lane warm-start step (segment chaining, solve/adjoint_dopri):
+        # lanes with _h0 == 0 fall back to the automatic initial step
+        direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
+        h_mag = jnp.abs(jnp.broadcast_to(jnp.asarray(_h0, dtype), (m,)))
+        h_auto = jnp.abs(cm.initial_step(f, t0, y0, f0, tf, tab.order,
+                                         opts.rtol, opts.atol, args,
+                                         opts.max_step))
+        h_mag = jnp.where(h_mag > 0, h_mag, h_auto)
+        h = jnp.minimum(h_mag, jnp.abs(tf - t0)) * direction
+    elif opts.h0 == 0.0:
         h = cm.initial_step(f, t0, y0, f0, tf, tab.order, opts.rtol, opts.atol,
                             args, opts.max_step)
     else:
@@ -234,6 +255,10 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         stats=stats, out_ys=out_ys,
         ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
         dyn=init_dyn(m, opts.record_steps, dtype),
+        mesh={"t": jnp.zeros((m, _mesh_size), dtype),
+              "h": jnp.zeros((m, _mesh_size), dtype),
+              "y": jnp.zeros((m, _mesh_size, dim), dtype)}
+        if _mesh_size else {},
     )
 
     eps = jnp.finfo(dtype).eps
@@ -294,6 +319,19 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         dyn = record_step(s.dyn, s.active, s.t, h, enorm,
                           jnp.zeros_like(s.stats["nsteps"]), accept)
 
+        if _mesh_size:
+            rows = jnp.arange(m)
+            idx = s.stats["naccept"]
+            af = upd.astype(dtype)
+            mesh = {
+                "t": s.mesh["t"].at[rows, idx].add(af * s.t, mode="drop"),
+                "h": s.mesh["h"].at[rows, idx].add(af * h, mode="drop"),
+                "y": s.mesh["y"].at[rows, idx].add(
+                    af[:, None] * s.y, mode="drop"),
+            }
+        else:
+            mesh = s.mesh
+
         t_n = jnp.where(upd, jnp.where(terminate, t_ev, s.t + h), s.t)
         y_n = jnp.where(upd[:, None],
                         jnp.where(terminate[:, None], y_ev, y1), s.y)
@@ -326,7 +364,7 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
 
         return _ERKState(t=t_n, y=y_n, f0=f0_n, h=h_n, facold=facold_n,
                          active=active, status=status, stats=stats,
-                         out_ys=out_ys, ev=ev, dyn=dyn)
+                         out_ys=out_ys, ev=ev, dyn=dyn, mesh=mesh)
 
     final = jax.lax.while_loop(cond, body, state)
     return cm.Solution(
@@ -337,4 +375,6 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         event_y=final.ev["event_y"] if specs else None,
         event_idx=final.ev["event_idx"] if specs else None,
         dyn=final.dyn,
+        mesh=final.mesh if _mesh_size else None,
+        h_next=final.h,
     )
