@@ -234,6 +234,15 @@ def dopri_adjoint(*a, **kw):
     return _impl(*a, **kw)
 
 
+def ndf_adjoint(*a, **kw):
+    """Reverse-differentiable adaptive NDF/BDF (orders 1-5) final state
+    (discrete adjoint — difference-array cotangents over the recorded
+    mesh, implicit-function corrector transposes); see
+    janus_tpu.solve.adjoint_ndf.ndf_adjoint."""
+    from janus_tpu.solve.adjoint_ndf import ndf_adjoint as _impl
+    return _impl(*a, **kw)
+
+
 def solve_adjoint(f: Callable, tspan, y0, method: str = "radau",
                   args: Any = None, options: Optional[Options] = None,
                   t_eval=None, **kw):
@@ -244,8 +253,8 @@ def solve_adjoint(f: Callable, tspan, y0, method: str = "radau",
     sample times.
 
     method: 'radau' (continuous adjoint: also takes events=, cost=, n_alg=,
-    checkpoints=, mass=, jac= — see radau_adjoint), 'rodas' / 'seulex'
-    (discrete adjoints; mass=, jac=), 'dopri5' / 'dopri853' (discrete
+    checkpoints=, mass=, jac= — see radau_adjoint), 'rodas' / 'seulex' /
+    'bdf' (discrete adjoints; mass=, jac=), 'dopri5' / 'dopri853' (discrete
     adjoint on the explicit family). Aliases follow solve_ivp's table.
     Unsupported methods raise — forward-mode (tangents=/jet) covers the
     rest; reference: the upstream framework has forward duals only.
@@ -260,12 +269,15 @@ def solve_adjoint(f: Callable, tspan, y0, method: str = "radau",
     if method == "seulex":
         return seulex_adjoint(f, tspan, y0, args=args, options=options,
                               t_eval=t_eval, **kw)
+    if method == "bdf":
+        return ndf_adjoint(f, tspan, y0, args=args, options=options,
+                           t_eval=t_eval, **kw)
     if method in ("dopri5", "dopri853"):
         return dopri_adjoint(f, tspan, y0, args=args, options=options,
                              t_eval=t_eval, method=method, **kw)
     raise ValueError(
         f"solve_adjoint: no reverse mode for method {method!r}; available: "
-        "radau (continuous), rodas/seulex (discrete), dopri5/dopri853 "
+        "radau (continuous), rodas/seulex/bdf (discrete), dopri5/dopri853 "
         "(discrete). Forward sensitivities cover every method "
         "(solve_ivp(tangents=) / jet.dual_solve_ivp)")
 
@@ -273,7 +285,7 @@ def solve_adjoint(f: Callable, tspan, y0, method: str = "radau",
 __all__ = [
     "solve_ivp", "Solution", "Options", "FEATURES", "radau_adjoint",
     "radau_hvp", "rodas_adjoint", "seulex_adjoint", "dopri_adjoint",
-    "solve_adjoint",
+    "ndf_adjoint", "solve_adjoint",
     "RUNNING", "SUCCESS", "MAX_STEPS", "STEP_UNDERFLOW", "NEWTON_STALL",
     "EVENT_TERMINATED",
 ]

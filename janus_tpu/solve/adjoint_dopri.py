@@ -143,27 +143,26 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
         def body(carry, k):
             lam, gl = carry
             live = k < nacc                                   # [M]
-
-            def do(_):
-                # dead slots hold zeros; substitute a benign step whose
-                # (masked) replay is the identity — its pull sees a zero
-                # cotangent and contributes exact zeros
-                tk = jnp.where(live, mesh["t"][:, k], t0b)
-                hk = jnp.where(live, mesh["h"][:, k], 1.0)
-                yk = jnp.where(live[:, None], mesh["y"][:, k], y0b)
-                _, pull = jax.vjp(
-                    lambda yy, dl: _one_step(tab, fa, tk, hk, yy, dl,
-                                             live=live), yk, dleaves)
-                dy, dgl = pull(jnp.where(live[:, None], lam, 0.0))
-                return (jnp.where(live[:, None], dy, lam),
-                        [g + dg for g, dg in zip(gl, dgl)])
-
-            lam, gl = jax.lax.cond(jnp.any(live), do,
-                                   lambda _: (lam, gl), None)
-            return (lam, gl), None
+            # dead slots hold zeros; substitute a benign step whose
+            # (masked) replay is the identity — its pull sees a zero
+            # cotangent and contributes exact zeros. NOT cond-gated: the
+            # explicit replay is a handful of fused VPU ops, far below the
+            # per-cond kernel-dispatch overhead that dominated the chip
+            # reading (~150 us/iter with cond vs ~us of math — the inverse
+            # of the radau-adjoint regime where per-slot LU work is large);
+            # unroll amortizes the remaining per-iteration scan overhead.
+            tk = jnp.where(live, mesh["t"][:, k], t0b)
+            hk = jnp.where(live, mesh["h"][:, k], 1.0)
+            yk = jnp.where(live[:, None], mesh["y"][:, k], y0b)
+            _, pull = jax.vjp(
+                lambda yy, dl: _one_step(tab, fa, tk, hk, yy, dl,
+                                         live=live), yk, dleaves)
+            dy, dgl = pull(jnp.where(live[:, None], lam, 0.0))
+            return (jnp.where(live[:, None], dy, lam),
+                    [g + dg for g, dg in zip(gl, dgl)]), None
 
         (lam0, gl), _ = jax.lax.scan(
-            body, (ybar, gl0), jnp.arange(cap - 1, -1, -1))
+            body, (ybar, gl0), jnp.arange(cap - 1, -1, -1), unroll=8)
 
         # overflow: a lane that accepted more steps than the ring holds has
         # an incomplete mesh — poison its gradient (and shared-leaf grads)

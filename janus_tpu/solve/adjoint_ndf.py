@@ -1,0 +1,325 @@
+"""Discrete-adjoint reverse mode on the batched variable-order NDF/BDF solver.
+
+``ndf_adjoint`` returns the final state of an adaptive ``solve_bdf`` run as a
+``jax.custom_vjp`` whose backward pass differentiates the solver's step map on
+the recorded accepted-step mesh. A multistep method's state is its backward-
+difference array D, so — unlike the one-step rodas/seulex/dopri adjoints —
+the backward scan carries a cotangent for the WHOLE array λ_D [M, SLOTS, dim]
+and the recorded mesh stores, per accepted step:
+
+    t, h, order          the frozen controls,
+    D'                   the post-clamp prediction basis,
+    d                    the converged corrector increment,
+    T                    the composed inter-step rescale transform.
+
+T folds EVERY ``_change_D`` application between two accepted-step predictions
+(the boundary clamp, the post-accept order/step rescale, and all rejected or
+Newton-failed attempts' rescales in between) into one frozen per-lane [K, K]
+matrix — each application is linear in D with controller-chosen (order,
+factor), so their product is the exact inter-step map (recorded
+multiplicatively by ``solve_bdf(_mesh_size=...)``, ndf.py ``pmat``).
+
+One accepted step then factors as
+
+    Dhist_k = HistUpdate(D'_k, d_k)          (linear, frozen order)
+    D'_k    = T_k ⋆ Dhist_{k-1}              (linear, frozen T)
+    d_k     : M (d + ψ(D'_k)) − c f(t+h, y_pred(D'_k) + d) = 0   (implicit)
+
+and the backward pass pulls each factor: the linear parts by ``jax.vjp`` of
+their replay, the corrector by the implicit-function theorem — one transposed
+solve (M − c·J(t+h, y_new))ᵀ w = λ_d with a FRESH Jacobian at the converged
+point (the forward's possibly-stale J is only an iteration matrix; the
+converged d is J-independent to newton_tol). Gradients are therefore exact to
+O(newton_tol) for the computed map — the same contract as radau's continuous
+adjoint transposed stage solves — and match FD of the full solver to O(rtol).
+
+y(T) = Dhist[0] of the lane's LAST accepted step, so the terminal cotangent
+injects as e₀ ⊗ ȳ at slot nacc−1 per lane during the backward scan (lanes
+finish at different slots). Dead slots and dead (lane, slot) pairs use
+benign-value substitution with live-masked RHS evaluations — the recorded
+rodas/seulex/dopri lesson: 0-cotangent × inf = NaN pollutes per-lane
+arg-leaf gradients.
+
+Startup: D₀ = [y0, d₁] with d₁ = h₀·f(t0, y0) (or the linearized
+backward-Euler increment (M − h₀J₀)⁻¹h₀f₀ under a mass matrix, singular
+index-1 included); h₀ is recorded and frozen, and the pull through d₁
+carries the startup's y0/θ dependence.
+
+Scope: terminal mode and ``t_eval=`` trajectory sampling (chained
+warm-started adaptive segments — note each segment RESTARTS the difference
+array at order 1, the multistep analog of the one-step chaining convention;
+samples remain O(rtol)-accurate solve endpoints). events raise; LU corrector
+only (``stage_solver='gmres'`` raises — its probed preconditioner is an
+iteration device, but the IFT transpose here wants the assembled matrix).
+Memory: the D' ring is [M, cap, 8, dim] — 8× the one-step adjoints' y ring;
+size ``options.adjoint_steps`` accordingly on large-D problems.
+
+The reference's BDF prototypes (bdf_torch.py, CVODES BDF role) have no
+reverse mode; MATLAB's ode15s has none either.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from janus_tpu.linalg.smalllu import lu_factor, lu_solve
+from janus_tpu.solve import common as cm
+from janus_tpu.solve import ndf as nd
+from janus_tpu.solve.adjoint import _split_diff
+from janus_tpu.solve.options import Options
+from janus_tpu.solve.radau import _EINSUM_PRECISION, default_jacobian
+
+_K = nd._K
+_SLOTS = nd._SLOTS
+
+
+def _alpha_gamma(ndf, dtype):
+    kappa_np = nd._KAPPA_NDF if ndf else np.zeros(_K)
+    gamma_np = np.hstack([0.0, np.cumsum(1.0 / np.arange(1, _K))])
+    alpha = jnp.asarray((1.0 - kappa_np) * gamma_np, dtype)
+    gamma_slots = jnp.asarray(np.hstack([gamma_np, np.zeros(_SLOTS - _K)]),
+                              dtype)
+    return alpha, gamma_slots
+
+
+def _hist_update(Dp, d_fin, order):
+    """Replay of the accepted-step difference update (ndf.py body, 'history
+    update on accept'): write d into slot order+1, d − D'[order+1] into slot
+    order+2, reverse-cumsum slots <= order+1. Linear in (Dp, d_fin)."""
+    slot_idx = jnp.arange(_SLOTS)
+    oh1 = slot_idx[None, :] == (order[:, None] + 1)
+    oh2 = slot_idx[None, :] == (order[:, None] + 2)
+    d_old_op1 = nd._pick_slot(Dp, order + 1)
+    Dw = jnp.where(oh1[..., None], d_fin[:, None, :], Dp)
+    Dw = jnp.where(oh2[..., None], (d_fin - d_old_op1)[:, None, :], Dw)
+    le1 = slot_idx[None, :] <= (order[:, None] + 1)
+    suff = jax.lax.cumsum(jnp.where(le1[..., None], Dw, 0.0), axis=1,
+                          reverse=True)
+    return jnp.where(le1[..., None], suff, Dw)
+
+
+def _predict(Dp, order, gamma_slots, alpha):
+    """y_pred and psi from the prediction basis (ndf.py body)."""
+    slot_idx = jnp.arange(_SLOTS)
+    le = slot_idx[None, :] <= order[:, None]
+    y_pred = jnp.sum(jnp.where(le[..., None], Dp, 0.0), axis=1)
+    ge1 = (slot_idx[None, :] >= 1) & le
+    gamma_w = jnp.where(ge1, gamma_slots[None, :], 0.0)
+    alpha_ord = nd._pick(alpha, order)
+    psi = jnp.sum(gamma_w[:, :, None] * Dp, axis=1) / alpha_ord[:, None]
+    return y_pred, psi, alpha_ord
+
+
+def ndf_adjoint(f: Callable, tspan, y0, args=None,
+                options: Optional[Options] = None,
+                jac: Optional[Callable] = None, mass=None, t_eval=None,
+                ndf: bool = True):
+    """Reverse-differentiable batched adaptive NDF/BDF (orders 1-5) solve.
+
+    Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
+    trajectory ys [M, T, D]. ``jax.grad``/``jax.vjp`` of any function of the
+    result flows through the discrete adjoint w.r.t. y0, every inexact leaf
+    of ``args``, t0, tf, and (in t_eval mode) the sample times. Memory: one
+    (t, h, order, d, D', T)-slot per accepted step, ``options.adjoint_steps``
+    slots per lane PER SEGMENT (gradient poisoned with NaN on overflow).
+    """
+    opts = options if options is not None else Options()
+    if opts.stage_solver != "lu":
+        raise ValueError("ndf_adjoint needs the assembled (M − cJ) corrector "
+                         "matrix for its transposed IFT solves; "
+                         "stage_solver='gmres'/'tridiag' is forward-only "
+                         "here — use radau_adjoint for matrix-free reverse "
+                         "mode")
+    cap = opts.adjoint_steps
+    jac_user = jac
+
+    t0_in, tf_in = tspan
+
+    @jax.custom_vjp
+    def run(t0, tf, y0, args, h0):
+        sol = nd.solve_bdf(f, t0, tf, y0, args, opts, jac=jac_user,
+                           mass=mass, ndf=ndf, _h0=h0)
+        return sol.y, sol.h_next
+
+    def fwd(t0, tf, y0, args, h0):
+        sol = nd.solve_bdf(f, t0, tf, y0, args, opts, jac=jac_user,
+                           mass=mass, ndf=ndf, _mesh_size=cap, _h0=h0)
+        return (sol.y, sol.h_next), (sol.mesh, sol.stats["naccept"], t0, tf,
+                                     y0, args, sol.y, sol.t, h0)
+
+    def bwd(res, out_bar):
+        ybar, _ = out_bar            # h_next is a non-differentiable knob
+        mesh, nacc, t0, tf, y0, args, yT, t_end, h0 = res
+        t0b, tfb, y0b = cm.broadcast_batch(t0, tf, y0)
+        m, dim = y0b.shape
+        dtype = y0b.dtype
+        ybar = jnp.asarray(ybar, dtype)
+        alpha, gamma_slots = _alpha_gamma(ndf, dtype)
+        eyeK = jnp.eye(_K, dtype=dtype)
+        eyeD = jnp.eye(dim, dtype=dtype)
+
+        dleaves, rebuild, leaves, treedef, diff_idx = _split_diff(args)
+
+        def fa(t, y, dl):
+            return f(t, y, rebuild(dl))
+
+        jac_fn = (lambda t, y, dl: jac_user(t, y, rebuild(dl))) if jac_user \
+            else default_jacobian(fa)
+
+        def mdot(v):
+            if mass is None:
+                return v
+            mb = mass[None] if mass.ndim == 2 else mass
+            mb = jnp.broadcast_to(mb, (m, dim, dim))
+            return jnp.einsum("mij,mj->mi", mb, v,
+                              precision=_EINSUM_PRECISION)
+
+        mmat = eyeD[None] if mass is None else (
+            jnp.broadcast_to(mass[None] if mass.ndim == 2 else mass,
+                             (m, dim, dim)))
+
+        gl0 = [jnp.zeros(jnp.shape(l), dtype) for l in dleaves]
+        e0bar = jnp.zeros((m, _SLOTS, dim), dtype).at[:, 0].set(ybar)
+
+        # benign substitutes for dead (lane, slot) pairs: order 1, h 1,
+        # D' = [y0, 0, ...] (a consistent basis), d = 0, T = I
+        D_ben = jnp.zeros((m, _SLOTS, dim), dtype).at[:, 0].set(y0b)
+
+        def body(carry, k):
+            lam, gl = carry
+            live = k < nacc                                   # [M]
+            lam_in = jnp.where((k == nacc - 1)[:, None, None], e0bar, lam)
+
+            def do(_):
+                tk = jnp.where(live, mesh["t"][:, k], t0b)
+                hk = jnp.where(live, mesh["h"][:, k], 1.0)
+                kk = jnp.where(live, mesh["k"][:, k], 1)
+                dk = jnp.where(live[:, None], mesh["d"][:, k], 0.0)
+                Dk = jnp.where(live[:, None, None], mesh["D"][:, k], D_ben)
+                Tk = jnp.where(live[:, None, None], mesh["T"][:, k],
+                               eyeK[None])
+                lam_h = jnp.where(live[:, None, None], lam_in, 0.0)
+
+                # 1) pull the linear accept-update
+                _, pull_h = jax.vjp(
+                    lambda Dp, d: _hist_update(Dp, d, kk), Dk, dk)
+                lam_Dp, lam_d = pull_h(lam_h)
+
+                # 2) corrector IFT: (M − c·J(t+h, y_new))ᵀ w = λ_d, fresh J
+                # at the converged point, live-masked so dead lanes solve a
+                # benign well-conditioned system with a zero rhs
+                y_pred, psi, alpha_ord = _predict(Dk, kk, gamma_slots, alpha)
+                c = hk / alpha_ord
+                t_new = tk + hk
+                y_new = y_pred + dk
+                jm = jac_fn(t_new, y_new, dleaves)
+                jm = jnp.where(live[:, None, None], jm, 0.0)
+                amat_t = jnp.swapaxes(mmat - c[:, None, None] * jm, 1, 2)
+                lu_t, piv_t = lu_factor(amat_t, pivot=opts.pivoting)
+                w = lu_solve(lu_t, piv_t, lam_d)
+
+                # 3) pull −w through G(D', θ) at fixed d (the corrector
+                # residual's explicit dependences); RHS live-masked
+                def gres(Dp, dl):
+                    yp, ps, a_o = _predict(Dp, kk, gamma_slots, alpha)
+                    fv = fa(t_new, yp + dk, dl)
+                    fv = jnp.where(live[:, None], fv, 0.0)
+                    return mdot(dk + ps) - (hk / a_o)[:, None] * fv
+
+                _, pull_g = jax.vjp(gres, Dk, dleaves)
+                gD, gdl = pull_g(-w)
+                lam_Dp = lam_Dp + gD
+
+                # 4) chain through the frozen inter-step transform:
+                # D'[j] = Σ_i T[i,j]·Dhist_prev[i] on the first K slots
+                lam6 = jnp.sum(Tk[:, :, :, None] * lam_Dp[:, None, :_K, :],
+                               axis=2)
+                lam_prev = jnp.concatenate([lam6, lam_Dp[:, _K:]], axis=1)
+
+                return (jnp.where(live[:, None, None], lam_prev, lam_in),
+                        [g + dg for g, dg in zip(gl, gdl)])
+
+            lam, gl = jax.lax.cond(jnp.any(live), do,
+                                   lambda _: (lam_in, gl), None)
+            return (lam, gl), None
+
+        (lamD0, gl), _ = jax.lax.scan(
+            body, (jnp.zeros((m, _SLOTS, dim), dtype), gl0),
+            jnp.arange(cap - 1, -1, -1))
+
+        # startup pull: D0 = [y0, d1(y0, θ), 0, ...] with frozen h0
+        h0r = mesh["h0"]
+
+        def d1_fn(y0v, dl):
+            f0 = fa(t0b, y0v, dl)
+            if mass is None:
+                return h0r[:, None] * f0
+            j0 = jac_fn(t0b, y0v, dl)
+            lu0, piv0 = lu_factor(mmat - h0r[:, None, None] * j0, pivot=True)
+            return lu_solve(lu0, piv0, h0r[:, None] * f0)
+
+        _, pull_d1 = jax.vjp(d1_fn, y0b, dleaves)
+        dy0_d1, gdl_d1 = pull_d1(lamD0[:, 1])
+        lam0 = lamD0[:, 0] + dy0_d1
+        gl = [g + dg for g, dg in zip(gl, gdl_d1)]
+
+        # overflow: a lane that accepted more steps than the ring holds has
+        # an incomplete mesh — poison its gradient (and shared-leaf grads)
+        over = nacc > cap                                     # [M]
+        lam0 = jnp.where(over[:, None], jnp.nan, lam0)
+        any_over = jnp.any(over)
+        gl = [jnp.where(any_over, jnp.nan, g) for g in gl]
+
+        # boundary-time cotangents (continuous formulas; need M invertible)
+        def ydot(t, y):
+            fv = fa(t, y, dleaves)
+            if mass is None:
+                return fv
+            lu_m, piv_m = lu_factor(mmat, pivot=opts.pivoting)
+            return lu_solve(lu_m, piv_m, fv)
+
+        tf_bar = jnp.sum(ybar * ydot(t_end, yT), axis=-1)     # [M]
+        t0_bar = -jnp.sum(lam0 * ydot(t0b, y0b), axis=-1)     # [M]
+
+        t0_ct = jnp.sum(t0_bar) if jnp.ndim(t0) == 0 else \
+            jnp.reshape(t0_bar, jnp.shape(t0))
+        tf_ct = jnp.sum(tf_bar) if jnp.ndim(tf) == 0 else \
+            jnp.reshape(tf_bar, jnp.shape(tf))
+        y0_ct = jnp.reshape(lam0, jnp.shape(y0))
+        out = [np.zeros(jnp.shape(l), jax.dtypes.float0) for l in leaves]
+        for i, g in zip(diff_idx, gl):
+            out[i] = jnp.reshape(g, jnp.shape(leaves[i]))
+        args_ct = jax.tree_util.tree_unflatten(treedef, out)
+        h0_ct = None if h0 is None else jnp.zeros_like(h0)
+        return (t0_ct, tf_ct, y0_ct, args_ct, h0_ct)
+
+    run.defvjp(fwd, bwd)
+
+    if t_eval is None:
+        y, _ = run(t0_in, tf_in, y0, args, None)
+        return y
+
+    if jnp.ndim(t0_in) != 0 or jnp.ndim(tf_in) != 0:
+        raise ValueError("ndf_adjoint(t_eval=...) chains segments over a "
+                         "shared grid; t0/tf must be scalars")
+    t_eval = jnp.asarray(t_eval)
+    if t_eval.ndim != 1 or t_eval.shape[0] < 1:
+        raise ValueError("t_eval must be a non-empty 1-D grid")
+    t0b, _, y0b = cm.broadcast_batch(t0_in, tf_in, y0)
+    dtype = y0b.dtype
+    t_eval = t_eval.astype(dtype)
+    t_lo = jnp.concatenate([jnp.full((1,), t0_in, dtype), t_eval[:-1]])
+    t_hi = t_eval
+    h_carry0 = jnp.zeros(t0b.shape, dtype)     # 0 ⇒ automatic initial step
+
+    def seg(carry, bounds):
+        y, h = carry
+        y2, h2 = run(bounds[0], bounds[1], y, args, h)
+        return (y2, h2), y2
+
+    (_, _), ys = jax.lax.scan(seg, (y0b, h_carry0), (t_lo, t_hi))
+    return jnp.swapaxes(ys, 0, 1)              # [M, T, D]

@@ -93,18 +93,38 @@ def _r_matrix(order, factor, dtype):
     return jnp.where(valid, r, eye)
 
 
+def _ru_matrix(order, factor, dtype):
+    """The combined rescale transform U = R(order, factor) @ R(order, 1):
+    D slots 0.._K-1 map as D <- U.T @ D (see _change_D). Exposed separately
+    so the adjoint recording can compose the transforms it applies
+    (solve/adjoint_ndf.py: every _change_D is a frozen per-lane linear map
+    on the first _K slots; their running product is the inter-step map)."""
+    rf = _r_matrix(order, factor, dtype)
+    r1 = _r_matrix(order, jnp.ones_like(factor), dtype)
+    return jnp.sum(rf[:, :, :, None] * r1[:, None, :, :], axis=2)  # [M,K,K]
+
+
+def _apply_ru(ru, D):
+    """D <- U.T @ D on the first _K slots (slots _K.. untouched)."""
+    d6 = jnp.sum(ru[:, :, :, None] * D[:, :_K, None, :], axis=1)
+    return jnp.concatenate([d6, D[:, _K:]], axis=1)
+
+
 def _change_D(D, order, factor):
     """Rescale the difference array for a per-lane change h -> factor*h.
 
     D <- (R(order, factor) @ R(order, 1)).T @ D over slots 0..order; factor=1
     lanes are exact no-ops (R(order,1) is an involution).
     """
-    dtype = D.dtype
-    rf = _r_matrix(order, factor, dtype)
-    r1 = _r_matrix(order, jnp.ones_like(factor), dtype)
-    ru = jnp.sum(rf[:, :, :, None] * r1[:, None, :, :], axis=2)  # [M, K, K]
-    d6 = jnp.sum(ru[:, :, :, None] * D[:, :_K, None, :], axis=1)
-    return jnp.concatenate([d6, D[:, _K:]], axis=1)
+    return _apply_ru(_ru_matrix(order, factor, D.dtype), D)
+
+
+def _compose_ru(pmat, ru):
+    """pmat <- pmat @ ru — appends a transform in APPLY order: _apply_ru
+    computes D' = U.T @ D, so after V1 then V2 the total is (V1 @ V2).T @ D
+    and the newest factor composes on the RIGHT. Broadcast-sum form — never
+    einsum two batched square tiny matrices on TPU (CLAUDE.md)."""
+    return jnp.sum(pmat[:, :, :, None] * ru[:, None, :, :], axis=2)
 
 
 @struct.dataclass
@@ -127,12 +147,15 @@ class _NdfState:
     stats: dict
     out_ys: Any
     ev: Any
+    pmat: Any                 # running composed rescale transform [M, K, K]
+    mesh: Any                 # accepted-step rings for the discrete adjoint
 
 
 def solve_bdf(f: Callable, t0, tf, y0, args=None,
               options: Optional[Options] = None, t_eval=None,
               jac: Optional[Callable] = None, events=None, mass=None,
-              ndf: bool = True) -> cm.Solution:
+              ndf: bool = True, _mesh_size: int = 0,
+              _h0=None) -> cm.Solution:
     """Batched adaptive variable-order BDF/NDF solve (orders 1-5).
 
     mass: optional mass matrix [D,D] or [M,D,D] (M·y' = f): the corrector
@@ -149,6 +172,15 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
     the same probed preconditioner structures as radau
     (Options(precond='tridiag'|'lines'|'block')) — the large-D
     method-of-lines path for this family.
+
+    _mesh_size / _h0 are internal (solve/adjoint_ndf.py): record per
+    ACCEPTED step (t, h, order, converged corrector increment d, the
+    post-clamp difference array D', and the composed inter-step rescale
+    transform T — every _change_D application between two accepted-step
+    predictions, clamps and reject/fail rescales included, folded into one
+    frozen [_K,_K] matrix per lane) for the discrete adjoint's
+    frozen-control step replay; and warm-start the per-lane initial step
+    for segment chaining.
     """
     opts = options if options is not None else Options()
     specs = normalize_events(events)
@@ -190,7 +222,17 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
                   else cm.derived_newton_tol(dtype, opts.rtol))
 
     f0 = f(t0, y0, args)
-    if opts.h0 == 0.0:
+    if _h0 is not None:
+        # per-lane warm-start step (segment chaining, solve/adjoint_ndf):
+        # lanes with _h0 == 0 fall back to the automatic initial step
+        direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
+        h_mag = jnp.abs(jnp.broadcast_to(jnp.asarray(_h0, dtype), (m,)))
+        h_auto = jnp.abs(cm.initial_step(f, t0, y0, f0, tf, 1, opts.rtol,
+                                         opts.atol, args, opts.max_step)) \
+            if mass is None else jnp.minimum(1e-3, jnp.abs(tf - t0) * 1e-2)
+        h_mag = jnp.where(h_mag > 0, h_mag, h_auto)
+        h = jnp.minimum(h_mag, jnp.abs(tf - t0)) * direction
+    elif opts.h0 == 0.0:
         if mass is None:
             h = cm.initial_step(f, t0, y0, f0, tf, 1, opts.rtol, opts.atol,
                                 args, opts.max_step)
@@ -259,6 +301,15 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
         stats=stats, out_ys=out_ys,
         ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
+        pmat=jnp.broadcast_to(jnp.eye(_K, dtype=dtype), (m, _K, _K))
+        if _mesh_size else jnp.zeros((), dtype),
+        mesh={"t": jnp.zeros((m, _mesh_size), dtype),
+              "h": jnp.zeros((m, _mesh_size), dtype),
+              "k": jnp.zeros((m, _mesh_size), jnp.int32),
+              "d": jnp.zeros((m, _mesh_size, dim), dtype),
+              "D": jnp.zeros((m, _mesh_size, _SLOTS, dim), dtype),
+              "T": jnp.zeros((m, _mesh_size, _K, _K), dtype),
+              "h0": h} if _mesh_size else {},
     )
     eps = jnp.finfo(dtype).eps
     slot_idx = jnp.arange(_SLOTS)
@@ -276,11 +327,26 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         # a*reciprocal(b) (not correctly rounded), so x/x can differ from 1.0
         clamped = st.active & (h != st.h)
         fac0 = jnp.where(clamped, h / st.h, 1.0)
-        D = jax.lax.cond(
-            jnp.any(clamped),
-            lambda _: jnp.where(clamped[:, None, None],
-                                _change_D(st.D, st.order, fac0), st.D),
-            lambda _: st.D, None)
+        if _mesh_size:
+            # recording: fold the clamp transform into the running
+            # inter-step product (apply order — newest on the right)
+            def do_clamp(_):
+                ru = _ru_matrix(st.order, fac0, dtype)
+                return (jnp.where(clamped[:, None, None],
+                                  _apply_ru(ru, st.D), st.D),
+                        jnp.where(clamped[:, None, None],
+                                  _compose_ru(st.pmat, ru), st.pmat))
+
+            D, pmat = jax.lax.cond(
+                jnp.any(clamped), do_clamp,
+                lambda _: (st.D, st.pmat), None)
+        else:
+            D = jax.lax.cond(
+                jnp.any(clamped),
+                lambda _: jnp.where(clamped[:, None, None],
+                                    _change_D(st.D, st.order, fac0), st.D),
+                lambda _: st.D, None)
+            pmat = st.pmat
         neq = jnp.where(clamped, 0, st.neq)
 
         # ---- prediction from the difference array ------------------------
@@ -413,6 +479,37 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         D_acc = jnp.where(accept[:, None, None], D_hist, D)
         neq_acc = jnp.where(accept, neq + 1, neq)
 
+        if _mesh_size:
+            # record the accepted step: prediction basis D (post-clamp),
+            # converged increment d_fin, controls (t, h, order), and the
+            # composed inter-step transform T accumulated since the last
+            # accept; reset the product for the accepted lanes (the END
+            # rescale below is the first factor of the NEXT transform).
+            # where, not accept*: failed-Newton lanes carry NaN d_fin and
+            # 0·NaN poisons dead slots (CLAUDE.md round-4 mesh rule)
+            rows_sc = jnp.arange(m)
+            idx = st.stats["naccept"]
+            af = accept.astype(dtype)
+            mesh = {
+                "t": st.mesh["t"].at[rows_sc, idx].add(af * st.t,
+                                                       mode="drop"),
+                "h": st.mesh["h"].at[rows_sc, idx].add(af * h, mode="drop"),
+                "k": st.mesh["k"].at[rows_sc, idx].add(
+                    jnp.where(accept, st.order, 0), mode="drop"),
+                "d": st.mesh["d"].at[rows_sc, idx].add(
+                    jnp.where(accept[:, None], d_fin, 0.0), mode="drop"),
+                "D": st.mesh["D"].at[rows_sc, idx].add(
+                    jnp.where(accept[:, None, None], D, 0.0), mode="drop"),
+                "T": st.mesh["T"].at[rows_sc, idx].add(
+                    jnp.where(accept[:, None, None], pmat, 0.0),
+                    mode="drop"),
+                "h0": st.mesh["h0"],
+            }
+            pmat = jnp.where(accept[:, None, None],
+                             jnp.eye(_K, dtype=dtype)[None], pmat)
+        else:
+            mesh = st.mesh
+
         # ---- order adaptation after order+1 equal steps ------------------
         adapt = accept & (neq_acc >= st.order + 1)
         en_m_raw = cm.safe_sqrt(jnp.mean(jnp.square(
@@ -455,12 +552,24 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
                         jnp.asarray(jnp.finfo(dtype).max, dtype))
         factor_all = jnp.minimum(factor_all, cap)
         rescale = factor_all != 1.0
-        D_final = jax.lax.cond(
-            jnp.any(rescale),
-            lambda _: jnp.where(rescale[:, None, None],
-                                _change_D(D_acc, order_new, factor_all),
-                                D_acc),
-            lambda _: D_acc, None)
+        if _mesh_size:
+            def do_end(_):
+                ru = _ru_matrix(order_new, factor_all, dtype)
+                return (jnp.where(rescale[:, None, None],
+                                  _apply_ru(ru, D_acc), D_acc),
+                        jnp.where(rescale[:, None, None],
+                                  _compose_ru(pmat, ru), pmat))
+
+            D_final, pmat_final = jax.lax.cond(
+                jnp.any(rescale), do_end, lambda _: (D_acc, pmat), None)
+        else:
+            D_final = jax.lax.cond(
+                jnp.any(rescale),
+                lambda _: jnp.where(rescale[:, None, None],
+                                    _change_D(D_acc, order_new, factor_all),
+                                    D_acc),
+                lambda _: D_acc, None)
+            pmat_final = pmat
         neq_final = jnp.where(rescale, 0, neq_acc)
         h_next = jnp.where(st.active, h * factor_all, st.h)
         h_next_abs = jnp.abs(h_next)
@@ -540,7 +649,7 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
                                                    st.need_jac))),
             nsing=nsing,
             active=active, status=status, stats=stats, out_ys=out_ys,
-            ev=ev,
+            ev=ev, pmat=pmat_final, mesh=mesh,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -551,4 +660,6 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         event_t=final.ev["event_t"] if specs else None,
         event_y=final.ev["event_y"] if specs else None,
         event_idx=final.ev["event_idx"] if specs else None,
+        mesh=final.mesh if _mesh_size else None,
+        h_next=final.h,
     )

@@ -30,7 +30,7 @@ T = 1.5
 
 
 @pytest.mark.parametrize("method", ["radau", "rodas", "seulex", "dopri5",
-                                    "dop853"])
+                                    "dop853", "bdf"])
 def test_analytic_linear_decay(method):
     y0 = jnp.array([[2.0], [0.7]])
     a = jnp.array([0.8, 1.6])
@@ -53,7 +53,7 @@ def test_analytic_linear_decay(method):
 def test_unsupported_method_raises():
     y0 = jnp.array([[1.0]])
     with pytest.raises(ValueError, match="no reverse mode"):
-        solve_adjoint(rhs, (0.0, 1.0), y0, method="bdf",
+        solve_adjoint(rhs, (0.0, 1.0), y0, method="grk4t",
                       args=jnp.array([1.0]))
 
 
