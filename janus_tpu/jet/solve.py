@@ -68,8 +68,9 @@ def dual_solve_ivp(f: Callable, tspan, y0, method: str = "radau",
     from janus_tpu.solve import Options as _Options
     _opt_fields = set(_Options.__dataclass_fields__)
     if method in ("radau", "radau5", "radau9", "radau13", "radaup",
-                  "seulex", "rodas"):
-        terminal_only = method in ("seulex", "radaup", "rodas")
+                  "seulex", "rodas", "bdf", "ndf", "bdf_classic"):
+        terminal_only = method in ("seulex", "radaup", "rodas", "bdf",
+                                   "ndf", "bdf_classic")
         pass_kw = {"jac", "mass"} | (set() if terminal_only
                                      else {"t_eval", "events"})
         blockers = []
@@ -87,14 +88,16 @@ def dual_solve_ivp(f: Callable, tspan, y0, method: str = "radau",
             o = o.replace(**{k: v for k, v in kw.items() if k in _opt_fields})
             kw = {k: v for k, v in kw.items() if k in pass_kw}
             options = o
-            if method not in ("seulex", "radaup", "rodas") \
+            if method in ("radau", "radau5", "radau9", "radau13") \
                     and o.min_stages != o.max_stages:
                 blockers.append("variable stage count "
                                 "(min_stages != max_stages)")
-            if o.stage_solver != "lu" and method not in ("radau", "radau5",
-                                                         "radau9", "radau13"):
+            if o.stage_solver != "lu" and method not in (
+                    "radau", "radau5", "radau9", "radau13", "bdf", "ndf",
+                    "bdf_classic"):
                 blockers.append("stage_solver='gmres' (IND rides the "
-                                "matrix-free stage solvers only in radau)")
+                                "matrix-free stage solvers in radau and "
+                                "bdf only)")
         if not blockers:
             args_has_d = any(isinstance(a, Jet)
                              for a in jax.tree_util.tree_leaves(

@@ -120,11 +120,12 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
                          f"known: {sorted(FEATURES) + sorted(_ALIASES)}")
     _check_features(canonical, jac, mass, events, t_eval)
     if (tangents is not None or args_tangents is not None) \
-            and canonical not in ("radau", "radaup", "seulex", "rodas"):
+            and canonical not in ("radau", "radaup", "seulex", "rodas",
+                                  "bdf"):
         raise ValueError("tangents= (internal-differentiation sensitivities)"
                          " is supported by the 'radau'/'radaup' methods, "
-                         "'seulex' and 'rodas'; use jax.jvp through the "
-                         "solve otherwise")
+                         "'seulex', 'rodas' and 'bdf'; use jax.jvp through "
+                         "the solve otherwise")
     if quad is not None and canonical not in ("radau", "rodas", "seulex"):
         raise ValueError("quad= (running-cost quadratures) is supported by "
                          "the fixed-stage 'radau' methods (collocation-"
@@ -173,6 +174,7 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         # variable-order 1-5 with the NDF kappas (as scipy's BDF)
         return solve_bdf(f, t0, tf, y0, args, options, t_eval,
                          jac=jac, events=events, mass=mass,
+                         tangents=tangents, args_tangents=args_tangents,
                          ndf=(method != "bdf_classic"))
     if canonical == "bdf2":
         from janus_tpu.solve.bdf import solve_bdf2

@@ -154,9 +154,28 @@ class _NdfState:
 def solve_bdf(f: Callable, t0, tf, y0, args=None,
               options: Optional[Options] = None, t_eval=None,
               jac: Optional[Callable] = None, events=None, mass=None,
-              ndf: bool = True, _mesh_size: int = 0,
+              ndf: bool = True, tangents=None, args_tangents=None,
+              _mesh_size: int = 0,
               _h0=None) -> cm.Solution:
     """Batched adaptive variable-order BDF/NDF solve (orders 1-5).
+
+    tangents / args_tangents: first-class internal-differentiation forward
+    sensitivities (Bock's IND — the CVODES-FSA-on-BDF role,
+    reference examples/cpp/for_sens_vdp_example.cpp:1-38): K tangent
+    difference arrays ride the SAME backward-difference history as the
+    primal — every slot-wise history operation (boundary clamp, h-rescale
+    R-transforms, suffix-sum update, order bookkeeping) is linear in D, so
+    the tangents are carried as extra state columns and transform for
+    free. The only new math per accepted step is the corrector tangent:
+    the implicit-function system (M − c·J(t_new, y_new))·δd =
+    c·(J·δy_pred + f_θ·dθ) − M·δψ, solved EXACTLY by a Richardson
+    iteration preconditioned with the step's own stale (M − c·J) factors
+    (LU or the matrix-free gmres/tridiag closures) — it converges at the
+    primal Newton's contraction rate, like radau's tangent collocation
+    sweeps. Controls (h, order, rescale factors) are frozen — the
+    discrete-adjoint convention (solve/adjoint_ndf.py is this linear map
+    transposed). Results in ``Solution.sens`` [K, M, D]; terminal mode
+    only (t_eval/events with tangents raise — use jax.jvp there).
 
     mass: optional mass matrix [D,D] or [M,D,D] (M·y' = f): the corrector
     iterates (M − c·J)·Δ = c·f − M·(ψ + d) — the mass-weighted NDF
@@ -187,6 +206,53 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
     m, dim = y0.shape
     dtype = y0.dtype
+
+    use_sens = tangents is not None or args_tangents is not None
+    if use_sens and (t_eval is not None or events is not None):
+        raise ValueError("solve_bdf(tangents=) is terminal-mode only "
+                         "(no tangent dense output/event correction); "
+                         "use jax.jvp through the solve for those")
+    if use_sens:
+        if args_tangents is not None:
+            args_d = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype), args_tangents)
+            k_args = jax.tree_util.tree_leaves(args_d)[0].shape[0]
+        else:
+            args_d, k_args = None, None
+        if tangents is not None:
+            yd0 = jnp.asarray(tangents, dtype)
+            if yd0.ndim != 3 or yd0.shape[1:] != (m, dim):
+                raise ValueError(f"tangents must be [K, {m}, {dim}], got "
+                                 f"{yd0.shape}")
+            if k_args is not None and k_args != yd0.shape[0]:
+                raise ValueError(f"tangents K={yd0.shape[0]} != "
+                                 f"args_tangents K={k_args}")
+        else:
+            yd0 = jnp.zeros((k_args, m, dim), dtype)
+        k_dirs = yd0.shape[0]
+        args_d_rows = [jax.tree_util.tree_map(lambda a, _k=k: a[_k], args_d)
+                       for k in range(k_dirs)] if args_d is not None \
+            else [None] * k_dirs
+
+        def _pack(rows):            # [K, M, dim] -> [M, K*dim]
+            return jnp.moveaxis(rows, 0, 1).reshape(m, k_dirs * dim)
+
+        def _unpack(cols):          # [M, K*dim] -> [K, M, dim]
+            return jnp.moveaxis(cols.reshape(m, k_dirs, dim), 1, 0)
+
+        def _jvp_rows(t_at, y_at, dys):
+            # [K,M,D] directional derivatives J·δy (+ f_θ·dθ) at (t_at, y_at)
+            if args_d is None:
+                _, lin = jax.linearize(lambda yy: f(t_at, yy, args), y_at)
+                return jnp.stack([lin(dys[q]) for q in range(k_dirs)])
+            _, lin = jax.linearize(lambda yy, aa: f(t_at, yy, aa),
+                                   y_at, args)
+            return jnp.stack([lin(dys[q], args_d_rows[q])
+                              for q in range(k_dirs)])
+    else:
+        args_d = None
+        yd0 = jnp.zeros((0, m, dim), dtype)
+        k_dirs = 0
     if opts.stage_solver not in ("lu", "gmres", "tridiag"):
         raise ValueError(f"unknown stage_solver {opts.stage_solver!r}")
     use_gmres = opts.stage_solver != "lu"
@@ -259,15 +325,29 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
                 0 if opts.stage_solver == "tridiag" else opts.gmres_iters,
                 precond=opts.precond, block=opts.precond_block)
             d1 = solve0(h[:, None] * f0)
+            solve1 = solve0
         else:
             mb0 = jnp.broadcast_to(mass, (m, dim, dim))
             lu0, piv0 = lu_factor(mb0 - h[:, None, None] * j0, pivot=True)
             d1 = lu_solve(lu0, piv0, h[:, None] * f0)
+            solve1 = lambda b: lu_solve(lu0, piv0, b)          # noqa: E731
     else:
         d1 = h[:, None] * f0
+        solve1 = lambda b: b                                   # noqa: E731
 
-    D0 = jnp.zeros((m, _SLOTS, dim), dtype)
-    D0 = D0.at[:, 0].set(y0).at[:, 1].set(d1)
+    # widened difference array: the K tangent histories ride as extra state
+    # columns (every slot-wise history op is linear in D, module docstring)
+    dimw = dim * (1 + k_dirs) if use_sens else dim
+    D0 = jnp.zeros((m, _SLOTS, dimw), dtype)
+    if use_sens:
+        # startup tangent δD[1] = (M − h·J0)⁻¹·h·(J0·δy0 + f_θ·dθ): the
+        # ∂J0/∂y0 term is dropped, matching the startup's own O(h²) order
+        # (the W-method convention; exact for mass=None where d1 = h·f0)
+        d1t = jax.vmap(solve1)(h[None, :, None] * _jvp_rows(t0, y0, yd0))
+        D0 = D0.at[:, 0].set(jnp.concatenate([y0, _pack(yd0)], axis=-1))
+        D0 = D0.at[:, 1].set(jnp.concatenate([d1, _pack(d1t)], axis=-1))
+    else:
+        D0 = D0.at[:, 0].set(y0).at[:, 1].set(d1)
 
     use_dense = t_eval is not None
     if use_dense:
@@ -351,11 +431,16 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
 
         # ---- prediction from the difference array ------------------------
         le = slot_idx[None, :] <= st.order[:, None]
-        y_pred = jnp.sum(jnp.where(le[..., None], D, 0.0), axis=1)
+        y_pred_full = jnp.sum(jnp.where(le[..., None], D, 0.0), axis=1)
         ge1 = (slot_idx[None, :] >= 1) & le
         gamma_w = jnp.where(ge1, gamma_slots[None, :], 0.0)
         alpha_ord = _pick(alpha, st.order)
-        psi = jnp.sum(gamma_w[:, :, None] * D, axis=1) / alpha_ord[:, None]
+        psi_full = jnp.sum(gamma_w[:, :, None] * D, axis=1) \
+            / alpha_ord[:, None]
+        y_pred, psi = y_pred_full[:, :dim], psi_full[:, :dim]
+        if use_sens:
+            ypd = _unpack(y_pred_full[:, dim:])      # [K, M, dim] δy_pred
+            psid = _unpack(psi_full[:, dim:])        # [K, M, dim] δψ
         c = h / alpha_ord
         t_new = st.t + h
         scale_n = opts.atol + opts.rtol * jnp.abs(y_pred)
@@ -466,12 +551,54 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         fac_rej = jnp.maximum(opts.min_factor,
                               safety * enorm ** (-1.0 / (ordf + 1.0)))
 
+        # ---- corrector tangents (IND): exact implicit-function solve of
+        # (M − c·J(t_new, y_new))·δd = c·(J·δy_pred + f_θ·dθ) − M·δψ by a
+        # Richardson iteration preconditioned with the step's stale
+        # factors/closures (converges at the primal Newton's rate); gated
+        # to zero cost until some lane accepts -----------------------------
+        nfev_t = jnp.zeros((), jnp.int32)
+        if use_sens:
+            def tan_solve(_):
+                go0 = jnp.broadcast_to(accept[None, :], (k_dirs, m))
+
+                def tbody(carry):
+                    dd, go, it, nf = carry
+                    # b − A·δd = c·[J·(δy_pred+δd) + f_θ·dθ] − M·(δψ+δd)
+                    resid = (c[None, :, None]
+                             * _jvp_rows(t_new, y_new, ypd + dd)
+                             - jax.vmap(mdotv)(psid + dd))
+                    inc = jax.vmap(solve_corr)(resid)
+                    finite = jnp.all(jnp.isfinite(inc), axis=-1)
+                    upd = go & finite
+                    dd = jnp.where(upd[..., None], dd + inc, dd)
+                    # converge RELATIVE to the tangent magnitude (primal
+                    # error scales don't apply — radau _tangent_stages)
+                    dn = cm.safe_sqrt(jnp.mean(jnp.square(
+                        inc / (1.0 + jnp.abs(ypd + dd))), axis=-1))
+                    more = upd & (dn > newton_tol)
+                    return (dd, more & (it + 1 < 2 * NEWTON_MAXITER),
+                            it + 1, nf + k_dirs)
+
+                dd_f, _, _, nf_f = jax.lax.while_loop(
+                    lambda cr: jnp.any(cr[1]), tbody,
+                    (jnp.zeros((k_dirs, m, dim), dtype), go0,
+                     jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)))
+                return dd_f, nf_f
+
+            ddt, nfev_t = jax.lax.cond(
+                jnp.any(accept), tan_solve,
+                lambda _: (jnp.zeros((k_dirs, m, dim), dtype),
+                           jnp.zeros((), jnp.int32)), None)
+            d_cat = jnp.concatenate([d_fin, _pack(ddt)], axis=-1)
+        else:
+            d_cat = d_fin
+
         # ---- history update on accept (suffix sums over D slots) ---------
         oh1 = slot_idx[None, :] == (st.order[:, None] + 1)
         oh2 = slot_idx[None, :] == (st.order[:, None] + 2)
         d_old_op1 = _pick_slot(D, st.order + 1)
-        Dw = jnp.where(oh1[..., None], d_fin[:, None, :], D)
-        Dw = jnp.where(oh2[..., None], (d_fin - d_old_op1)[:, None, :], Dw)
+        Dw = jnp.where(oh1[..., None], d_cat[:, None, :], D)
+        Dw = jnp.where(oh2[..., None], (d_cat - d_old_op1)[:, None, :], Dw)
         le1 = slot_idx[None, :] <= (st.order[:, None] + 1)
         suff = jax.lax.cumsum(jnp.where(le1[..., None], Dw, 0.0), axis=1,
                               reverse=True)
@@ -499,7 +626,8 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
                 "d": st.mesh["d"].at[rows_sc, idx].add(
                     jnp.where(accept[:, None], d_fin, 0.0), mode="drop"),
                 "D": st.mesh["D"].at[rows_sc, idx].add(
-                    jnp.where(accept[:, None, None], D, 0.0), mode="drop"),
+                    jnp.where(accept[:, None, None], D[..., :dim], 0.0),
+                    mode="drop"),
                 "T": st.mesh["T"].at[rows_sc, idx].add(
                     jnp.where(accept[:, None, None], pmat, 0.0),
                     mode="drop"),
@@ -514,10 +642,11 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         adapt = accept & (neq_acc >= st.order + 1)
         en_m_raw = cm.safe_sqrt(jnp.mean(jnp.square(
             _pick(error_const, st.order - 1)[:, None]
-            * _pick_slot(D_acc, st.order) / scale_e), axis=-1))
+            * _pick_slot(D_acc, st.order)[..., :dim] / scale_e), axis=-1))
         en_p_raw = cm.safe_sqrt(jnp.mean(jnp.square(
             _pick(error_const, jnp.minimum(st.order + 1, MAX_ORDER))[:, None]
-            * _pick_slot(D_acc, st.order + 2) / scale_e), axis=-1))
+            * _pick_slot(D_acc, st.order + 2)[..., :dim] / scale_e),
+            axis=-1))
         en_m = jnp.maximum(jnp.where(jnp.isfinite(en_m_raw), en_m_raw, 1e10),
                            1e-16)
         en_p = jnp.maximum(jnp.where(jnp.isfinite(en_p_raw), en_p_raw, 1e10),
@@ -588,8 +717,8 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
                      / ((iidx + 1.0) * h[:, None, None]))
                 cp = jnp.cumprod(x, axis=-1)
                 w = jnp.where(kmask[:, None, :], cp, 0.0)
-                return D_hist[:, 0][:, None, :] + jnp.sum(
-                    w[:, :, :, None] * D_hist[:, None, 1:_K, :], axis=2)
+                return D_hist[:, 0, :dim][:, None, :] + jnp.sum(
+                    w[:, :, :, None] * D_hist[:, None, 1:_K, :dim], axis=2)
 
         if use_dense:
             out_ys = cm.collect_dense(out_ys, t_eval, st.t, h, accept, interp)
@@ -605,7 +734,7 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         recompute_jac = accept & (niter > 2) & (nrate > opts.jac_recompute)
 
         stats = dict(st.stats)
-        stats["nfev"] = stats["nfev"] + nfev_n
+        stats["nfev"] = stats["nfev"] + nfev_n + nfev_t
         stats["njev"] = stats["njev"] + needj
         stats["nlu"] = stats["nlu"] + needf
         stats["nsteps"] = stats["nsteps"] + (run_newton | singular)
@@ -660,6 +789,10 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         event_t=final.ev["event_t"] if specs else None,
         event_y=final.ev["event_y"] if specs else None,
         event_idx=final.ev["event_idx"] if specs else None,
+        # slot 0 of the difference array IS the state (the clamp/rescale
+        # R-transforms and the suffix-sum update all leave it equal to y),
+        # so its tangent columns at termination are the sensitivities
+        sens=_unpack(final.D[:, 0, dim:]) if use_sens else None,
         mesh=final.mesh if _mesh_size else None,
         h_next=final.h,
     )

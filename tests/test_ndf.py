@@ -6,6 +6,7 @@ Oracle patterns per SURVEY.md §4: scipy cross-checks at matched tolerance,
 order adaptation exercised, dense output and events on the BDF interpolant.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -249,3 +250,138 @@ def test_ndf_gmres_rejects_analytic_jac():
         solve_ivp(lambda t, y, a: -y, (0.0, 1.0), jnp.zeros((1, 4)),
                   method="bdf", jac=lambda t, y, a: jnp.zeros((1, 4, 4)),
                   options=Options(stage_solver="gmres"))
+
+
+# ---------------------------------------------------------------------------
+# first-class IND tangents (solve_bdf(tangents=), round 4)
+# ---------------------------------------------------------------------------
+
+def test_ndf_ind_tangents_match_jvp():
+    # y0 seed + parameter seed vs jax.jvp through the full solver. IND
+    # freezes the mesh controls, jvp differentiates them too — they agree
+    # to O(rtol), both converging to the true sensitivity.
+    m = 4
+    mu = jnp.array([1.0, 5.0, 20.0, 50.0])
+    y0 = jnp.stack([jnp.full((m,), 2.0), jnp.zeros((m,))], axis=-1)
+    opts = Options(rtol=1e-8, atol=1e-10)
+    seeds = jnp.zeros((2, m, 2)).at[0, :, 0].set(1.0)
+    args_t = {"mu": jnp.stack([jnp.zeros(m), jnp.ones(m)])}
+
+    f = vdp_rhs
+    sol = solve_ivp(f, (0.0, 1.0), y0, method="bdf", args={"mu": mu},
+                    options=opts, tangents=seeds, args_tangents=args_t)
+    assert bool(jnp.all(sol.status == SUCCESS))
+    assert sol.sens.shape == (2, m, 2)
+
+    def run(y0_, mu_):
+        return solve_ivp(f, (0.0, 1.0), y0_, method="bdf",
+                         args={"mu": mu_}, options=opts).y
+
+    _, j1 = jax.jvp(run, (y0, mu), (seeds[0], jnp.zeros(m)))
+    _, j2 = jax.jvp(run, (y0, mu), (jnp.zeros_like(y0), jnp.ones(m)))
+    np.testing.assert_allclose(np.asarray(sol.sens[0]), np.asarray(j1),
+                               rtol=0, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(sol.sens[1]), np.asarray(j2),
+                               rtol=0, atol=3e-6)
+
+
+def test_ndf_ind_tangents_dae_mass_vs_fd():
+    # Robertson semi-explicit index-1 DAE: consistent seed (1, 0, -1)
+    # (perturbation stays on the constraint manifold) vs central FD
+    mass = jnp.diag(jnp.array([1.0, 1.0, 0.0]))
+    m = 3
+    y0 = jnp.tile(jnp.array([1.0, 0.0, 0.0]), (m, 1))
+    args = (4e-2, 3e7, 1e4)
+    opts = Options(rtol=1e-8, atol=1e-11)
+
+    def f(t, y, a):
+        k1, k2, k3 = a
+        y1, y2, y3 = y[..., 0], y[..., 1], y[..., 2]
+        return jnp.stack([-k1 * y1 + k3 * y2 * y3,
+                          k1 * y1 - k2 * y2 ** 2 - k3 * y2 * y3,
+                          y1 + y2 + y3 - 1.0], axis=-1)
+
+    seeds = jnp.zeros((1, m, 3)).at[0, :, 0].set(1.0).at[0, :, 2].set(-1.0)
+    sol = solve_ivp(f, (0.0, 10.0), y0, method="bdf", args=args,
+                    options=opts, mass=mass, tangents=seeds)
+    assert bool(jnp.all(sol.status == SUCCESS))
+
+    eps = 1e-6
+    yp = y0.at[:, 0].add(eps).at[:, 2].add(-eps)
+    ym = y0.at[:, 0].add(-eps).at[:, 2].add(eps)
+    sp = solve_ivp(f, (0.0, 10.0), yp, method="bdf", args=args,
+                   options=opts, mass=mass).y
+    sm = solve_ivp(f, (0.0, 10.0), ym, method="bdf", args=args,
+                   options=opts, mass=mass).y
+    fd = (sp - sm) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(sol.sens[0]), np.asarray(fd),
+                               rtol=0, atol=2e-5)
+
+
+def test_ndf_ind_tangents_gmres_corrector():
+    # matrix-free corrector (tridiag preconditioner) + tangents: the
+    # Richardson tangent iteration reuses the step's frozen gmres closures
+    D = 48
+    x = jnp.linspace(0, 1, D)
+
+    def heat(t, y, args):
+        k = args
+        lap = jnp.roll(y, 1, -1) - 2 * y + jnp.roll(y, -1, -1)
+        lap = lap.at[..., 0].set(y[..., 1] - 2 * y[..., 0])
+        lap = lap.at[..., -1].set(y[..., -2] - 2 * y[..., -1])
+        return k * lap * (D + 1) ** 2 + y * (1 - y)
+
+    y0 = jnp.stack([jnp.exp(-40 * (x - 0.3) ** 2),
+                    jnp.exp(-40 * (x - 0.6) ** 2)])
+    opts = Options(rtol=1e-7, atol=1e-10, stage_solver="gmres",
+                   gmres_iters=8)
+    seeds = jnp.zeros((1, 2, D)).at[0].set(jnp.sin(jnp.pi * x)[None])
+    sol = solve_ivp(heat, (0.0, 0.2), y0, method="bdf", args=0.05,
+                    options=opts, tangents=seeds)
+    assert bool(jnp.all(sol.status == SUCCESS))
+
+    def run(y0_):
+        return solve_ivp(heat, (0.0, 0.2), y0_, method="bdf", args=0.05,
+                         options=opts).y
+
+    _, jg = jax.jvp(run, (y0,), (seeds[0],))
+    np.testing.assert_allclose(np.asarray(sol.sens[0]), np.asarray(jg),
+                               rtol=0, atol=2e-5)
+
+
+def test_ndf_ind_terminal_only_raises():
+    y0 = jnp.zeros((1, 2))
+    seeds = jnp.zeros((1, 1, 2))
+    with pytest.raises(ValueError, match="terminal-mode"):
+        solve_ivp(lambda t, y, a: -y, (0.0, 1.0), y0, method="bdf",
+                  tangents=seeds, t_eval=jnp.array([0.5, 1.0]))
+    with pytest.raises(ValueError, match="terminal-mode"):
+        solve_ivp(lambda t, y, a: -y, (0.0, 1.0), y0, method="bdf",
+                  tangents=seeds,
+                  events=Event(lambda t, y, a: y[..., 0] - 0.5))
+
+
+def test_ndf_ind_dual_solve_routing():
+    # dual_solve_ivp(method='bdf') must ride the IND fast path (no warning)
+    import warnings as _w
+    from janus_tpu.jet.core import Jet
+    from janus_tpu.jet.solve import dual_solve_ivp
+    m = 2
+    mu = jnp.array([2.0, 10.0])
+    y0 = jnp.stack([jnp.full((m,), 2.0), jnp.zeros((m,))], axis=-1)
+    seeds = jnp.zeros((1, m, 2)).at[0, :, 0].set(1.0)
+    y0j = Jet(y0, seeds)
+    f = vdp_rhs
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        yj, tj, sol = dual_solve_ivp(f, (0.0, 1.0), y0j, method="bdf",
+                                     args=mu, rtol=1e-8, atol=1e-10)
+    assert yj.d.shape == (1, m, 2)
+
+    def run(y0_):
+        return solve_ivp(f, (0.0, 1.0), y0_, method="bdf", args=mu,
+                         options=Options(rtol=1e-8, atol=1e-10)).y
+
+    _, j1 = jax.jvp(run, (y0,), (seeds[0],))
+    np.testing.assert_allclose(np.asarray(yj.d[0]), np.asarray(j1),
+                               rtol=0, atol=3e-6)
