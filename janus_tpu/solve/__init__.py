@@ -12,6 +12,7 @@ from janus_tpu.solve.common import (
     STEP_UNDERFLOW,
     NEWTON_STALL,
     EVENT_TERMINATED,
+    PARAMS_EXHAUSTED,
 )
 from janus_tpu.solve.options import Options
 
@@ -62,6 +63,7 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               events=None, jac: Optional[Callable] = None, mass=None,
               tangents=None, args_tangents=None,
               quad: Optional[Callable] = None, dense: int = 0,
+              step_args: Any = None,
               **opt_kw) -> Solution:
     """Batched initial-value-problem solve.
 
@@ -97,6 +99,18 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               seulex integrate by Gauss-Legendre on their dense
               interpolants. For reverse-mode gradients of integral costs
               use ``radau_adjoint(cost=...)``.
+    step_args: optional pytree of per-ACCEPTED-step parameter slabs
+              ('dopri5'/'dopri853'/'seulex' — the reference's exact
+              adaptive-stepper theta/nparams_step semantics,
+              dopri853ted.hpp:302-308, seulexted.py:326-370): every leaf
+              has leading axis S; a lane's k-th accepted step evaluates
+              all stages/levels with row k, passed to f as
+              ``(args, slab_k)`` (the odeint_fixed convention). Leaves
+              with second axis M are per-lane tables. Lanes that need a
+              row past S fail with status PARAMS_EXHAUSTED (the
+              reference's exhaustion error, per-lane). Prefer
+              models.controls time-indexed schedules when the control
+              should not be coupled to the mesh the controller picks.
     dense   : step-mesh capacity N > 0 (fixed-stage radau, rodas, seulex):
               store each accepted step's interpolant (collocation
               polynomial / CONTRO cubic / extrapolation quartic) so
@@ -126,22 +140,33 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
                          " is supported by the 'radau'/'radaup' methods, "
                          "'seulex', 'rodas' and 'bdf'; use jax.jvp through "
                          "the solve otherwise")
-    if quad is not None and canonical not in ("radau", "rodas", "seulex"):
+    if quad is not None and canonical not in ("radau", "rodas", "seulex",
+                                              "dopri5", "dopri853", "bdf"):
         raise ValueError("quad= (running-cost quadratures) is supported by "
                          "the fixed-stage 'radau' methods (collocation-"
-                         "weight rule, incl. sens_quad), 'rodas' and "
-                         "'seulex' (Gauss-Legendre on the dense "
-                         "interpolant); integrate the cost as an extra "
-                         "state otherwise")
-    if dense and canonical not in ("radau", "rodas", "seulex"):
+                         "weight rule, incl. sens_quad), 'rodas', 'seulex' "
+                         "and 'dopri5'/'dopri853' (Gauss-Legendre on the "
+                         "dense interpolant); integrate the cost as an "
+                         "extra state otherwise")
+    if dense and canonical not in ("radau", "rodas", "seulex",
+                                   "dopri5", "dopri853", "bdf"):
         raise ValueError("dense= (post-hoc Solution.interpolate) is "
                          "supported by the fixed-stage 'radau' methods, "
-                         "'rodas' and 'seulex'; use t_eval= otherwise")
+                         "'rodas', 'seulex' and 'dopri5'/'dopri853'; "
+                         "use t_eval= otherwise")
 
+    if step_args is not None and canonical not in ("dopri5", "dopri853",
+                                                   "seulex"):
+        raise ValueError("step_args= (per-accepted-step parameter slabs, "
+                         "the reference's theta/nparams_step semantics) is "
+                         "supported by 'dopri5'/'dopri853' and 'seulex'; "
+                         "use models.controls time-indexed schedules or "
+                         "solve.fixed.odeint_fixed(step_args=) otherwise")
     if canonical in ("dopri5", "dopri853"):
         from janus_tpu.solve.dopri import TABLEAUS, solve_erk
         return solve_erk(TABLEAUS[canonical], f, t0, tf, y0, args, options,
-                         t_eval, events=events)
+                         t_eval, events=events, step_args=step_args,
+                         quad=quad, dense=dense)
     if canonical in ("radau", "radaup"):
         stages = {"radau5": 3, "radau9": 5, "radau13": 7}.get(method)
         if stages is not None:
@@ -175,6 +200,7 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         return solve_bdf(f, t0, tf, y0, args, options, t_eval,
                          jac=jac, events=events, mass=mass,
                          tangents=tangents, args_tangents=args_tangents,
+                         quad=quad, dense=dense,
                          ndf=(method != "bdf_classic"))
     if canonical == "bdf2":
         from janus_tpu.solve.bdf import solve_bdf2
@@ -184,7 +210,7 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         return solve_seulex(f, t0, tf, y0, args, options, t_eval,
                             jac=jac, mass=mass, events=events,
                             tangents=tangents, args_tangents=args_tangents,
-                            quad=quad, dense=dense)
+                            quad=quad, dense=dense, step_args=step_args)
     if canonical == "rodas":
         from janus_tpu.solve.rodas import solve_rodas
         return solve_rodas(f, t0, tf, y0, args, options, t_eval,
@@ -289,5 +315,5 @@ __all__ = [
     "radau_hvp", "rodas_adjoint", "seulex_adjoint", "dopri_adjoint",
     "ndf_adjoint", "solve_adjoint",
     "RUNNING", "SUCCESS", "MAX_STEPS", "STEP_UNDERFLOW", "NEWTON_STALL",
-    "EVENT_TERMINATED",
+    "EVENT_TERMINATED", "PARAMS_EXHAUSTED",
 ]

@@ -14,6 +14,7 @@ from typing import Any, Callable, Dict, Optional
 import flax.struct as struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Status codes (per trajectory)
 RUNNING = 0
@@ -22,6 +23,9 @@ MAX_STEPS = 2
 STEP_UNDERFLOW = 3
 NEWTON_STALL = 4      # repeated Newton failure / singular iteration matrix
 EVENT_TERMINATED = 5
+PARAMS_EXHAUSTED = 6  # step_args= slab rows ran out before the lane reached
+#                       tf (the reference's per-step theta exhaustion error,
+#                       dopri853ted.hpp:658-666, made per-lane)
 
 
 @struct.dataclass
@@ -98,10 +102,20 @@ class Solution:
         lo = jnp.minimum(tm[:, 0], t_stop)
         hi = jnp.maximum(tm[:, 0], t_stop)
         tq = jnp.clip(ts, lo[:, None], hi[:, None])    # [M, T]
-        theta = (tq[:, None, :] - tm[:, :, None]) \
-            / jnp.where(hm == 0.0, 1.0, hm)[:, :, None]       # [M, N, T]
-        inside = (theta >= 0.0) & (theta < 1.0) & live[:, :, None]
-        at_end = (theta == 1.0) & last_oh[:, :, None]
+        num = tq[:, None, :] - tm[:, :, None]                 # [M, N, T]
+        theta = num / jnp.where(hm == 0.0, 1.0, hm)[:, :, None]
+        # membership tests in MULTIPLICATION form, not on theta: XLA:TPU
+        # divides via a*reciprocal(b) (not correctly rounded), so
+        # (tq−tm)/hm at a step boundary can miss 1.0 by an ulp and the
+        # final query point selects NO step (debugged on chip — the
+        # CLAUDE.md round-2 division rule). num·hm ≥ 0 ⟺ θ ≥ 0 and
+        # (num−hm)·hm < 0 ⟺ θ < 1 for either sign of hm (reverse time);
+        # the endpoint test compares tq against tm+hm, the same rounding
+        # that produced the t_stop clamp, so it is bit-exact.
+        hmc = hm[:, :, None]
+        inside = (num * hmc >= 0.0) & ((num - hmc) * hmc < 0.0) \
+            & live[:, :, None]
+        at_end = (tq[:, None, :] == t_end[:, :, None]) & last_oh[:, :, None]
         sel = (inside | at_end).astype(tm.dtype)       # exclusive one-hot
         s = qm.shape[2]
         thp = jnp.stack([theta ** (p + 1) for p in range(s)], axis=-1)
@@ -184,6 +198,37 @@ def initial_step(f: Callable, t0, y0, f0, tf, order: int, rtol, atol,
     h = jnp.minimum(jnp.minimum(100.0 * h0, h1),
                     jnp.minimum(jnp.abs(tf - t0), max_step))
     return h * direction
+
+
+def make_slab_selector(step_args, m: int, dtype):
+    """Per-accepted-step parameter slabs (the reference's adaptive-stepper
+    ``theta``/``nparams_step`` semantics, dopri853ted.hpp:302-308,
+    seulexted.py:326-370): normalize a pytree whose leaves share leading
+    axis S and return (n_slabs, slab_at) where ``slab_at(nacc)`` one-hot
+    selects each lane's own row (no gathers in the hot loop). Leaves whose
+    SECOND axis equals the batch size m are per-lane tables [S, M, ...]
+    (the reference's per-lane theta layout)."""
+    slabs = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype),
+                                   step_args)
+    leaves = jax.tree_util.tree_leaves(slabs)
+    n_slabs = leaves[0].shape[0]
+    if any(lf.shape[0] != n_slabs for lf in leaves):
+        raise ValueError("step_args leaves must share leading axis S")
+    slab_ids = jnp.arange(n_slabs)
+
+    def slab_at(nacc):
+        # clipped so exhausted lanes stay finite; they are failed separately
+        oh = (jnp.clip(nacc, 0, n_slabs - 1)[:, None]
+              == slab_ids[None, :]).astype(dtype)
+
+        def sel(leaf):
+            if leaf.ndim >= 2 and leaf.shape[1] == m:
+                return jnp.einsum("ms,sm...->m...", oh, leaf)
+            return jnp.einsum("ms,s...->m...", oh, leaf)
+
+        return jax.tree_util.tree_map(sel, slabs)
+
+    return n_slabs, slab_at
 
 
 def zero_stats(m: int, names) -> Dict[str, jnp.ndarray]:

@@ -89,6 +89,7 @@ class _ERKState:
     ev: Any                  # event-detection state dict
     dyn: Any                 # per-step playback (DynTe role)
     mesh: Any                # accepted-step rings for the discrete adjoint
+    q_acc: Any               # [M, Q] running-cost quadrature (0-d unused)
 
 
 def _stages(tab: ERKTableau, f, t, y, h, f0, args):
@@ -139,6 +140,31 @@ def _err_norm(tab: ERKTableau, ks, h, y, y1, rtol, atol):
     denom = jnp.where(denom <= 0.0, 1.0, denom)
     n = y.shape[-1]
     return jnp.abs(h) * e5sq / jnp.sqrt(denom * n)
+
+
+def _dop853_power_matrix():
+    """Constant map from the dop853 ``fall`` rows to the shared power
+    basis: the dense interpolant's alternating (θ, 1−θ) Horner cascade is
+    a degree-7 polynomial LINEAR in the 7 fall coefficients, so expanding
+    the products symbolically (coefficient arrays, lowest power first)
+    gives an exact [7 fall-rows, 7 powers θ¹..θ⁷] matrix with
+    binomial-scale entries — f32-safe, unlike a Vandermonde re-fit
+    (measured 1e-3 f32 error from the degree-7 node fit this replaces)."""
+    a = np.zeros((7, 8))
+    for i in range(7):
+        a[6 - i, 0] += 1.0
+        if i % 2 == 0:                       # acc *= θ  (shift powers up)
+            a = np.roll(a, 1, axis=1)
+            a[:, 0] = 0.0
+        else:                                # acc *= (1 − θ)
+            sh = np.roll(a, 1, axis=1)
+            sh[:, 0] = 0.0
+            a = a - sh
+    assert np.allclose(a[:, 0], 0.0)         # p(0) = y: no constant term
+    return a[:, 1:]
+
+
+_DOP853_POW = _dop853_power_matrix()
 
 
 def _dense_eval_rk45(tab, ks, y, h):
@@ -192,8 +218,43 @@ def _dense_eval_dop853(fall, y):
 
 def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
               options: Optional[Options] = None, t_eval=None,
-              events=None, _mesh_size: int = 0, _h0=None) -> cm.Solution:
+              events=None, step_args=None,
+              quad: Optional[Callable] = None, dense: int = 0,
+              _mesh_size: int = 0, _h0=None) -> cm.Solution:
     """Integrate a batch with an explicit RK method under one lax.while_loop.
+
+    quad: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
+    (or ``[M, Q]``); ``Solution.quad`` accumulates ∫ l dt per accepted step
+    by 3-point Gauss-Legendre on the method's own dense interpolant (the
+    scipy-RK45-quartic / dop853 degree-7 continuous extension), truncated
+    at t* on event-terminated lanes — the CVODES quadrature-integration
+    role on the explicit family.
+
+    dense: step-mesh capacity N > 0: store each accepted step's interpolant
+    expanded EXACTLY into the shared power basis (rk45's dense form is
+    already power-basis; dop853's mixed (θ, 1−θ) Horner cascade maps
+    through a constant binomial-scale matrix — no node re-fitting, so the
+    expansion is f32-safe on chip) and ``Solution.interpolate(ts)``
+    evaluates the solution anywhere post hoc (scipy's ``sol.sol(t)`` role
+    on RK45/DOP853). Size N above the worst lane's step count; overflowing
+    lanes interpolate to NaN.
+
+    step_args: optional pytree of per-ACCEPTED-step parameter slabs — the
+    reference's exact adaptive-stepper semantics (dopri853ted.hpp:302-308
+    ``theta`` sliced by the step count; exhaustion error :658-666). Every
+    leaf has leading axis S (the slab count); a lane's k-th accepted step
+    evaluates ALL its stages with row k, passed to f as ``(args, slab_k)``
+    (the odeint_fixed convention). Leaves whose SECOND axis equals the
+    batch size M are treated as per-lane slab tables [S, M, ...] (the
+    reference's per-lane theta layout). A lane still running after its
+    S-th accepted step fails with status PARAMS_EXHAUSTED — made per-lane
+    instead of a host-side throw. Slabs select by one-hot contraction (no
+    gathers in the hot loop) on each lane's OWN accept count; event
+    functions still receive the plain ``args``. Stage 0 is re-evaluated
+    each attempt (FSAL reuse would leak the previous step's slab across
+    the boundary). For time-indexed controls prefer
+    ``models.controls.piecewise_constant`` — step-indexed slabs couple the
+    parameterization to the mesh the controller happens to choose.
 
     _mesh_size / _h0 are internal (solve/adjoint_dopri.py): record
     (t, h, y) rings of the accepted steps for the discrete adjoint's
@@ -209,6 +270,33 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
     m, dim = y0.shape
     dtype = y0.dtype
+
+    use_quad = quad is not None
+    if use_quad:
+        qshape = jax.eval_shape(lambda: quad(t0, y0, args)).shape
+        if len(qshape) not in (1, 2) or qshape[0] != m:
+            raise ValueError(f"quad must return [M] or [M, Q] with M={m}, "
+                             f"got {qshape}")
+        quad_scalar = len(qshape) == 1
+        qdim = 1 if quad_scalar else qshape[1]
+
+        def _ql(t, y):
+            return cm.canon_cost(quad(t, y, args))
+
+    store_q = bool(dense)
+    mesh_size = max(int(_mesh_size), int(dense))
+    store_mesh = bool(mesh_size)
+    n_pow = 4 if tab.dense == "rk45P" else 7
+
+    use_slabs = step_args is not None
+    if use_slabs:
+        if _mesh_size:
+            raise ValueError("step_args= does not compose with the discrete "
+                             "adjoint (the replay has no slab index); use "
+                             "time-indexed controls "
+                             "(models.controls.piecewise_constant) for "
+                             "reverse mode")
+        n_slabs, slab_at = cm.make_slab_selector(step_args, m, dtype)
     # beta < 0 (the Options default) means "use the method's own default"
     # (0.04 for dopri5, 0.0 for dop853, Hairer's choices)
     beta = opts.beta if opts.beta >= 0 else tab.default_beta
@@ -218,20 +306,21 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
     else:
         expo1 = 1.0 / 8.0 - beta * 0.2
 
-    f0 = f(t0, y0, args)
+    args0 = (args, slab_at(jnp.zeros((m,), jnp.int32))) if use_slabs else args
+    f0 = f(t0, y0, args0)
     if _h0 is not None:
         # per-lane warm-start step (segment chaining, solve/adjoint_dopri):
         # lanes with _h0 == 0 fall back to the automatic initial step
         direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
         h_mag = jnp.abs(jnp.broadcast_to(jnp.asarray(_h0, dtype), (m,)))
         h_auto = jnp.abs(cm.initial_step(f, t0, y0, f0, tf, tab.order,
-                                         opts.rtol, opts.atol, args,
+                                         opts.rtol, opts.atol, args0,
                                          opts.max_step))
         h_mag = jnp.where(h_mag > 0, h_mag, h_auto)
         h = jnp.minimum(h_mag, jnp.abs(tf - t0)) * direction
     elif opts.h0 == 0.0:
         h = cm.initial_step(f, t0, y0, f0, tf, tab.order, opts.rtol, opts.atol,
-                            args, opts.max_step)
+                            args0, opts.max_step)
     else:
         direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
         h = jnp.broadcast_to(jnp.asarray(opts.h0, dtype), (m,)) * direction
@@ -255,10 +344,15 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         stats=stats, out_ys=out_ys,
         ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
         dyn=init_dyn(m, opts.record_steps, dtype),
-        mesh={"t": jnp.zeros((m, _mesh_size), dtype),
-              "h": jnp.zeros((m, _mesh_size), dtype),
-              "y": jnp.zeros((m, _mesh_size, dim), dtype)}
-        if _mesh_size else {},
+        mesh=dict(
+            {"t": jnp.zeros((m, mesh_size), dtype),
+             "h": jnp.zeros((m, mesh_size), dtype),
+             "y": jnp.zeros((m, mesh_size, dim), dtype)},
+            **({"q": jnp.zeros((m, mesh_size, n_pow, dim), dtype)}
+               if store_q else {}))
+        if store_mesh else {},
+        q_acc=jnp.zeros((m, qdim), dtype) if use_quad
+        else jnp.zeros((), dtype),
     )
 
     eps = jnp.finfo(dtype).eps
@@ -274,7 +368,19 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         h = jnp.where(last, remaining, s.h)
         h = jnp.where(h == 0.0, eps, h)  # finished lanes: dummy nonzero
 
-        ks, y1, f_new = _stages(tab, f, s.t, s.y, h, s.f0, args)
+        if use_slabs:
+            # a lane's k-th accepted step runs on slab row k; stage 0 is
+            # re-evaluated so the previous step's slab can't leak in
+            # through the FSAL derivative
+            exhausted = s.active & (s.stats["naccept"] >= n_slabs)
+            fa = (args, slab_at(s.stats["naccept"]))
+            f0_use = f(s.t, s.y, fa)
+        else:
+            exhausted = jnp.zeros((m,), bool)
+            fa = args
+            f0_use = s.f0
+
+        ks, y1, f_new = _stages(tab, f, s.t, s.y, h, f0_use, fa)
         enorm = _err_norm(tab, ks, h, s.y, y1, opts.rtol, opts.atol)
         enorm = jnp.where(jnp.isfinite(enorm), enorm, 1e10)
         enorm = jnp.maximum(enorm, 1e-16)
@@ -289,12 +395,12 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         hnew_rej = h / jnp.minimum(facc1, fac11 / opts.safety)
         hnew = jnp.where(accept, hnew_acc, hnew_rej)
 
-        upd = accept & s.active
+        upd = accept & s.active & ~exhausted
         done = upd & last
 
         out_ys = s.out_ys
         interp = None
-        if use_dense or specs:
+        if use_dense or specs or use_quad or store_q:
             if tab.dense == "rk45P":
                 interp = _dense_eval_rk45(tab, ks, s.y, h)
             else:
@@ -303,7 +409,7 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
                 fall = jax.lax.cond(
                     jnp.any(upd),
                     lambda _: _dop853_fall(tab, f, s.t, s.y, y1, f_new, h,
-                                           ks, args),
+                                           ks, fa),
                     lambda _: jnp.zeros((m, 7, dim), dtype),
                     operand=None)
                 interp = _dense_eval_dop853(fall, s.y)
@@ -316,10 +422,16 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
             out_ys = cm.mask_dense_after_event(out_ys, t_eval, terminate,
                                                t_ev, h)
 
+        if use_quad:
+            q_acc = cm.quad_gl3_step(_ql, s.t, h, interp, upd, terminate,
+                                     t_ev, s.q_acc)
+        else:
+            q_acc = s.q_acc
+
         dyn = record_step(s.dyn, s.active, s.t, h, enorm,
                           jnp.zeros_like(s.stats["nsteps"]), accept)
 
-        if _mesh_size:
+        if store_mesh:
             rows = jnp.arange(m)
             idx = s.stats["naccept"]
             af = upd.astype(dtype)
@@ -329,6 +441,25 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
                 "y": s.mesh["y"].at[rows, idx].add(
                     af[:, None] * s.y, mode="drop"),
             }
+            if store_q:
+                # expand the step interpolant into the shared power basis
+                # EXACTLY: rk45's dense form is already power-basis
+                # (y + h Σ θ^{p+1}(kᵀP)_p); dop853's Horner cascade maps
+                # through the constant _DOP853_POW matrix. where, not af*:
+                # non-accepting lanes can carry NaN stage values and 0·NaN
+                # poisons dead slots the interpolate one-hot still touches
+                # (CLAUDE.md round-4 mesh rule)
+                if tab.dense == "rk45P":
+                    kmat = jnp.stack(ks, axis=1)
+                    qrows = h[:, None, None] * jnp.einsum(
+                        "msd,sq->mqd", kmat, jnp.asarray(tab.p, dtype),
+                        precision=_EINSUM_PRECISION)
+                else:
+                    qrows = jnp.einsum(
+                        "jp,mjd->mpd", jnp.asarray(_DOP853_POW, dtype),
+                        fall, precision=_EINSUM_PRECISION)
+                mesh["q"] = s.mesh["q"].at[rows, idx].add(
+                    jnp.where(upd[:, None, None], qrows, 0.0), mode="drop")
         else:
             mesh = s.mesh
 
@@ -342,10 +473,10 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         stats = dict(s.stats)
         # dop853 interpolant costs 3 extra f evals per accepted step whenever
         # it is built (dense output OR event detection)
-        nf_extra = 3 if ((use_dense or specs) and tab.dense == "dop853D") \
-            else 0
+        nf_extra = 3 if ((use_dense or specs or use_quad or store_q)
+                         and tab.dense == "dop853D") else 0
         stats["nfev"] = stats["nfev"] + s.active * (tab.n_stages + 1) \
-            + upd * nf_extra
+            + upd * nf_extra + (s.active if use_slabs else 0)
         stats["nsteps"] = stats["nsteps"] + s.active
         stats["naccept"] = stats["naccept"] + upd
         stats["nreject"] = stats["nreject"] + (s.active & ~accept)
@@ -359,12 +490,16 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         status = jnp.where(done, cm.SUCCESS, status).astype(jnp.int8)
         status = jnp.where(exceeded, cm.MAX_STEPS, status).astype(jnp.int8)
         status = jnp.where(underflow, cm.STEP_UNDERFLOW, status).astype(jnp.int8)
+        status = jnp.where(exhausted, cm.PARAMS_EXHAUSTED,
+                           status).astype(jnp.int8)
         status = jnp.where(terminate, cm.EVENT_TERMINATED, status).astype(jnp.int8)
-        active = s.active & ~done & ~exceeded & ~underflow & ~terminate
+        active = (s.active & ~done & ~exceeded & ~underflow & ~terminate
+                  & ~exhausted)
 
         return _ERKState(t=t_n, y=y_n, f0=f0_n, h=h_n, facold=facold_n,
                          active=active, status=status, stats=stats,
-                         out_ys=out_ys, ev=ev, dyn=dyn, mesh=mesh)
+                         out_ys=out_ys, ev=ev, dyn=dyn, mesh=mesh,
+                         q_acc=q_acc)
 
     final = jax.lax.while_loop(cond, body, state)
     return cm.Solution(
@@ -375,6 +510,8 @@ def solve_erk(tab: ERKTableau, f: Callable, t0, tf, y0, args=None,
         event_y=final.ev["event_y"] if specs else None,
         event_idx=final.ev["event_idx"] if specs else None,
         dyn=final.dyn,
-        mesh=final.mesh if _mesh_size else None,
+        mesh=final.mesh if store_mesh else None,
+        quad=(final.q_acc[:, 0] if quad_scalar else final.q_acc)
+        if use_quad else None,
         h_next=final.h,
     )

@@ -53,6 +53,30 @@ NEWTON_MAXITER = 4
 _KAPPA_NDF = np.array([0.0, -0.1850, -1.0 / 9.0, -0.0823, -0.0415, 0.0])
 
 
+def _bdf_interp_power():
+    """Exact power-basis coefficients of the backward-difference
+    interpolant's weight polynomials W_j(θ) = Π_{i=0..j} (θ−1+i)/(i+1):
+    the dense form is p(θ) = D[0] + Σ_j W_j(θ)·D[j+1] (j < order), so
+    p(θ) = y_base + Σ_p θ^{p+1}·q_p with q_p = Σ_j C[j,p]·D[j+1] and
+    y_base = D[0] + Σ_j W_j(0)·D[j+1] (only W_0(0) = −1 is nonzero) —
+    constant small-integer-scale matrices, exact in f32 (a degree-5
+    Vandermonde re-fit would amplify roundoff ~1e3×)."""
+    c = np.zeros((MAX_ORDER, MAX_ORDER))      # [j, power-1]
+    base = np.zeros(MAX_ORDER)                # W_j(0)
+    poly = np.array([1.0])                    # lowest power first
+    for j in range(MAX_ORDER):
+        new = np.zeros(poly.size + 1)
+        new[1:] += poly
+        new[:-1] += (j - 1.0) * poly
+        poly = new / (j + 1.0)
+        base[j] = poly[0]
+        c[j, : poly.size - 1] = poly[1:]
+    return c, base
+
+
+_C_BDF_POW, _W_BDF_AT0 = _bdf_interp_power()
+
+
 # NOTE on contraction style: every tiny batched contraction here is written
 # as broadcast-multiply-sum, NOT einsum. XLA:TPU lowers batched einsums like
 # [M,6,6]x[M,6,6] onto the MXU padded to 128x128 tiles (~1e-4 utilization):
@@ -149,15 +173,32 @@ class _NdfState:
     ev: Any
     pmat: Any                 # running composed rescale transform [M, K, K]
     mesh: Any                 # accepted-step rings for the discrete adjoint
+    q_acc: Any                # [M, Q] running-cost quadrature (0-d unused)
 
 
 def solve_bdf(f: Callable, t0, tf, y0, args=None,
               options: Optional[Options] = None, t_eval=None,
               jac: Optional[Callable] = None, events=None, mass=None,
               ndf: bool = True, tangents=None, args_tangents=None,
+              quad: Optional[Callable] = None, dense: int = 0,
               _mesh_size: int = 0,
               _h0=None) -> cm.Solution:
     """Batched adaptive variable-order BDF/NDF solve (orders 1-5).
+
+    quad: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
+    (or ``[M, Q]``); ``Solution.quad`` accumulates ∫ l dt per accepted
+    step by 3-point Gauss-Legendre on the backward-difference
+    interpolating polynomial (the BdfDenseOutput form), truncated at t*
+    on event-terminated lanes — the CVODES quadrature role on the BDF
+    family (its natural home: CVODES IS a BDF code).
+
+    dense: step-mesh capacity N > 0: store each accepted step's
+    backward-difference polynomial expanded EXACTLY into the shared power
+    basis (the constant ``_C_BDF_POW`` weight-polynomial map — f32-safe)
+    so ``Solution.interpolate(ts)`` evaluates the solution anywhere post
+    hoc. The stored base value is the polynomial's own θ=0 value (the BDF
+    interpolant matches the step-START state only to local-error order).
+    Accuracy tracks the interpolant (the t_eval path): O(rtol).
 
     tangents / args_tangents: first-class internal-differentiation forward
     sensitivities (Bock's IND — the CVODES-FSA-on-BDF role,
@@ -207,7 +248,27 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
     m, dim = y0.shape
     dtype = y0.dtype
 
+    use_quad = quad is not None
+    if use_quad:
+        qshape = jax.eval_shape(lambda: quad(t0, y0, args)).shape
+        if len(qshape) not in (1, 2) or qshape[0] != m:
+            raise ValueError(f"quad must return [M] or [M, Q] with M={m}, "
+                             f"got {qshape}")
+        quad_scalar = len(qshape) == 1
+        qdim = 1 if quad_scalar else qshape[1]
+
+        def _ql(t, y):
+            return cm.canon_cost(quad(t, y, args))
+
+    store_q = bool(dense)
+    if store_q and _mesh_size:
+        raise ValueError("dense= does not combine with the adjoint's "
+                         "internal mesh recording (_mesh_size)")
+
     use_sens = tangents is not None or args_tangents is not None
+    if use_sens and (use_quad or store_q):
+        raise ValueError("solve_bdf(tangents=) is terminal-mode only; "
+                         "quad=/dense= with tangents raise")
     if use_sens and (t_eval is not None or events is not None):
         raise ValueError("solve_bdf(tangents=) is terminal-mode only "
                          "(no tangent dense output/event correction); "
@@ -389,7 +450,14 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
               "d": jnp.zeros((m, _mesh_size, dim), dtype),
               "D": jnp.zeros((m, _mesh_size, _SLOTS, dim), dtype),
               "T": jnp.zeros((m, _mesh_size, _K, _K), dtype),
-              "h0": h} if _mesh_size else {},
+              "h0": h} if _mesh_size else
+        ({"t": jnp.zeros((m, dense), dtype),
+          "h": jnp.zeros((m, dense), dtype),
+          "y": jnp.zeros((m, dense, dim), dtype),
+          "q": jnp.zeros((m, dense, MAX_ORDER, dim), dtype)}
+         if store_q else {}),
+        q_acc=jnp.zeros((m, qdim), dtype) if use_quad
+        else jnp.zeros((), dtype),
     )
     eps = jnp.finfo(dtype).eps
     slot_idx = jnp.arange(_SLOTS)
@@ -706,7 +774,7 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         # ---- dense output & events (backward-difference polynomial) ------
         out_ys = st.out_ys
         interp = None
-        if use_dense or specs:
+        if use_dense or specs or use_quad or store_q:
             iidx = jnp.arange(MAX_ORDER, dtype=dtype)
             kmask = jnp.arange(MAX_ORDER)[None, :] < st.order[:, None]
 
@@ -728,6 +796,41 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         if use_dense and specs:
             out_ys = cm.mask_dense_after_event(out_ys, t_eval, terminate,
                                                t_ev, h)
+
+        if use_quad:
+            q_acc = cm.quad_gl3_step(_ql, st.t, h, interp, accept,
+                                     terminate, t_ev, st.q_acc)
+        else:
+            q_acc = st.q_acc
+
+        if store_q:
+            # dense= rings: expand the backward-difference polynomial
+            # EXACTLY into the shared power basis via the constant
+            # _C_BDF_POW map; the base value is the polynomial's own θ=0
+            # value (it matches the step-start y only to local-error
+            # order). where, not accept*: NaN-carrying lanes poison dead
+            # slots under 0·NaN (CLAUDE.md round-4 mesh rule)
+            kmask5 = jnp.arange(MAX_ORDER)[None, :] < st.order[:, None]
+            dmat = jnp.where(kmask5[:, :, None], D_hist[:, 1:_K, :dim], 0.0)
+            qrows = jnp.einsum("mjd,jp->mpd", dmat,
+                               jnp.asarray(_C_BDF_POW, dtype),
+                               precision=_EINSUM_PRECISION)
+            y_base = D_hist[:, 0, :dim] + jnp.einsum(
+                "mjd,j->md", dmat, jnp.asarray(_W_BDF_AT0, dtype),
+                precision=_EINSUM_PRECISION)
+            rows_dq = jnp.arange(m)
+            idxq = st.stats["naccept"]
+            mesh = {
+                "t": mesh["t"].at[rows_dq, idxq].add(
+                    jnp.where(accept, st.t, 0.0), mode="drop"),
+                "h": mesh["h"].at[rows_dq, idxq].add(
+                    jnp.where(accept, h, 0.0), mode="drop"),
+                "y": mesh["y"].at[rows_dq, idxq].add(
+                    jnp.where(accept[:, None], y_base, 0.0), mode="drop"),
+                "q": mesh["q"].at[rows_dq, idxq].add(
+                    jnp.where(accept[:, None, None], qrows, 0.0),
+                    mode="drop"),
+            }
 
         # ---- bookkeeping --------------------------------------------------
         done = accept & last
@@ -778,7 +881,7 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
                                                    st.need_jac))),
             nsing=nsing,
             active=active, status=status, stats=stats, out_ys=out_ys,
-            ev=ev, pmat=pmat_final, mesh=mesh,
+            ev=ev, pmat=pmat_final, mesh=mesh, q_acc=q_acc,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -793,6 +896,8 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
         # R-transforms and the suffix-sum update all leave it equal to y),
         # so its tangent columns at termination are the sensitivities
         sens=_unpack(final.D[:, 0, dim:]) if use_sens else None,
-        mesh=final.mesh if _mesh_size else None,
+        mesh=final.mesh if (_mesh_size or store_q) else None,
+        quad=(final.q_acc[:, 0] if quad_scalar else final.q_acc)
+        if use_quad else None,
         h_next=final.h,
     )

@@ -119,7 +119,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                  events=None, tangents=None,
                  args_tangents=None,
                  quad: Optional[Callable] = None,
-                 dense: int = 0,
+                 dense: int = 0, step_args=None,
                  _mesh_size: int = 0, _h0=None,
                  _force_jac: bool = False) -> cm.Solution:
     """Batched adaptive SEULEX solve (extrapolated linearly implicit Euler).
@@ -174,6 +174,21 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
     dtype = y0.dtype
     jac_fn = jac if jac is not None else default_jacobian(f)
 
+    use_slabs = step_args is not None
+    if use_slabs:
+        # the reference's nparams_step (seulexted.py:13-27, 326-370): every
+        # f/jac evaluation of a lane's k-th accepted-step ATTEMPT (all
+        # ladder levels) uses slab row k, passed as f(t, y, (args, slab_k))
+        if tangents is not None or args_tangents is not None:
+            raise ValueError("step_args= does not compose with tangents= "
+                             "(slab rows are step-indexed; seed the slab "
+                             "table directly via jax.jvp instead)")
+        if _mesh_size:
+            raise ValueError("step_args= does not compose with the discrete "
+                             "adjoint (the replay has no slab index); use "
+                             "time-indexed controls for reverse mode")
+        n_slabs, slab_at = cm.make_slab_selector(step_args, m, dtype)
+
     use_sens = tangents is not None or args_tangents is not None
     if use_sens and (t_eval is not None or events is not None):
         raise ValueError("solve_seulex(tangents=) is terminal-mode only "
@@ -226,21 +241,23 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                               precision=_EINSUM_PRECISION)
         return jnp.einsum("mij,mj->mi", mass, v, precision=_EINSUM_PRECISION)
 
-    f0 = f(t0, y0, args)
+    args0 = (args, slab_at(jnp.zeros((m,), jnp.int32))) if use_slabs \
+        else args
+    f0 = f(t0, y0, args0)
     if _h0 is not None:
         # per-lane warm-start step (segment chaining, solve/adjoint_seulex):
         # lanes with _h0 == 0 fall back to the automatic initial step
         direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
         h_mag = jnp.abs(jnp.broadcast_to(jnp.asarray(_h0, dtype), (m,)))
         h_auto = jnp.abs(cm.initial_step(f, t0, y0, f0, tf, 4, opts.rtol,
-                                         opts.atol, args, opts.max_step)) \
+                                         opts.atol, args0, opts.max_step)) \
             if mass is None else jnp.minimum(1e-3, jnp.abs(tf - t0) * 1e-2)
         h_mag = jnp.where(h_mag > 0, h_mag, h_auto)
         h = jnp.minimum(h_mag, jnp.abs(tf - t0)) * direction
     elif opts.h0 == 0.0:
         if mass is None:
             h = cm.initial_step(f, t0, y0, f0, tf, 4, opts.rtol, opts.atol,
-                                args, opts.max_step)
+                                args0, opts.max_step)
         else:
             direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
             h = jnp.minimum(1e-3, jnp.abs(tf - t0) * 1e-2) * direction
@@ -317,6 +334,15 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         h_abs = jnp.abs(h)
         scale = opts.atol + opts.rtol * jnp.abs(st.y)
 
+        if use_slabs:
+            # a lane's k-th accepted-step attempt (all ladder levels) runs
+            # on slab row k (the reference's nparams_step semantics)
+            exhausted = st.active & (st.stats["naccept"] >= n_slabs)
+            fa = (args, slab_at(st.stats["naccept"]))
+        else:
+            exhausted = jnp.zeros((m,), bool)
+            fa = args
+
         # ---- theta-gated Jacobian refresh (reference :328) ----------------
         # _force_jac (adjoint recording): every NEW step point refreshes, so
         # the replay's fresh jac_fn(t_n, y_n) is the forward matrix exactly
@@ -326,7 +352,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
             needj = st.active & (st.theta > jac_redo) & ~st.calcjac
 
         def do_jac(_):
-            jn = jac_fn(st.t, st.y, args)
+            jn = jac_fn(st.t, st.y, fa)
             return jnp.where(needj[:, None, None], jn, st.jac)
 
         jmat = jax.lax.cond(jnp.any(needj), do_jac, lambda _: st.jac, None)
@@ -389,7 +415,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                 def solve_k(rhs):              # [K, M, D] -> [K, M, D]
                     return jax.vmap(lambda b: lu_solve(lu, piv, b))(rhs)
 
-                d = lu_solve(lu, piv, f(x1, st.y, args))
+                d = lu_solve(lu, piv, f(x1, st.y, fa))
                 ytemp = st.y
                 theta_k = jnp.full((m,), -1.0, dtype)
                 if use_sens:
@@ -402,10 +428,10 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                     dd_s = st.yd
                 # first substep explicitly (stability check for k <= 1)
                 ytemp = ytemp + d
-                fy1 = f(st.t + 2.0 * hsub, ytemp, args)
+                fy1 = f(st.t + 2.0 * hsub, ytemp, fa)
                 if k <= 1:
                     del1 = cm.safe_sqrt(jnp.mean(jnp.square(d / scale), axis=-1))
-                    dytemp = f(x1, ytemp, args)
+                    dytemp = f(x1, ytemp, fa)
                     dd = dytemp - mdot(d) / hsub[:, None]
                     d2v = lu_solve(lu, piv, dd)
                     del2 = cm.safe_sqrt(jnp.mean(jnp.square(d2v / scale),
@@ -423,7 +449,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                     yt = yt + dd
                     # capture the step-midpoint substep (even nj only)
                     ym = jnp.where(nn == nj // 2, yt, ym)
-                    rhs = f(st.t + (nn + 1.0) * hsub, yt, args)
+                    rhs = f(st.t + (nn + 1.0) * hsub, yt, fa)
                     if use_sens:
                         ydc = ydc + dds
                         dds = solve_k(var_rhs(st.t + (nn + 1.0) * hsub, yt,
@@ -538,6 +564,10 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                 decided = decided | ab_m1 | ab_t | ab_p1
                 k_dec = jnp.where(ab_m1 | ab_t | ab_p1, k, k_dec)
 
+        # exhausted step_args lanes may not advance (the reference throws
+        # BEFORE such a step; here the lane fails with PARAMS_EXHAUSTED)
+        accept = accept & ~exhausted
+
         # lanes that ran out of ladder without deciding: treat as reject
         leftover = st.active & ~decided
         reject_h = reject_h | leftover
@@ -615,7 +645,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         nfev_interp = jnp.zeros((m,), jnp.int32)
         if use_dense or specs or use_quad or store_q:
             def build_interp(_):
-                return f(t_new, y_new, args), f(st.t, st.y, args)
+                return f(t_new, y_new, fa), f(st.t, st.y, fa)
 
             def skip_interp(_):
                 z = jnp.zeros((m, dim), dtype)
@@ -746,8 +776,11 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
         status = jnp.where(exceeded, cm.MAX_STEPS, status).astype(jnp.int8)
         status = jnp.where(underflow, cm.STEP_UNDERFLOW, status).astype(jnp.int8)
         status = jnp.where(stall, cm.NEWTON_STALL, status).astype(jnp.int8)
+        status = jnp.where(exhausted, cm.PARAMS_EXHAUSTED,
+                           status).astype(jnp.int8)
         status = jnp.where(terminate, cm.EVENT_TERMINATED, status).astype(jnp.int8)
-        active = st.active & ~done & ~exceeded & ~underflow & ~stall & ~terminate
+        active = (st.active & ~done & ~exceeded & ~underflow & ~stall
+                  & ~terminate & ~exhausted)
 
         return _SxState(
             t=jnp.where(accept, jnp.where(terminate, t_ev, t_new), st.t),

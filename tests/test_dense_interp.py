@@ -73,5 +73,5 @@ def test_interpolate_overflow_is_nan_and_guards():
     with pytest.raises(ValueError, match="dense"):
         plain.interpolate(jnp.array([0.5]))
     with pytest.raises(ValueError, match="dense"):
-        solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="dopri5",
-                  args=jnp.array([300.0]), dense=64)
+        solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="bdf2",
+                  args=jnp.array([300.0]), jac=vdp_jac, dense=64)

@@ -126,3 +126,49 @@ def test_forward_sensitivity_jvp_through_solve():
     primal, tangent = jax.jvp(final_q, (q0,), (jnp.ones(2),))
     # d q(T) / d q0 = cos(ω T)
     np.testing.assert_allclose(tangent, np.cos(tf) * np.ones(2), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# dense= / quad= on the explicit family (scipy RK45/DOP853 dense_output role)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("method,tol", [("dopri5", 1e-13), ("dopri853", 1e-11)])
+def test_dopri_dense_mesh_interpolate(method, tol):
+    # the stored power-basis rows (Chebyshev-node re-expansion of the
+    # quartic / degree-7 continuous extension) must reproduce the t_eval
+    # sampling path to roundoff (dop853's re-expansion amplifies f64
+    # roundoff by the Vandermonde condition — hence the looser band)
+    y0 = jnp.array([[1.0, 0.0], [0.5, 0.2]])
+    ts = jnp.linspace(0.0, 10.0, 37)
+    sol = solve_ivp(harmonic_rhs, (0.0, 10.0), y0, method=method, args=1.0,
+                    rtol=1e-9, atol=1e-12, dense=512)
+    assert bool(jnp.all(sol.status == SUCCESS))
+    yi = sol.interpolate(ts)
+    ref = solve_ivp(harmonic_rhs, (0.0, 10.0), y0, method=method, args=1.0,
+                    rtol=1e-9, atol=1e-12, t_eval=ts)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(ref.ys),
+                               rtol=0, atol=tol)
+    np.testing.assert_allclose(np.asarray(yi[0, :, 0]),
+                               np.cos(np.asarray(ts)), atol=5e-9)
+
+
+@pytest.mark.parametrize("method", ["dopri5", "dopri853"])
+def test_dopri_quad_analytic(method):
+    # integral of cos^2 over [0, 10] = 5 + sin(20)/4
+    y0 = jnp.array([[1.0, 0.0]])
+    sol = solve_ivp(harmonic_rhs, (0.0, 10.0), y0, method=method, args=1.0,
+                    rtol=1e-9, atol=1e-12,
+                    quad=lambda t, y, a: y[:, 0] ** 2)
+    assert int(sol.status[0]) == SUCCESS
+    exact = 5.0 + np.sin(20.0) / 4.0
+    np.testing.assert_allclose(float(sol.quad[0]), exact, rtol=1e-7)
+
+
+def test_dopri_quad_event_truncation():
+    # terminal event at x = 0 (t* = pi/2): q = integral of cos^2 to pi/2
+    from janus_tpu.solve.events import Event
+    ev = Event(lambda t, y, a: y[..., 0], terminal=True, direction=-1.0)
+    sol = solve_ivp(harmonic_rhs, (0.0, 10.0), jnp.array([[1.0, 0.0]]),
+                    method="dopri5", args=1.0, rtol=1e-9, atol=1e-12,
+                    events=ev, quad=lambda t, y, a: y[:, 0] ** 2)
+    np.testing.assert_allclose(float(sol.quad[0]), np.pi / 4.0, rtol=1e-6)

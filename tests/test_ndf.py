@@ -385,3 +385,37 @@ def test_ndf_ind_dual_solve_routing():
     _, j1 = jax.jvp(run, (y0,), (seeds[0],))
     np.testing.assert_allclose(np.asarray(yj.d[0]), np.asarray(j1),
                                rtol=0, atol=3e-6)
+
+
+def test_ndf_dense_mesh_interpolate_and_quad():
+    # dense= stores the backward-difference polynomial in the shared power
+    # basis (base value = interp(0), which keeps the 5-power expansion
+    # exact); interpolate must equal the t_eval sampling path to roundoff.
+    # quad= is GL-3 on the same interpolant vs a scipy-augmented oracle.
+    mus = jnp.array([10.0, 200.0])
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (2, 1))
+    ts = jnp.linspace(0.0, 3.0, 23)
+    sol = solve_ivp(vdp_rhs, (0.0, 3.0), y0, method="bdf", args=mus,
+                    rtol=1e-8, atol=1e-11, dense=2048,
+                    quad=lambda t, y, a: y[:, 0] ** 2)
+    assert bool(jnp.all(sol.status == SUCCESS))
+    yi = sol.interpolate(ts)
+    ref = solve_ivp(vdp_rhs, (0.0, 3.0), y0, method="bdf", args=mus,
+                    rtol=1e-8, atol=1e-11, t_eval=ts)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(ref.ys),
+                               rtol=0, atol=1e-13)
+    for i, mu in enumerate(np.asarray(mus)):
+        oracle = ss(lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0],
+                                  y[0] ** 2],
+                    (0, 3.0), [2.0, 0.0, 0.0], method="Radau",
+                    rtol=1e-11, atol=1e-14)
+        np.testing.assert_allclose(float(sol.quad[i]), oracle.y[2, -1],
+                                   rtol=1e-6, err_msg=f"lane {i}")
+
+
+def test_ndf_dense_overflow_nan():
+    sol = solve_ivp(vdp_rhs, (0.0, 3.0), jnp.array([[2.0, 0.0]]),
+                    method="bdf", args=100.0, rtol=1e-8, atol=1e-11,
+                    dense=4)
+    yi = sol.interpolate(jnp.linspace(0.0, 3.0, 5))
+    assert bool(jnp.all(jnp.isnan(yi)))
