@@ -39,8 +39,11 @@ the computed loss. The reference has forward duals only (rosenbrock family:
 src/fortran/radau.f ROSCOR + radauted_impl.hpp duals); reverse mode on a
 Rosenbrock integrator has no reference counterpart.
 
-Scope: terminal mode (t_eval/events/quad raise — use radau_adjoint for
-those workflows); mass matrices supported including singular index-1 DAE
+Scope: terminal mode, ``t_eval=`` trajectory sampling (chained segments),
+and terminal ``events=`` — ``(y*, t*)`` both reverse-differentiable via
+the vjp of the triggering step's replayed CONTRO-cubic endpoint with a
+differentiable Newton re-polish of θ* (events + t_eval and quad= stay on
+radau_adjoint); mass matrices supported including singular index-1 DAE
 masses for the y0/args gradients (the step map is well-defined whenever the
 forward solve is; algebraic-slot y0 cotangents are the true derivatives of
 the discrete scheme). t0/tf cotangents use the continuous boundary formulas
@@ -63,12 +66,14 @@ from janus_tpu.solve.options import Options
 from janus_tpu.solve.radau import _EINSUM_PRECISION, default_jacobian
 
 
-def _one_step(f, jac_fn, mass, opts, t, h, y, args):
+def _one_step(f, jac_fn, mass, opts, t, h, y, args, want_interp=False):
     """Replay ONE accepted RODAS4 step at frozen (t, h) — the differentiable
     step map Φ. Mirrors the accepted-step arithmetic of solve/rodas.py:263-319
     exactly: J, f, f_t at the step start (every accepted step begins with
     need_jac=True there, so the replay's fresh evaluations reproduce the
-    forward values bit-for-bit), E = M/(hγ) − J factored once, six solves."""
+    forward values bit-for-bit), E = M/(hγ) − J factored once, six solves.
+    want_interp: also return the CONTRO cubic coefficients (cont2, cont3)
+    so the event endpoint can re-interpolate the triggering step."""
     dim = y.shape[-1]
     eye = jnp.eye(dim, dtype=y.dtype)
     jmat = jac_fn(t, y, args)
@@ -110,12 +115,20 @@ def _one_step(f, jac_fn, mass, opts, t, h, y, args):
     f6 = f(t_new, y_emb, args)
     k6 = slv(f6 + mdot(rd.C61 * k1 + rd.C62 * k2 + rd.C63 * k3
                        + rd.C64 * k4 + rd.C65 * k5) / hc)
-    return y_emb + k6
+    y_new = y_emb + k6
+    if not want_interp:
+        return y_new
+    cont2 = (rd.D21 * k1 + rd.D22 * k2 + rd.D23 * k3 + rd.D24 * k4
+             + rd.D25 * k5)
+    cont3 = (rd.D31 * k1 + rd.D32 * k2 + rd.D33 * k3 + rd.D34 * k4
+             + rd.D35 * k5)
+    return y_new, cont2, cont3
 
 
 def rodas_adjoint(f: Callable, tspan, y0, args=None,
                   options: Optional[Options] = None,
-                  jac: Optional[Callable] = None, mass=None, t_eval=None):
+                  jac: Optional[Callable] = None, mass=None, t_eval=None,
+                  events=None):
     """Reverse-differentiable batched adaptive RODAS4 solve.
 
     Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
@@ -132,11 +145,34 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
     with the previous segment's step proposal, so samples are exact solve
     endpoints (the radau_adjoint convention, solve/adjoint.py:100-110).
     Integration stops at t_eval[-1] — include tf to get the endpoint.
+
+    events: optional TERMINAL event spec(s) (every event must be terminal —
+    the radau_adjoint constraint). Returns ``(y, t)``: the state and time a
+    lane stopped at (y*, t* on triggered lanes — lane triggered ⟺
+    t[i] != tf). BOTH are reverse-differentiable: the discrete adjoint's
+    event jump is the vjp of the triggering step's replayed CONTRO-cubic
+    endpoint with θ* re-polished by a differentiable Newton step from the
+    recorded root (the implicit-function correction falls out of AD —
+    starting at a converged root, one polished iteration's derivative
+    equals the IFT derivative to O(residual)). Not combinable with t_eval
+    here (use radau_adjoint for event-truncated dense losses).
     """
     opts = options if options is not None else Options()
     if opts.pallas_lu:
         raise ValueError("rodas_adjoint replays steps under jax.vjp; the "
                          "Pallas LU has no AD rules — use pallas_lu=False")
+    from janus_tpu.solve.events import normalize_events
+    specs = normalize_events(events)
+    if specs:
+        if not all(e.terminal for e in specs):
+            raise ValueError("rodas_adjoint(events=...) requires every "
+                             "event terminal (non-terminal recordings have "
+                             "no gradient contract)")
+        if t_eval is not None:
+            raise ValueError("rodas_adjoint: events + t_eval is not "
+                             "supported on the discrete adjoint; use "
+                             "radau_adjoint (continuous) for event-"
+                             "truncated trajectory losses")
     cap = opts.adjoint_steps
     jac_user = jac
 
@@ -145,18 +181,28 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
     @jax.custom_vjp
     def run(t0, tf, y0, args, h0):
         sol = rd.solve_rodas(f, t0, tf, y0, args, opts, jac=jac_user,
-                             mass=mass, _h0=h0)
+                             mass=mass, events=events or None, _h0=h0)
+        if specs:
+            return sol.y, sol.t, sol.h_next, sol.event_idx
         return sol.y, sol.h_next
 
     def fwd(t0, tf, y0, args, h0):
         sol = rd.solve_rodas(f, t0, tf, y0, args, opts, jac=jac_user,
-                             mass=mass, _mesh_size=cap, _h0=h0)
-        return (sol.y, sol.h_next), (sol.mesh, sol.stats["naccept"], t0, tf,
-                                     y0, args, sol.y, sol.t, h0)
+                             mass=mass, events=events or None,
+                             _mesh_size=cap, _h0=h0)
+        res = (sol.mesh, sol.stats["naccept"], t0, tf,
+               y0, args, sol.y, sol.t, h0,
+               sol.event_idx if specs else None)
+        if specs:
+            return (sol.y, sol.t, sol.h_next, sol.event_idx), res
+        return (sol.y, sol.h_next), res
 
     def bwd(res, out_bar):
-        ybar, _ = out_bar            # h_next is a non-differentiable knob
-        mesh, nacc, t0, tf, y0, args, yT, t_end, h0 = res
+        if specs:
+            ybar, tbar_in, _, _ = out_bar    # h_next/event_idx: knobs
+        else:
+            ybar, _ = out_bar            # h_next is a non-differentiable knob
+        mesh, nacc, t0, tf, y0, args, yT, t_end, h0, ev_idx = res
         t0b, tfb, y0b = cm.broadcast_batch(t0, tf, y0)
         m, dim = y0b.shape
         dtype = y0b.dtype
@@ -175,6 +221,43 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
 
         gl0 = [jnp.zeros(jnp.shape(l), dtype) for l in dleaves]
 
+        if specs:
+            triggered = ev_idx >= 0
+            tbar = jnp.asarray(tbar_in, dtype)
+
+            def g_sel(t, y, dl):
+                # the lane's OWN terminating event function (one-hot over
+                # the spec list by the recorded event_idx)
+                a = rebuild(dl)
+                vals = jnp.stack([jnp.asarray(e.fn(t, y, a), dtype)
+                                  for e in specs], axis=0)      # [K, M]
+                oh = (jnp.arange(len(specs))[:, None]
+                      == jnp.maximum(ev_idx, 0)[None, :]).astype(dtype)
+                return jnp.sum(oh * vals, axis=0)
+
+            def evt_endpoint(t, h, y, dl, th0):
+                # (y*, t*) of the triggering step as a differentiable map:
+                # replay the step, rebuild the CONTRO cubic, and re-polish
+                # θ* by TWO Newton iterations from the recorded root —
+                # starting converged, the polished iterate's derivative
+                # equals the implicit-function derivative to O(residual²)
+                y_new, c2, c3 = _one_step(fa, jac_fn, mass, opts, t, h, y,
+                                          dl, want_interp=True)
+
+                def yi(th):
+                    e = th[:, None]
+                    return (y * (1.0 - e)
+                            + e * (y_new + (1.0 - e) * (c2 + e * c3)))
+
+                def gfun(th):
+                    return g_sel(t + th * h, yi(th), dl)
+
+                th = th0
+                for _ in range(2):
+                    gv, dg = jax.jvp(gfun, (th,), (jnp.ones_like(th),))
+                    th = th - gv / jnp.where(dg == 0.0, 1.0, dg)
+                return yi(th), t + th * h
+
         def body(carry, k):
             lam, gl = carry
             live = k < nacc                                   # [M]
@@ -186,9 +269,37 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
                 tk = jnp.where(live, mesh["t"][:, k], t0b)
                 hk = jnp.where(live, mesh["h"][:, k], 1.0)
                 yk = jnp.where(live[:, None], mesh["y"][:, k], y0b)
+                lam_in = jnp.where(live[:, None], lam, 0.0)
+                if specs:
+                    # the triggering lane's LAST live slot carries the
+                    # whole (ȳ*, t̄*) cotangent through the event endpoint
+                    # instead of the plain step map
+                    is_evt = live & triggered & (k == nacc - 1)
+                    lam_in = jnp.where(is_evt[:, None], 0.0, lam_in)
                 _, pull = jax.vjp(
                     lambda yy, dl: step(tk, hk, yy, dl), yk, dleaves)
-                dy, dgl = pull(jnp.where(live[:, None], lam, 0.0))
+                dy, dgl = pull(lam_in)
+                if specs:
+                    th0 = jnp.clip(
+                        (t_end - tk) / jnp.where(hk == 0.0, 1.0, hk),
+                        0.0, 1.0)
+                    th0 = jnp.where(is_evt, th0, 0.5)
+
+                    def do_evt(_):
+                        _, pull_e = jax.vjp(
+                            lambda yy, dl: evt_endpoint(tk, hk, yy, dl,
+                                                        th0), yk, dleaves)
+                        return pull_e(
+                            (jnp.where(is_evt[:, None], lam, 0.0),
+                             jnp.where(is_evt, tbar, 0.0)))
+
+                    dye, dgle = jax.lax.cond(
+                        jnp.any(is_evt), do_evt,
+                        lambda _: (jnp.zeros_like(lam),
+                                   [jnp.zeros(jnp.shape(l), dtype)
+                                    for l in dleaves]), None)
+                    dy = dy + jnp.where(is_evt[:, None], dye, 0.0)
+                    dgl = [g + ge for g, ge in zip(dgl, dgle)]
                 return (jnp.where(live[:, None], dy, lam),
                         [g + dg for g, dg in zip(gl, dgl)])
 
@@ -217,6 +328,11 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
             return lu_solve(lu_m, piv_m, fv)
 
         tf_bar = jnp.sum(ybar * ydot(t_end, yT), axis=-1)     # [M]
+        if specs:
+            # triggered lanes stop at t* < tf: tf moves nothing (frozen
+            # mesh); the (ȳ*, t̄*) pull went through the event endpoint.
+            # Non-triggered lanes return t = tf exactly, so t̄ adds 1:1.
+            tf_bar = jnp.where(triggered, 0.0, tf_bar + tbar)
         t0_bar = -jnp.sum(lam0 * ydot(t0b, y0b), axis=-1)     # [M]
 
         t0_ct = jnp.sum(t0_bar) if jnp.ndim(t0) == 0 else \
@@ -234,6 +350,9 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
     run.defvjp(fwd, bwd)
 
     if t_eval is None:
+        if specs:
+            y, t_term, _, _ = run(t0_in, tf_in, y0, args, None)
+            return y, t_term
         y, _ = run(t0_in, tf_in, y0, args, None)
         return y
 
