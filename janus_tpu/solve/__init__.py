@@ -282,10 +282,11 @@ def solve_adjoint(f: Callable, tspan, y0, method: str = "radau",
 
     method: 'radau' (continuous adjoint: also takes events=, cost=, n_alg=,
     checkpoints=, mass=, jac= — see radau_adjoint), 'rodas' / 'seulex' /
-    'bdf' (discrete adjoints; mass=, jac=; rodas also takes terminal
-    events= — returns (y*, t*), both differentiable), 'dopri5' /
-    'dopri853' (discrete adjoint on the explicit family). Aliases follow
-    solve_ivp's table.
+    'bdf' (discrete adjoints; mass=, jac=), 'dopri5' / 'dopri853'
+    (discrete adjoint on the explicit family). 'rodas' and the dopri
+    methods also take terminal events= — they return (y*, t*), both
+    reverse-differentiable (the neural-ODE-with-stopping-condition
+    training path). Aliases follow solve_ivp's table.
     Unsupported methods raise — forward-mode (tangents=/jet) covers the
     rest; reference: the upstream framework has forward duals only.
     """

@@ -34,9 +34,12 @@ at a benign substitute point with stiff parameters can overflow to inf and
 cotangents do NOT protect leaf cotangents — the recorded rodas/seulex
 dead-slot lesson).
 
-Scope: terminal mode and ``t_eval=`` trajectory sampling (chained
+Scope: terminal mode, ``t_eval=`` trajectory sampling (chained
 warm-started adaptive segments, the radau/rodas/seulex adjoint
-convention); events raise — use radau_adjoint for event-truncated losses.
+convention), and terminal ``events=`` — ``(y*, t*)`` both
+reverse-differentiable via the vjp of the triggering step's replayed
+dense interpolant with a differentiable Newton re-polish of θ* (the
+rodas_adjoint event mechanics; events + t_eval stays on radau_adjoint).
 The reference's explicit family has forward duals only
 (src/cpp/dopri853ted.hpp — every state a TensorDual).
 """
@@ -51,15 +54,19 @@ import numpy as np
 
 from janus_tpu.solve import common as cm
 from janus_tpu.solve.adjoint import _split_diff
-from janus_tpu.solve.dopri import TABLEAUS, solve_erk
+from janus_tpu.solve.dopri import (TABLEAUS, solve_erk, _dense_eval_rk45,
+                                   _dense_eval_dop853, _dop853_fall)
 from janus_tpu.solve.options import Options
 
 
-def _one_step(tab, f, t, h, y, args, live=None):
+def _one_step(tab, f, t, h, y, args, live=None, want_interp=False):
     """Replay ONE accepted explicit-RK step at frozen (t, h) — the
     differentiable step map Φ. Mirrors solve/dopri.py _stages exactly
     (stage 0 = fresh f(t, y) = the FSAL value, see module docstring); the
-    trailing FSAL evaluation f(t+h, y1) does not feed y1 and is omitted.
+    trailing FSAL evaluation f(t+h, y1) does not feed y1 and is omitted
+    unless ``want_interp`` asks for the step's dense interpolant (the
+    event endpoint needs it — rk45's quartic uses f_new's row of P;
+    dop853 rebuilds the 3 extra interpolation stages too).
     ``live`` masks the RHS to zero for lanes replaying a dead mesh slot, so
     their cascade is the identity (explicit stages can overflow at benign
     substitute points with stiff parameters)."""
@@ -80,12 +87,22 @@ def _one_step(tab, f, t, h, y, args, live=None):
         if tab.b[j] != 0.0:
             term = ks[j] * tab.b[j]
             acc = term if acc is None else acc + term
-    return y + h[:, None] * acc
+    y1 = y + h[:, None] * acc
+    if not want_interp:
+        return y1
+    f_new = feval(t + h, y1)
+    if tab.dense == "rk45P":
+        interp = _dense_eval_rk45(tab, ks + [f_new], y, h)
+    else:
+        fall = _dop853_fall(tab, lambda tt, yy, aa: feval(tt, yy),
+                            t, y, y1, f_new, h, ks + [f_new], args)
+        interp = _dense_eval_dop853(fall, y)
+    return y1, interp
 
 
 def dopri_adjoint(f: Callable, tspan, y0, args=None,
                   options: Optional[Options] = None, t_eval=None,
-                  method: str = "dopri5"):
+                  method: str = "dopri5", events=None):
     """Reverse-differentiable batched adaptive Dormand-Prince solve.
 
     Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
@@ -104,30 +121,61 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
     with the previous segment's step proposal, so samples are exact solve
     endpoints (the radau_adjoint convention, solve/adjoint.py:100-110).
     Integration stops at t_eval[-1] — include tf to get the endpoint.
+
+    events: optional TERMINAL event spec(s). Returns ``(y, t)``: the state
+    and time each lane stopped at ((y*, t*) on triggered lanes), BOTH
+    reverse-differentiable — the neural-ODE-with-stopping-condition
+    training path. The triggering step's cotangents pull through the vjp
+    of its replayed dense interpolant (the rk45 quartic / dop853 degree-7
+    extension) with θ* re-polished by a differentiable Newton step from
+    the recorded root (the rodas_adjoint event mechanics). Not combinable
+    with t_eval here.
     """
     if method not in TABLEAUS:
         raise ValueError(f"dopri_adjoint: unknown method {method!r}; "
                          f"choose from {sorted(TABLEAUS)}")
     tab = TABLEAUS[method]
     opts = options if options is not None else Options()
+    from janus_tpu.solve.events import normalize_events
+    specs = normalize_events(events)
+    if specs:
+        if not all(e.terminal for e in specs):
+            raise ValueError("dopri_adjoint(events=...) requires every "
+                             "event terminal (non-terminal recordings "
+                             "have no gradient contract)")
+        if t_eval is not None:
+            raise ValueError("dopri_adjoint: events + t_eval is not "
+                             "supported on the discrete adjoint; use "
+                             "radau_adjoint (continuous) for event-"
+                             "truncated trajectory losses")
     cap = opts.adjoint_steps
 
     t0_in, tf_in = tspan
 
     @jax.custom_vjp
     def run(t0, tf, y0, args, h0):
-        sol = solve_erk(tab, f, t0, tf, y0, args, opts, _h0=h0)
+        sol = solve_erk(tab, f, t0, tf, y0, args, opts,
+                        events=events or None, _h0=h0)
+        if specs:
+            return sol.y, sol.t, sol.h_next, sol.event_idx
         return sol.y, sol.h_next
 
     def fwd(t0, tf, y0, args, h0):
-        sol = solve_erk(tab, f, t0, tf, y0, args, opts, _mesh_size=cap,
-                        _h0=h0)
-        return (sol.y, sol.h_next), (sol.mesh, sol.stats["naccept"], t0, tf,
-                                     y0, args, sol.y, sol.t, h0)
+        sol = solve_erk(tab, f, t0, tf, y0, args, opts,
+                        events=events or None, _mesh_size=cap, _h0=h0)
+        res = (sol.mesh, sol.stats["naccept"], t0, tf,
+               y0, args, sol.y, sol.t, h0,
+               sol.event_idx if specs else None)
+        if specs:
+            return (sol.y, sol.t, sol.h_next, sol.event_idx), res
+        return (sol.y, sol.h_next), res
 
     def bwd(res, out_bar):
-        ybar, _ = out_bar            # h_next is a non-differentiable knob
-        mesh, nacc, t0, tf, y0, args, yT, t_end, h0 = res
+        if specs:
+            ybar, tbar_in, _, _ = out_bar    # h_next/event_idx: knobs
+        else:
+            ybar, _ = out_bar            # h_next is a non-differentiable knob
+        mesh, nacc, t0, tf, y0, args, yT, t_end, h0, ev_idx = res
         t0b, tfb, y0b = cm.broadcast_batch(t0, tf, y0)
         m, dim = y0b.shape
         dtype = y0b.dtype
@@ -139,6 +187,41 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
             return f(t, y, rebuild(dl))
 
         gl0 = [jnp.zeros(jnp.shape(l), dtype) for l in dleaves]
+
+        if specs:
+            triggered = ev_idx >= 0
+            tbar = jnp.asarray(tbar_in, dtype)
+
+            def g_sel(t, y, dl):
+                # the lane's OWN terminating event function (one-hot over
+                # the spec list by the recorded event_idx)
+                a = rebuild(dl)
+                vals = jnp.stack([jnp.asarray(e.fn(t, y, a), dtype)
+                                  for e in specs], axis=0)      # [K, M]
+                oh = (jnp.arange(len(specs))[:, None]
+                      == jnp.maximum(ev_idx, 0)[None, :]).astype(dtype)
+                return jnp.sum(oh * vals, axis=0)
+
+            def evt_endpoint(t, h, y, dl, th0, live):
+                # (y*, t*) of the triggering step as a differentiable map:
+                # replay the step + its dense interpolant and re-polish θ*
+                # by TWO Newton iterations from the recorded root (starting
+                # converged, the polished iterate's derivative equals the
+                # implicit-function derivative to O(residual²))
+                _, interp = _one_step(tab, fa, t, h, y, dl, live=live,
+                                      want_interp=True)
+
+                def yi(th):
+                    return interp(th[:, None])[:, 0]
+
+                def gfun(th):
+                    return g_sel(t + th * h, yi(th), dl)
+
+                th = th0
+                for _ in range(2):
+                    gv, dg = jax.jvp(gfun, (th,), (jnp.ones_like(th),))
+                    th = th - gv / jnp.where(dg == 0.0, 1.0, dg)
+                return yi(th), t + th * h
 
         def body(carry, k):
             lam, gl = carry
@@ -154,10 +237,36 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
             tk = jnp.where(live, mesh["t"][:, k], t0b)
             hk = jnp.where(live, mesh["h"][:, k], 1.0)
             yk = jnp.where(live[:, None], mesh["y"][:, k], y0b)
+            lam_in = jnp.where(live[:, None], lam, 0.0)
+            if specs:
+                # the triggering lane's LAST live slot carries the whole
+                # (ȳ*, t̄*) cotangent through the event endpoint instead
+                # of the plain step map
+                is_evt = live & triggered & (k == nacc - 1)
+                lam_in = jnp.where(is_evt[:, None], 0.0, lam_in)
             _, pull = jax.vjp(
                 lambda yy, dl: _one_step(tab, fa, tk, hk, yy, dl,
                                          live=live), yk, dleaves)
-            dy, dgl = pull(jnp.where(live[:, None], lam, 0.0))
+            dy, dgl = pull(lam_in)
+            if specs:
+                th0 = jnp.clip(
+                    (t_end - tk) / jnp.where(hk == 0.0, 1.0, hk), 0.0, 1.0)
+                th0 = jnp.where(is_evt, th0, 0.5)
+
+                def do_evt(_):
+                    _, pull_e = jax.vjp(
+                        lambda yy, dl: evt_endpoint(tk, hk, yy, dl, th0,
+                                                    live), yk, dleaves)
+                    return pull_e((jnp.where(is_evt[:, None], lam, 0.0),
+                                   jnp.where(is_evt, tbar, 0.0)))
+
+                dye, dgle = jax.lax.cond(
+                    jnp.any(is_evt), do_evt,
+                    lambda _: (jnp.zeros_like(lam),
+                               [jnp.zeros(jnp.shape(l), dtype)
+                                for l in dleaves]), None)
+                dy = dy + jnp.where(is_evt[:, None], dye, 0.0)
+                dgl = [g + ge for g, ge in zip(dgl, dgle)]
             return (jnp.where(live[:, None], dy, lam),
                     [g + dg for g, dg in zip(gl, dgl)]), None
 
@@ -172,6 +281,11 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
         gl = [jnp.where(any_over, jnp.nan, g) for g in gl]
 
         tf_bar = jnp.sum(ybar * fa(t_end, yT, dleaves), axis=-1)    # [M]
+        if specs:
+            # triggered lanes stop at t* < tf (frozen mesh: tf moves
+            # nothing; the (ȳ*, t̄*) pull went through the event
+            # endpoint); non-triggered lanes return t = tf exactly
+            tf_bar = jnp.where(triggered, 0.0, tf_bar + tbar)
         t0_bar = -jnp.sum(lam0 * fa(t0b, y0b, dleaves), axis=-1)    # [M]
 
         t0_ct = jnp.sum(t0_bar) if jnp.ndim(t0) == 0 else \
@@ -189,6 +303,9 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
     run.defvjp(fwd, bwd)
 
     if t_eval is None:
+        if specs:
+            y, t_term, _, _ = run(t0_in, tf_in, y0, args, None)
+            return y, t_term
         y, _ = run(t0_in, tf_in, y0, args, None)
         return y
 

@@ -228,3 +228,70 @@ def test_t_eval_trajectory_fitting_pytree_args():
         fd = (lfd(y0, p, ts.at[j].add(eps))
               - lfd(y0, p, ts.at[j].add(-eps))) / (2 * eps)
         assert abs(g_ts[j] - fd) <= 1e-5 * abs(fd)
+
+
+def test_dopri_adjoint_terminal_events_mixed_batch():
+    """events= on the explicit discrete adjoint (the neural-ODE-with-
+    stopping-condition path): mixed trigger/no-trigger batch vs an
+    ANALYTIC oracle. Harmonic x = cos(w t), event x = c: t* = acos(c)/w
+    is independent of w·t* → L = c² + w²(1−c²) + 2·acos(c)/w has
+    dL/dw = 2w(1−c²) − 2·acos(c)/w². (FD is the WRONG oracle at tight
+    rtol: the mesh-noise/eps ratio diverges — measured eps=1e-7 gives
+    -0.7129 vs analytic -0.71220735; the adjoint hits it to 1e-8.)"""
+    from janus_tpu.solve import solve_ivp
+    from janus_tpu.solve.events import Event
+
+    w = jnp.array([1.0, 1.3])
+    y0 = jnp.array([[1.0, 0.0], [1.0, 0.0]])
+    c = 0.3
+    thr = jnp.array([c, -50.0])     # lane 0 triggers; lane 1 never
+    ev = Event(lambda t, y, a: y[..., 0] - thr, terminal=True,
+               direction=-1.0)
+    opts = Options(rtol=1e-10, atol=1e-13, adjoint_steps=512)
+
+    def rhs(t, y, a):
+        return jnp.stack([y[..., 1], -(a ** 2) * y[..., 0]], axis=-1)
+
+    for method in ("dopri5", "dopri853"):
+        def loss(y0_, w_):
+            y, t = dopri_adjoint(rhs, (0.0, 2.0), y0_, args=w_,
+                                 options=opts, method=method, events=ev)
+            return jnp.sum(y ** 2) + 2.0 * jnp.sum(t), (y, t)
+
+        (val, (y, t)), grads = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(y0, w)
+        np.testing.assert_allclose(float(t[0]), np.arccos(c) / float(w[0]),
+                                   rtol=1e-10)
+        assert float(t[1]) == 2.0
+
+        # forward parity
+        sol = solve_ivp(rhs, (0.0, 2.0), y0, method=method, args=w,
+                        options=opts, events=ev)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(sol.y))
+        np.testing.assert_array_equal(np.asarray(t), np.asarray(sol.t))
+
+        # analytic lane-0 parameter gradient
+        w0 = float(w[0])
+        dldw = 2 * w0 * (1 - c ** 2) - 2 * np.arccos(c) / w0 ** 2
+        np.testing.assert_allclose(float(grads[1][0]), dldw, rtol=1e-6,
+                                   err_msg=method)
+        # no-trigger lane: L1 = cos²(2w) + 4w²sin²(2w)/4... compute directly:
+        # y(2) = (cos(2w), -w sin(2w)); L1 = cos² + w² sin² + 2·2
+        w1 = float(w[1])
+        dl1 = (-2 * np.cos(2 * w1) * np.sin(2 * w1) * 2
+               + 2 * w1 * np.sin(2 * w1) ** 2
+               + w1 ** 2 * 2 * np.sin(2 * w1) * np.cos(2 * w1) * 2)
+        np.testing.assert_allclose(float(grads[1][1]), dl1, rtol=1e-6,
+                                   err_msg=method)
+
+
+def test_dopri_adjoint_events_guards():
+    from janus_tpu.solve.events import Event
+    ev_nt = Event(lambda t, y, a: y[..., 0], terminal=False)
+    with pytest.raises(ValueError, match="terminal"):
+        dopri_adjoint(lambda t, y, a: -y, (0.0, 1.0), jnp.zeros((1, 2)),
+                      events=ev_nt)
+    ev = Event(lambda t, y, a: y[..., 0], terminal=True)
+    with pytest.raises(ValueError, match="t_eval"):
+        dopri_adjoint(lambda t, y, a: -y, (0.0, 1.0), jnp.zeros((1, 2)),
+                      events=ev, t_eval=jnp.array([0.5, 1.0]))
