@@ -140,14 +140,15 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
                          " is supported by the 'radau'/'radaup' methods, "
                          "'seulex', 'rodas' and 'bdf'; use jax.jvp through "
                          "the solve otherwise")
-    if quad is not None and canonical not in ("radau", "rodas", "seulex",
-                                              "dopri5", "dopri853", "bdf"):
+    if quad is not None and canonical not in ("radau", "radaup", "rodas",
+                                              "seulex", "dopri5",
+                                              "dopri853", "bdf"):
         raise ValueError("quad= (running-cost quadratures) is supported by "
                          "the fixed-stage 'radau' methods (collocation-"
-                         "weight rule, incl. sens_quad), 'rodas', 'seulex' "
-                         "and 'dopri5'/'dopri853' (Gauss-Legendre on the "
-                         "dense interpolant); integrate the cost as an "
-                         "extra state otherwise")
+                         "weight rule, incl. sens_quad), 'radaup', 'rodas',"
+                         " 'seulex', 'bdf' and 'dopri5'/'dopri853' (Gauss-"
+                         "Legendre on the dense interpolant); integrate "
+                         "the cost as an extra state otherwise")
     if dense and canonical not in ("radau", "rodas", "seulex",
                                    "dopri5", "dopri853", "bdf"):
         raise ValueError("dense= (post-hoc Solution.interpolate) is "
@@ -175,9 +176,6 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
             # variable order by default: stages 1..7
             options = options.replace(min_stages=1, max_stages=7)
         if options.min_stages != options.max_stages:
-            if quad is not None:
-                raise ValueError("quad= requires a fixed stage count "
-                                 "(min_stages == max_stages)")
             if options.stage_solver != "lu":
                 raise ValueError("stage_solver='gmres' is supported by the "
                                  "fixed-stage 'radau' methods only")
@@ -185,7 +183,7 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
             return solve_radau_vo(f, t0, tf, y0, args, options, t_eval,
                                   jac=jac, mass=mass, events=events,
                                   tangents=tangents,
-                                  args_tangents=args_tangents)
+                                  args_tangents=args_tangents, quad=quad)
         from janus_tpu.solve.radau import solve_radau
         return solve_radau(f, t0, tf, y0, args, options, t_eval,
                            jac=jac, mass=mass, events=events,

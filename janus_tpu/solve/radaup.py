@@ -61,6 +61,7 @@ class _VState:
     q_poly: jnp.ndarray       # [M, smax, D] padded collocation poly coeffs
     h_prev: jnp.ndarray
     have_sol: jnp.ndarray
+    q_acc: Any                # [M, Q] running-cost quadrature (0-d unused)
     active: jnp.ndarray
     status: jnp.ndarray
     stats: dict
@@ -73,8 +74,18 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
                    options: Optional[Options] = None, t_eval=None,
                    jac: Optional[Callable] = None, mass=None,
                    events=None, tangents=None,
-                   args_tangents=None) -> cm.Solution:
+                   args_tangents=None,
+                   quad: Optional[Callable] = None) -> cm.Solution:
     """Variable-order Radau IIA with optional first-class IND tangents.
+
+    quad: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
+    (or ``[M, Q]``); ``Solution.quad`` = ∫ l dt accumulated per accepted
+    step by 3-point Gauss-Legendre on the lane's own collocation
+    interpolant (truncated at t* on event-terminated lanes). Quadrature
+    error is O(h^6) per step regardless of the lane's order — use the
+    fixed-stage radau collocation-weight rule for order-matched
+    quadratures; IND quadrature sensitivities (sens_quad) also stay on
+    the fixed-stage path.
 
     tangents / args_tangents: seed directions for internal-differentiation
     forward sensitivities (terminal state only; the reference's dual
@@ -86,6 +97,11 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
     opts = options if options is not None else Options()
     specs = normalize_events(events)
     use_sens = tangents is not None or args_tangents is not None
+    use_quad = quad is not None
+    if use_quad and use_sens:
+        raise ValueError("radaup quad= has no IND quadrature tangents; "
+                         "use the fixed-stage 'radau' method for "
+                         "sens_quad")
     if use_sens and (events is not None or t_eval is not None):
         raise ValueError(
             "radaup tangents= are terminal-state only; for tangents "
@@ -119,6 +135,16 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
     m, dim = y0.shape
     dtype = y0.dtype
+    if use_quad:
+        qshape = jax.eval_shape(lambda: quad(t0, y0, args)).shape
+        if len(qshape) not in (1, 2) or qshape[0] != m:
+            raise ValueError(f"quad must return [M] or [M, Q] with M={m}, "
+                             f"got {qshape}")
+        quad_scalar = len(qshape) == 1
+        qdim = 1 if quad_scalar else qshape[1]
+
+        def _ql(t, y):
+            return cm.canon_cost(quad(t, y, args))
     jac_fn = jac if jac is not None else default_jacobian(f)
     # index-2/3 DAE error/Newton weighting (shared with solve_radau)
     ind_exp, use_index = cm.index_weights(opts, dim, dtype)
@@ -185,6 +211,8 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         q_poly=jnp.zeros((m, smax, dim), dtype),
         h_prev=jnp.ones((m,), dtype),
         have_sol=jnp.zeros((m,), bool),
+        q_acc=jnp.zeros((m, qdim), dtype) if use_quad
+        else jnp.zeros((), dtype),
         active=~already_done,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
         stats=stats, out_ys=out_ys,
@@ -415,7 +443,7 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         q_poly = jnp.where(accept[:, None, None], q_new, st.q_poly)
         out_ys = st.out_ys
         interp = None
-        if use_dense or specs:
+        if use_dense or specs or use_quad:
             def interp(theta):
                 tp = jnp.stack([theta ** (q + 1) for q in range(smax)],
                                axis=-1)
@@ -429,6 +457,12 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         if use_dense and specs:
             out_ys = cm.mask_dense_after_event(out_ys, t_eval, terminate,
                                                t_ev, h)
+
+        if use_quad:
+            q_acc = cm.quad_gl3_step(_ql, st.t, h, interp, accept,
+                                     terminate, t_ev, st.q_acc)
+        else:
+            q_acc = st.q_acc
 
         dyn = record_step(st.dyn, attempted | singular, st.t, h, enorm,
                           niter, accept)
@@ -495,6 +529,7 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
             q_poly=q_poly,
             h_prev=jnp.where(accept, h, st.h_prev),
             have_sol=st.have_sol | accept,
+            q_acc=q_acc,
             active=active, status=status, stats=stats, out_ys=out_ys,
             ev=ev, dyn=dyn,
         )
@@ -503,6 +538,8 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
     return cm.Solution(
         t=final.t, y=final.y, status=final.status, stats=final.stats,
         sens=final.yd if use_sens else None,
+        quad=(final.q_acc[:, 0] if quad_scalar else final.q_acc)
+        if use_quad else None,
         ts=t_eval if use_dense else None,
         ys=final.out_ys if use_dense else None,
         event_t=final.ev["event_t"] if specs else None,

@@ -384,3 +384,38 @@ def test_quad_rodas_seulex_event_truncation(method, qtol):
         t = float(sol.t[i])
         np.testing.assert_allclose(float(sol.quad[i, 1]),
                                    t / 2 + np.sin(2 * t) / 4, rtol=qtol)
+
+
+def test_radaup_quad_matches_scipy_augmented():
+    """quad= on the variable-order ladder: GL-3 on the lane's own
+    collocation interpolant vs scipy Radau on the augmented system."""
+    from scipy.integrate import solve_ivp as sp_solve_ivp
+    from janus_tpu.models.problems import vdp_rhs
+    from janus_tpu.solve import solve_ivp, SUCCESS
+
+    mus = jnp.array([10.0, 500.0])
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (2, 1))
+    sol = solve_ivp(vdp_rhs, (0.0, 2.0), y0, method="radaup", args=mus,
+                    rtol=1e-9, atol=1e-12, quad=lambda t, y, a: y[:, 0] ** 2)
+    assert bool(jnp.all(sol.status == SUCCESS))
+    for i, mu in enumerate(np.asarray(mus)):
+        ref = sp_solve_ivp(
+            lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0],
+                          y[0] ** 2],
+            (0, 2.0), [2.0, 0.0, 0.0], method="Radau",
+            rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(float(sol.quad[i]), ref.y[2, -1],
+                                   rtol=1e-8, err_msg=f"lane {i}")
+
+
+def test_radaup_quad_event_truncation():
+    """event-terminated lanes integrate the cost only to t* (harmonic
+    x = cos t, event x = 0 at t* = pi/2: integral of cos^2 = pi/4)."""
+    from janus_tpu.models.problems import harmonic_rhs
+    from janus_tpu.solve import solve_ivp
+
+    ev = Event(lambda t, y, a: y[..., 0], terminal=True, direction=-1.0)
+    sol = solve_ivp(harmonic_rhs, (0.0, 10.0), jnp.array([[1.0, 0.0]]),
+                    method="radaup", args=1.0, rtol=1e-10, atol=1e-13,
+                    events=ev, quad=lambda t, y, a: y[:, 0] ** 2)
+    np.testing.assert_allclose(float(sol.quad[0]), np.pi / 4.0, rtol=1e-7)
