@@ -149,12 +149,12 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
                          " 'seulex', 'bdf' and 'dopri5'/'dopri853' (Gauss-"
                          "Legendre on the dense interpolant); integrate "
                          "the cost as an extra state otherwise")
-    if dense and canonical not in ("radau", "rodas", "seulex",
+    if dense and canonical not in ("radau", "radaup", "rodas", "seulex",
                                    "dopri5", "dopri853", "bdf"):
         raise ValueError("dense= (post-hoc Solution.interpolate) is "
-                         "supported by the fixed-stage 'radau' methods, "
-                         "'rodas', 'seulex' and 'dopri5'/'dopri853'; "
-                         "use t_eval= otherwise")
+                         "supported by the 'radau'/'radaup' methods, "
+                         "'rodas', 'seulex', 'bdf' and "
+                         "'dopri5'/'dopri853'; use t_eval= otherwise")
 
     if step_args is not None and canonical not in ("dopri5", "dopri853",
                                                    "seulex"):
@@ -183,7 +183,8 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
             return solve_radau_vo(f, t0, tf, y0, args, options, t_eval,
                                   jac=jac, mass=mass, events=events,
                                   tangents=tangents,
-                                  args_tangents=args_tangents, quad=quad)
+                                  args_tangents=args_tangents, quad=quad,
+                                  dense=dense)
         from janus_tpu.solve.radau import solve_radau
         return solve_radau(f, t0, tf, y0, args, options, t_eval,
                            jac=jac, mass=mass, events=events,

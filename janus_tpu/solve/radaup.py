@@ -62,6 +62,7 @@ class _VState:
     h_prev: jnp.ndarray
     have_sol: jnp.ndarray
     q_acc: Any                # [M, Q] running-cost quadrature (0-d unused)
+    mesh: Any                 # dense= accepted-step rings
     active: jnp.ndarray
     status: jnp.ndarray
     stats: dict
@@ -75,8 +76,15 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
                    jac: Optional[Callable] = None, mass=None,
                    events=None, tangents=None,
                    args_tangents=None,
-                   quad: Optional[Callable] = None) -> cm.Solution:
+                   quad: Optional[Callable] = None,
+                   dense: int = 0) -> cm.Solution:
     """Variable-order Radau IIA with optional first-class IND tangents.
+
+    dense: step-mesh capacity N > 0: store each accepted step's
+    collocation polynomial (already power-form — the ladder keeps
+    per-step coefficients for dense output/events) so
+    ``Solution.interpolate(ts)`` evaluates the solution anywhere post
+    hoc; lanes that overflow N interpolate to NaN.
 
     quad: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
     (or ``[M, Q]``); ``Solution.quad`` = ∫ l dt accumulated per accepted
@@ -97,6 +105,7 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
     opts = options if options is not None else Options()
     specs = normalize_events(events)
     use_sens = tangents is not None or args_tangents is not None
+    store_q = bool(dense)
     use_quad = quad is not None
     if use_quad and use_sens:
         raise ValueError("radaup quad= has no IND quadrature tangents; "
@@ -213,6 +222,11 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         have_sol=jnp.zeros((m,), bool),
         q_acc=jnp.zeros((m, qdim), dtype) if use_quad
         else jnp.zeros((), dtype),
+        mesh={"t": jnp.zeros((m, dense), dtype),
+              "h": jnp.zeros((m, dense), dtype),
+              "y": jnp.zeros((m, dense, dim), dtype),
+              "q": jnp.zeros((m, dense, smax, dim), dtype)}
+        if store_q else {},
         active=~already_done,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
         stats=stats, out_ys=out_ys,
@@ -443,7 +457,7 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         q_poly = jnp.where(accept[:, None, None], q_new, st.q_poly)
         out_ys = st.out_ys
         interp = None
-        if use_dense or specs or use_quad:
+        if use_dense or specs or use_quad or store_q:
             def interp(theta):
                 tp = jnp.stack([theta ** (q + 1) for q in range(smax)],
                                axis=-1)
@@ -463,6 +477,26 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
                                      terminate, t_ev, st.q_acc)
         else:
             q_acc = st.q_acc
+
+        if store_q:
+            # dense= rings: q_new IS the shared power basis. where, not
+            # accept*: rejected lanes carry NaN coefficients and 0·NaN
+            # poisons dead slots (CLAUDE.md round-4 mesh rule)
+            rows_dq = jnp.arange(m)
+            idxq = st.stats["naccept"]
+            mesh = {
+                "t": st.mesh["t"].at[rows_dq, idxq].add(
+                    jnp.where(accept, st.t, 0.0), mode="drop"),
+                "h": st.mesh["h"].at[rows_dq, idxq].add(
+                    jnp.where(accept, h, 0.0), mode="drop"),
+                "y": st.mesh["y"].at[rows_dq, idxq].add(
+                    jnp.where(accept[:, None], st.y, 0.0), mode="drop"),
+                "q": st.mesh["q"].at[rows_dq, idxq].add(
+                    jnp.where(accept[:, None, None], q_new, 0.0),
+                    mode="drop"),
+            }
+        else:
+            mesh = st.mesh
 
         dyn = record_step(st.dyn, attempted | singular, st.t, h, enorm,
                           niter, accept)
@@ -530,6 +564,7 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
             h_prev=jnp.where(accept, h, st.h_prev),
             have_sol=st.have_sol | accept,
             q_acc=q_acc,
+            mesh=mesh,
             active=active, status=status, stats=stats, out_ys=out_ys,
             ev=ev, dyn=dyn,
         )
@@ -540,6 +575,7 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         sens=final.yd if use_sens else None,
         quad=(final.q_acc[:, 0] if quad_scalar else final.q_acc)
         if use_quad else None,
+        mesh=final.mesh if store_q else None,
         ts=t_eval if use_dense else None,
         ys=final.out_ys if use_dense else None,
         event_t=final.ev["event_t"] if specs else None,

@@ -75,3 +75,20 @@ def test_interpolate_overflow_is_nan_and_guards():
     with pytest.raises(ValueError, match="dense"):
         solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="bdf2",
                   args=jnp.array([300.0]), jac=vdp_jac, dense=64)
+
+
+def test_radaup_dense_mesh_interpolate():
+    """dense= on the variable-order ladder: the stored per-step collocation
+    coefficients ARE the shared power basis, so interpolate must equal the
+    t_eval sampling path bitwise."""
+    from janus_tpu.models.problems import vdp_rhs as _vdp
+
+    mus = jnp.array([10.0, 500.0])
+    y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (2, 1))
+    ts = jnp.linspace(0.0, 2.0, 17)
+    sol = solve_ivp(_vdp, (0.0, 2.0), y0, method="radaup", args=mus,
+                    rtol=1e-9, atol=1e-12, dense=1024)
+    yi = sol.interpolate(ts)
+    ref = solve_ivp(_vdp, (0.0, 2.0), y0, method="radaup", args=mus,
+                    rtol=1e-9, atol=1e-12, t_eval=ts)
+    np.testing.assert_array_equal(np.asarray(yi), np.asarray(ref.ys))
