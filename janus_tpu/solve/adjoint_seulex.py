@@ -42,9 +42,13 @@ The reference's SEULEX family has forward duals only (seulexted.py — every
 state a TensorDual); reverse mode on an extrapolation integrator has no
 reference counterpart.
 
-Scope: terminal mode and ``t_eval=`` trajectory sampling (chained
-warm-started adaptive segments, the radau/rodas adjoint convention);
-events/quad raise — use radau_adjoint for those workflows. Mass matrices
+Scope: terminal mode, ``t_eval=`` trajectory sampling (chained
+warm-started adaptive segments, the radau/rodas adjoint convention), and
+terminal ``events=`` — ``(y*, t*)`` both reverse-differentiable via the vjp
+of the triggering step's replayed extrapolation-quartic endpoint (the
+midpoint Neville table is rebuilt level-for-level in the replay) with a
+differentiable Newton re-polish of θ* (the rodas_adjoint event mechanics;
+events + t_eval and quad= stay on radau_adjoint). Mass matrices
 supported including singular index-1 DAE masses for the y0/args gradients;
 t0/tf cotangents use the continuous boundary formulas ±ȳ·ẏ with ẏ = M⁻¹f
 and therefore need mass=None or invertible mass.
@@ -66,7 +70,8 @@ from janus_tpu.solve.options import Options
 from janus_tpu.solve.radau import _EINSUM_PRECISION, default_jacobian
 
 
-def _one_step(f, jac_fn, mass, opts, t, h, y, k_rec, args, live=None):
+def _one_step(f, jac_fn, mass, opts, t, h, y, k_rec, args, live=None,
+              want_interp=False):
     """Replay ONE accepted SEULEX step at frozen (t, h, k) — the
     differentiable step map Φ. Mirrors the level arithmetic of
     solve/seulex.py:349-424 exactly (minus the k<=1 stability probes and
@@ -76,6 +81,15 @@ def _one_step(f, jac_fn, mass, opts, t, h, y, k_rec, args, live=None):
     nseq[j] substeps, and the Neville diagonal at the recorded level is the
     step output. Levels are cond-gated on any(k <= k_rec); skipped levels
     contribute zeros that the one-hot level select never reads.
+
+    want_interp: additionally rebuild the dense-output midpoint — each
+    even-nseq level's substep value at θ=1/2 feeds the parallel midpoint
+    Neville table exactly as in the forward (solve/seulex.py:445-505), and
+    the diagonal at the recorded level is the extrapolated y(t+h/2). Returns
+    (y_sel, ymid_sel, mid_ok) where mid_ok marks lanes whose accepted level
+    trusts the quartic (even nseq, k >= 2 — the forward's gate); the event
+    endpoint assembles the quartic/cubic-Hermite (or mass-lane quadratic/
+    linear) interpolant from these, matching solve/seulex.py:659-691.
 
     ``live`` (optional [M] bool): lanes replaying a DEAD mesh slot. For a
     (lane, level) pair that is not live — a dead slot, or a level above the
@@ -99,7 +113,11 @@ def _one_step(f, jac_fn, mass, opts, t, h, y, k_rec, args, live=None):
         mass[None] if mass.ndim == 2 else mass)
 
     rows = []
+    rows_mid = []
+    even_nseq = []
     y_sel = jnp.zeros_like(y)
+    ymid_sel = jnp.zeros_like(y)
+    mid_ok = jnp.zeros((m,), bool)
     for k in range(kmax + 1):
         nj = nseq[k]
         lvl = k <= k_rec                                      # [M]
@@ -118,31 +136,55 @@ def _one_step(f, jac_fn, mass, opts, t, h, y, k_rec, args, live=None):
             d = lu_solve(lu, piv, feval(t + 2.0 * hsub, ytemp))
 
             def sub(nn, carry):
-                yt, dd = carry
+                yt, dd, ym = carry
                 yt = yt + dd
-                return yt, lu_solve(lu, piv, feval(t + (nn + 1.0) * hsub, yt))
+                # capture the step-midpoint substep (forward :451)
+                ym = jnp.where(nn == nj // 2, yt, ym)
+                return (yt,
+                        lu_solve(lu, piv, feval(t + (nn + 1.0) * hsub, yt)),
+                        ym)
 
-            ytemp, d = jax.lax.fori_loop(2, nj, sub, (ytemp, d))
-            return ytemp + d
+            # carry init = after 1 substep == the nj=2 midpoint (:445)
+            ytemp, d, ymid = jax.lax.fori_loop(2, nj, sub, (ytemp, d, ytemp))
+            return ytemp + d, ymid
 
-        yk = jax.lax.cond(jnp.any(lvl), run_level,
-                          lambda _: jnp.zeros_like(y), None)
+        yk, ymid_k = jax.lax.cond(
+            jnp.any(lvl), run_level,
+            lambda _: (jnp.zeros_like(y), jnp.zeros_like(y)), None)
         # zero non-live lanes (their masked replay is the identity, = y)
         # so the Neville recurrences that feed OTHER levels' selected
         # diagonals see the same zeros the gated forward ladder implies
         yk = jnp.where(lvl[:, None], yk, 0.0)
+        ymid_k = jnp.where(lvl[:, None], ymid_k, 0.0)
         row = [yk]
         for j in range(k):
             ratio = nseq[k] / nseq[k - j - 1]
             row.append(row[j] + (row[j] - rows[k - 1][j]) / (ratio - 1.0))
         rows.append(row)
+        if want_interp and nj % 2 == 0:
+            # parallel midpoint Neville table over even-nseq levels
+            # (forward :498-505); the diagonal at the accepted level is
+            # the extrapolated y(t+h/2) the quartic interpolates
+            rowm = [ymid_k]
+            for j in range(len(rows_mid)):
+                ratio = nj / even_nseq[len(even_nseq) - 1 - j]
+                rowm.append(rowm[j] + (rowm[j] - rows_mid[-1][j])
+                            / (ratio - 1.0))
+            rows_mid.append(rowm)
+            even_nseq.append(nj)
+            sel = k_rec == k
+            ymid_sel = jnp.where(sel[:, None], rowm[-1], ymid_sel)
+            mid_ok = mid_ok | (sel & (k >= 2))    # forward's k>=2 gate :552
         y_sel = jnp.where((k_rec == k)[:, None], row[k], y_sel)
+    if want_interp:
+        return y_sel, ymid_sel, mid_ok
     return y_sel
 
 
 def seulex_adjoint(f: Callable, tspan, y0, args=None,
                    options: Optional[Options] = None,
-                   jac: Optional[Callable] = None, mass=None, t_eval=None):
+                   jac: Optional[Callable] = None, mass=None, t_eval=None,
+                   events=None):
     """Reverse-differentiable batched adaptive SEULEX solve.
 
     Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
@@ -159,8 +201,32 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
     with the previous segment's step proposal, so samples are exact solve
     endpoints (the radau_adjoint convention, solve/adjoint.py:100-110).
     Integration stops at t_eval[-1] — include tf to get the endpoint.
+
+    events: optional TERMINAL event spec(s) (every event must be terminal —
+    the radau/rodas adjoint constraint). Returns ``(y, t)``: the state and
+    time a lane stopped at (y*, t* on triggered lanes — triggered ⟺
+    t[i] != tf). BOTH are reverse-differentiable: the event jump is the vjp
+    of the triggering step's replayed extrapolation-quartic endpoint (the
+    midpoint Neville table rebuilt level-for-level; cubic Hermite /
+    mass-lane quadratic on the forward's own mid_ok gate) with θ* re-polished
+    by two differentiable Newton iterations from the recorded root — starting
+    converged, the polished iterate's derivative equals the implicit-function
+    derivative to O(residual²) (the rodas_adjoint mechanics). Not combinable
+    with t_eval here (use radau_adjoint for event-truncated dense losses).
     """
     opts = options if options is not None else Options()
+    from janus_tpu.solve.events import normalize_events
+    specs = normalize_events(events)
+    if specs:
+        if not all(e.terminal for e in specs):
+            raise ValueError("seulex_adjoint(events=...) requires every "
+                             "event terminal (non-terminal recordings have "
+                             "no gradient contract)")
+        if t_eval is not None:
+            raise ValueError("seulex_adjoint: events + t_eval is not "
+                             "supported on the discrete adjoint; use "
+                             "radau_adjoint (continuous) for event-"
+                             "truncated trajectory losses")
     cap = opts.adjoint_steps
     jac_user = jac
 
@@ -169,19 +235,29 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
     @jax.custom_vjp
     def run(t0, tf, y0, args, h0):
         sol = sx.solve_seulex(f, t0, tf, y0, args, opts, jac=jac_user,
-                              mass=mass, _h0=h0, _force_jac=True)
+                              mass=mass, events=events or None, _h0=h0,
+                              _force_jac=True)
+        if specs:
+            return sol.y, sol.t, sol.h_next, sol.event_idx
         return sol.y, sol.h_next
 
     def fwd(t0, tf, y0, args, h0):
         sol = sx.solve_seulex(f, t0, tf, y0, args, opts, jac=jac_user,
-                              mass=mass, _mesh_size=cap, _h0=h0,
-                              _force_jac=True)
-        return (sol.y, sol.h_next), (sol.mesh, sol.stats["naccept"], t0, tf,
-                                     y0, args, sol.y, sol.t, h0)
+                              mass=mass, events=events or None,
+                              _mesh_size=cap, _h0=h0, _force_jac=True)
+        res = (sol.mesh, sol.stats["naccept"], t0, tf,
+               y0, args, sol.y, sol.t, h0,
+               sol.event_idx if specs else None)
+        if specs:
+            return (sol.y, sol.t, sol.h_next, sol.event_idx), res
+        return (sol.y, sol.h_next), res
 
     def bwd(res, out_bar):
-        ybar, _ = out_bar            # h_next is a non-differentiable knob
-        mesh, nacc, t0, tf, y0, args, yT, t_end, h0 = res
+        if specs:
+            ybar, tbar_in, _, _ = out_bar    # h_next/event_idx: knobs
+        else:
+            ybar, _ = out_bar        # h_next is a non-differentiable knob
+        mesh, nacc, t0, tf, y0, args, yT, t_end, h0, ev_idx = res
         t0b, tfb, y0b = cm.broadcast_batch(t0, tf, y0)
         m, dim = y0b.shape
         dtype = y0b.dtype
@@ -201,6 +277,82 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
 
         gl0 = [jnp.zeros(jnp.shape(l), dtype) for l in dleaves]
 
+        if specs:
+            triggered = ev_idx >= 0
+            tbar = jnp.asarray(tbar_in, dtype)
+
+            def g_sel(t, y, dl):
+                # the lane's OWN terminating event function (one-hot over
+                # the spec list by the recorded event_idx)
+                a = rebuild(dl)
+                vals = jnp.stack([jnp.asarray(e.fn(t, y, a), dtype)
+                                  for e in specs], axis=0)      # [K, M]
+                oh = (jnp.arange(len(specs))[:, None]
+                      == jnp.maximum(ev_idx, 0)[None, :]).astype(dtype)
+                return jnp.sum(oh * vals, axis=0)
+
+            def evt_endpoint(t, h, y, k_rec, dl, th0, emask):
+                # (y*, t*) of the triggering step as a differentiable map:
+                # replay the ladder WITH the midpoint Neville table, rebuild
+                # the forward's own interpolant (quartic on mid_ok lanes,
+                # cubic Hermite otherwise; mass: quadratic/linear —
+                # solve/seulex.py:659-691), and re-polish θ* by TWO Newton
+                # iterations from the recorded root — starting converged,
+                # the polished iterate's derivative equals the implicit-
+                # function derivative to O(residual²)
+                y_new, ymid, mid_ok = _one_step(
+                    fa, jac_fn, mass, opts, t, h, y, k_rec, dl,
+                    live=emask, want_interp=True)
+
+                def fev(tt, yy):
+                    # mask the interpolant's f evals to the event lanes —
+                    # non-event lanes replay masked ladders whose endpoint
+                    # can sit where f overflows (the dead-slot lesson)
+                    return jnp.where(emask[:, None], fa(tt, yy, dl), 0.0)
+
+                hc = h[:, None]
+                if mass is not None:
+                    a1 = 4.0 * ymid - y_new - 3.0 * y
+                    a2 = 2.0 * y_new + 2.0 * y - 4.0 * ymid
+
+                    def yi(th):
+                        e = th[:, None]
+                        lin = (1.0 - e) * y + e * y_new
+                        quad = y + a1 * e + a2 * e * e
+                        return jnp.where(mid_ok[:, None], quad, lin)
+                else:
+                    fy = fev(t, y)
+                    fn = fev(t + h, y_new)
+                    b1 = hc * fy
+                    r1 = y_new - y - b1
+                    r2 = hc * fn - b1
+                    r3 = ymid - y - 0.5 * b1
+                    qa2 = (sx._QI[0, 0] * r1 + sx._QI[0, 1] * r2
+                           + sx._QI[0, 2] * r3)
+                    qa3 = (sx._QI[1, 0] * r1 + sx._QI[1, 1] * r2
+                           + sx._QI[1, 2] * r3)
+                    qa4 = (sx._QI[2, 0] * r1 + sx._QI[2, 1] * r2
+                           + sx._QI[2, 2] * r3)
+                    hf1 = hc * fn
+                    c2 = 3.0 * (y_new - y) - 2.0 * b1 - hf1
+                    c3 = -2.0 * (y_new - y) + b1 + hf1
+
+                    def yi(th):
+                        e = th[:, None]
+                        quart = (y + b1 * e + qa2 * e ** 2 + qa3 * e ** 3
+                                 + qa4 * e ** 4)
+                        cubic = y + b1 * e + c2 * e ** 2 + c3 * e ** 3
+                        return jnp.where(mid_ok[:, None], quart, cubic)
+
+                def gfun(th):
+                    return g_sel(t + th * h, yi(th), dl)
+
+                th = th0
+                for _ in range(2):
+                    gv, dg = jax.jvp(gfun, (th,), (jnp.ones_like(th),))
+                    th = th - gv / jnp.where(dg == 0.0, 1.0, dg)
+                return yi(th), t + th * h
+
         def body(carry, k):
             lam, gl = carry
             live = k < nacc                                   # [M]
@@ -213,10 +365,39 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
                 hk = jnp.where(live, mesh["h"][:, k], 1.0)
                 yk = jnp.where(live[:, None], mesh["y"][:, k], y0b)
                 kk = jnp.where(live, mesh["k"][:, k], 1)
+                lam_in = jnp.where(live[:, None], lam, 0.0)
+                if specs:
+                    # the triggering lane's LAST live slot carries the
+                    # whole (ȳ*, t̄*) cotangent through the event endpoint
+                    # instead of the plain step map
+                    is_evt = live & triggered & (k == nacc - 1)
+                    lam_in = jnp.where(is_evt[:, None], 0.0, lam_in)
                 _, pull = jax.vjp(
                     lambda yy, dl: step(tk, hk, yy, kk, dl, live),
                     yk, dleaves)
-                dy, dgl = pull(jnp.where(live[:, None], lam, 0.0))
+                dy, dgl = pull(lam_in)
+                if specs:
+                    th0 = jnp.clip(
+                        (t_end - tk) / jnp.where(hk == 0.0, 1.0, hk),
+                        0.0, 1.0)
+                    th0 = jnp.where(is_evt, th0, 0.5)
+
+                    def do_evt(_):
+                        _, pull_e = jax.vjp(
+                            lambda yy, dl: evt_endpoint(tk, hk, yy, kk, dl,
+                                                        th0, is_evt),
+                            yk, dleaves)
+                        return pull_e(
+                            (jnp.where(is_evt[:, None], lam, 0.0),
+                             jnp.where(is_evt, tbar, 0.0)))
+
+                    dye, dgle = jax.lax.cond(
+                        jnp.any(is_evt), do_evt,
+                        lambda _: (jnp.zeros_like(lam),
+                                   [jnp.zeros(jnp.shape(l), dtype)
+                                    for l in dleaves]), None)
+                    dy = dy + jnp.where(is_evt[:, None], dye, 0.0)
+                    dgl = [g + ge for g, ge in zip(dgl, dgle)]
                 return (jnp.where(live[:, None], dy, lam),
                         [g + dg for g, dg in zip(gl, dgl)])
 
@@ -245,6 +426,11 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
             return lu_solve(lu_m, piv_m, fv)
 
         tf_bar = jnp.sum(ybar * ydot(t_end, yT), axis=-1)     # [M]
+        if specs:
+            # triggered lanes stop at t* < tf: tf moves nothing (frozen
+            # mesh); the (ȳ*, t̄*) pull went through the event endpoint.
+            # Non-triggered lanes return t = tf exactly, so t̄ adds 1:1.
+            tf_bar = jnp.where(triggered, 0.0, tf_bar + tbar)
         t0_bar = -jnp.sum(lam0 * ydot(t0b, y0b), axis=-1)     # [M]
 
         t0_ct = jnp.sum(t0_bar) if jnp.ndim(t0) == 0 else \
@@ -262,6 +448,9 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
     run.defvjp(fwd, bwd)
 
     if t_eval is None:
+        if specs:
+            y, t_term, _, _ = run(t0_in, tf_in, y0, args, None)
+            return y, t_term
         y, _ = run(t0_in, tf_in, y0, args, None)
         return y
 

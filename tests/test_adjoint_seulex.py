@@ -273,3 +273,71 @@ def test_t_eval_trajectory_fitting():
         fd = (lfd(y0, mu, ts.at[j].add(eps))
               - lfd(y0, mu, ts.at[j].add(-eps))) / (2 * eps)
         assert abs(g_ts[j] - fd) <= 3e-5 * abs(fd)
+
+
+def test_terminal_events_mixed_batch_vs_fd():
+    """events= on the SEULEX discrete adjoint: mixed trigger/no-trigger
+    batch. The triggering lane's (y*, t*) cotangents pull through the vjp
+    of the replayed extrapolation-quartic endpoint (midpoint Neville table
+    rebuilt in the replay) with a differentiable Newton re-polish of θ*;
+    the no-trigger lane keeps the plain terminal pull (+ t̄ → tf identity).
+    Oracle: central FD of the full solver."""
+    from janus_tpu.solve import solve_ivp
+    from janus_tpu.solve.events import Event
+
+    mu = jnp.array([2.0, 2.0])
+    y0 = jnp.array([[2.0, 0.0], [2.0, 0.5]])
+    thr = jnp.array([0.0, -50.0])       # lane 0 triggers; lane 1 never
+    ev = Event(lambda t, y, a: y[..., 0] - thr, terminal=True,
+               direction=-1.0)
+    opts = Options(rtol=1e-9, atol=1e-12, adjoint_steps=4096,
+                   seulex_kmax=6)
+
+    def loss(y0_, mu_):
+        y, t = seulex_adjoint(vdp_rhs, (0.0, 6.0), y0_, args=mu_,
+                              options=opts, events=ev)
+        return jnp.sum(y ** 2) + 2.0 * jnp.sum(t), (y, t)
+
+    (val, (y, t)), grads = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(y0, mu)
+    assert float(t[0]) < 6.0 and float(t[1]) == 6.0
+
+    # forward parity: the adjoint's primal IS the events forward solve
+    # (modulo _force_jac, which changes iteration matrices — run the same)
+    sol = solve_seulex(vdp_rhs, 0.0, 6.0, y0, mu, opts, events=ev,
+                       _force_jac=True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(sol.y))
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(sol.t))
+
+    eps = 1e-6
+
+    def lv(y0_, mu_):
+        s = solve_seulex(vdp_rhs, 0.0, 6.0, y0_, mu_, opts, events=ev,
+                         _force_jac=True)
+        return float(jnp.sum(s.y ** 2) + 2.0 * jnp.sum(s.t))
+
+    g_fd_y0 = np.zeros((2, 2))
+    for i in range(2):
+        for j in range(2):
+            e = jnp.zeros((2, 2)).at[i, j].set(eps)
+            g_fd_y0[i, j] = (lv(y0 + e, mu) - lv(y0 - e, mu)) / (2 * eps)
+    g_fd_mu = np.zeros(2)
+    for i in range(2):
+        e = jnp.zeros(2).at[i].set(eps)
+        g_fd_mu[i] = (lv(y0, mu + e) - lv(y0, mu - e)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(grads[0]), g_fd_y0,
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(grads[1]), g_fd_mu,
+                               rtol=0, atol=2e-5)
+
+
+def test_events_guards():
+    from janus_tpu.solve.events import Event
+    ev_nt = Event(lambda t, y, a: y[..., 0], terminal=False)
+    with pytest.raises(ValueError, match="terminal"):
+        seulex_adjoint(vdp_rhs, (0.0, 1.0), jnp.zeros((1, 2)), args=1.0,
+                       events=ev_nt)
+    ev = Event(lambda t, y, a: y[..., 0], terminal=True)
+    with pytest.raises(ValueError, match="t_eval"):
+        seulex_adjoint(vdp_rhs, (0.0, 1.0), jnp.zeros((1, 2)), args=1.0,
+                       events=ev, t_eval=jnp.array([0.5, 1.0]))
