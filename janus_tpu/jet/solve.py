@@ -59,17 +59,18 @@ def dual_solve_ivp(f: Callable, tspan, y0, method: str = "radau",
 
     # fast path: the internal-differentiation sweep (tangents=/
     # args_tangents=, measured 3× the vmap(jvp) transform) computes the
-    # same sensitivities in ONE primal solve. Fixed-stage radau takes
-    # t_eval AND events (event-time tangents come back via Solution.sens_t);
-    # seulex/radaup/rodas are terminal-mode; a Jet tf costs one extra rhs
-    # call (dy/dT = f(T, y(T))) unless combined with mass/events.
+    # same sensitivities in ONE primal solve. Radau — fixed-stage AND the
+    # variable-order ladder — takes t_eval AND events (event-time tangents
+    # come back via Solution.sens_t); seulex/rodas/bdf are terminal-mode;
+    # a Jet tf costs one extra rhs call (dy/dT = f(T, y(T))) unless
+    # combined with mass/events.
     # Everything else falls back to the transform with a warning.
     tf_is_jet = isinstance(tf, Jet)
     from janus_tpu.solve import Options as _Options
     _opt_fields = set(_Options.__dataclass_fields__)
     if method in ("radau", "radau5", "radau9", "radau13", "radaup",
                   "seulex", "rodas", "bdf", "ndf", "bdf_classic"):
-        terminal_only = method in ("seulex", "radaup", "rodas", "bdf",
+        terminal_only = method in ("seulex", "rodas", "bdf",
                                    "ndf", "bdf_classic")
         pass_kw = {"jac", "mass"} | (set() if terminal_only
                                      else {"t_eval", "events"})

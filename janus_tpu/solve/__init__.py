@@ -87,8 +87,9 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               (implicit methods; default: forward-mode AD)
     mass    : optional mass matrix [D,D] or [M,D,D] (DAE form M·y' = f)
     tangents: optional [K, M, D] seed directions — first-class forward
-              sensitivities by internal differentiation (fixed-stage radau;
-              variable-order radaup and seulex in terminal mode; returned
+              sensitivities by internal differentiation (radau fixed-stage
+              AND the variable-order ladder, both composing with
+              t_eval/events; seulex/rodas/bdf in terminal mode; returned
               in Solution.sens; measured ~3× the vmapped-jvp transform).
               Any method also differentiates via jax.jvp.
     quad    : optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
@@ -280,18 +281,30 @@ def solve_adjoint(f: Callable, tspan, y0, method: str = "radau",
     sample times.
 
     method: 'radau' (continuous adjoint: also takes events=, cost=, n_alg=,
-    checkpoints=, mass=, jac= — see radau_adjoint), 'rodas' / 'seulex' /
-    'bdf' (discrete adjoints; mass=, jac=), 'dopri5' / 'dopri853'
-    (discrete adjoint on the explicit family). 'rodas' and the dopri
-    methods also take terminal events= — they return (y*, t*), both
-    reverse-differentiable (the neural-ODE-with-stopping-condition
-    training path). Aliases follow solve_ivp's table.
+    checkpoints=, mass=, jac= — see radau_adjoint), 'radaup' (the same
+    continuous adjoint over the variable-order forward ladder: per-lane
+    order adaptivity in the recorded mesh, top-order backward collocation;
+    LU stage solver only), 'rodas' / 'seulex' / 'bdf' (discrete adjoints;
+    mass=, jac=), 'dopri5' / 'dopri853' (discrete adjoint on the explicit
+    family). 'rodas' and the dopri methods also take terminal events= —
+    they return (y*, t*), both reverse-differentiable (the
+    neural-ODE-with-stopping-condition training path). Aliases follow
+    solve_ivp's table.
     Unsupported methods raise — forward-mode (tangents=/jet) covers the
     rest; reference: the upstream framework has forward duals only.
     """
     method = _ALIASES.get(method, method)
     if method == "radau":
         return radau_adjoint(f, tspan, y0, args=args, options=options,
+                             t_eval=t_eval, **kw)
+    if method == "radaup":
+        # variable order by default, like solve_ivp: the forward solve is
+        # the per-lane order ladder; the backward sweep integrates the
+        # linear adjoint ODE at the ladder's top order on the recorded mesh
+        opts = options if options is not None else Options()
+        if opts.min_stages == opts.max_stages:
+            opts = opts.replace(min_stages=1, max_stages=7)
+        return radau_adjoint(f, tspan, y0, args=args, options=opts,
                              t_eval=t_eval, **kw)
     if method == "rodas":
         return rodas_adjoint(f, tspan, y0, args=args, options=options,
@@ -307,9 +320,9 @@ def solve_adjoint(f: Callable, tspan, y0, method: str = "radau",
                              t_eval=t_eval, method=method, **kw)
     raise ValueError(
         f"solve_adjoint: no reverse mode for method {method!r}; available: "
-        "radau (continuous), rodas/seulex/bdf (discrete), dopri5/dopri853 "
-        "(discrete). Forward sensitivities cover every method "
-        "(solve_ivp(tangents=) / jet.dual_solve_ivp)")
+        "radau/radaup (continuous), rodas/seulex/bdf (discrete), "
+        "dopri5/dopri853 (discrete). Forward sensitivities cover every "
+        "method (solve_ivp(tangents=) / jet.dual_solve_ivp)")
 
 
 __all__ = [

@@ -165,9 +165,28 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
     compute. Size ``options.adjoint_steps`` for the per-SEGMENT step budget.
     """
     opts = options if options is not None else Options()
+    vo_orders = None
     if opts.min_stages != opts.max_stages:
-        raise ValueError("radau_adjoint needs a fixed stage count "
-                         "(Options.min_stages == max_stages)")
+        # variable-order (radaup) forward: the recorded mesh stores each
+        # lane's collocation polynomial PADDED to the ladder's largest stage
+        # count (absent orders carry zero coefficients, so evaluating the
+        # padded power basis IS the lane's own interpolant), and the
+        # backward sweep integrates the linear adjoint ODE at the ladder's
+        # top order on that mesh — order-adaptivity lives entirely in the
+        # forward mesh choice. Reference: the flagship dual solver is
+        # variable-order with event duals (radauted.hpp:241-296,
+        # radauted_impl.hpp:2306); this is its reverse twin.
+        from janus_tpu.solve.radaup import ladder_orders
+        orders = ladder_orders(opts, jnp.asarray(y0).dtype)
+        if len(orders) < 2:
+            opts = opts.replace(min_stages=orders[0], max_stages=orders[0])
+        else:
+            if opts.stage_solver != "lu":
+                raise ValueError(
+                    "the variable-order (radaup) adjoint is LU-only; pin "
+                    "min_stages == max_stages for the matrix-free "
+                    "(gmres/tridiag) adjoint")
+            vo_orders = orders
     use_cost = cost is not None
     if n_alg:
         if mass is None:
@@ -180,7 +199,7 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
                              "crossing a segment boundary would be missed "
                              "by the warm-started chain)")
         run = _build_adjoint(f, opts, jac_user=jac, mass=mass, events=events,
-                             n_alg=n_alg, cost=cost)
+                             n_alg=n_alg, cost=cost, vo_orders=vo_orders)
         if t_eval is None:
             if use_cost:
                 y, t_term, _, q, _idx = run(t0, tf, y0, args, None)
@@ -255,7 +274,7 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
         raise ValueError("checkpoints= is terminal-mode only; t_eval already "
                          "chains segments (size adjoint_steps per segment)")
     run = _build_adjoint(f, opts, jac_user=jac, mass=mass, n_alg=n_alg,
-                         cost=cost)
+                         cost=cost, vo_orders=vo_orders)
     if t_eval is None:
         if checkpoints:
             if jnp.ndim(t0) != 0 or jnp.ndim(tf) != 0:
@@ -361,7 +380,8 @@ def _split_diff(args):
     return dleaves, rebuild, leaves, treedef, diff_idx
 
 
-def _build_adjoint(f, opts, jac_user, mass, events=None, n_alg=0, cost=None):
+def _build_adjoint(f, opts, jac_user, mass, events=None, n_alg=0, cost=None,
+                   vo_orders=None):
     from janus_tpu.solve.events import normalize_events
     cap = opts.adjoint_steps
     specs = normalize_events(events)
@@ -370,12 +390,16 @@ def _build_adjoint(f, opts, jac_user, mass, events=None, n_alg=0, cost=None):
         raise ValueError("radau_adjoint(events=...) requires every event "
                          "terminal (non-terminal crossings don't enter the "
                          "returned (y_term, t_term))")
+    if vo_orders:
+        from janus_tpu.solve.radaup import solve_radau_vo as _solver
+    else:
+        _solver = solve_radau
 
     @jax.custom_vjp
     def run(t0, tf, y0, args, h0):
-        sol = solve_radau(f, t0, tf, y0, args=args, options=opts,
-                          jac=jac_user, mass=mass, events=events, quad=cost,
-                          _h0=h0)
+        sol = _solver(f, t0, tf, y0, args=args, options=opts,
+                      jac=jac_user, mass=mass, events=events, quad=cost,
+                      _h0=h0)
         outs = (sol.y, sol.t, sol.h_next)
         if use_cost:
             outs = outs + (sol.quad,)
@@ -386,9 +410,9 @@ def _build_adjoint(f, opts, jac_user, mass, events=None, n_alg=0, cost=None):
         return outs
 
     def fwd(t0, tf, y0, args, h0):
-        sol = solve_radau(f, t0, tf, y0, args=args, options=opts,
-                          jac=jac_user, mass=mass, events=events, quad=cost,
-                          _mesh_size=cap, _h0=h0)
+        sol = _solver(f, t0, tf, y0, args=args, options=opts,
+                      jac=jac_user, mass=mass, events=events, quad=cost,
+                      _mesh_size=cap, _h0=h0)
         ev_idx = sol.event_idx if specs else None
         res = (sol.mesh, sol.stats["naccept"], t0, tf, y0, args, sol.y,
                sol.t, ev_idx, h0)
@@ -411,7 +435,8 @@ def _build_adjoint(f, opts, jac_user, mass, events=None, n_alg=0, cost=None):
         t0b, tfb, y0b = cm.broadcast_batch(t0, tf, y0)
         lam0, gleaves, t0bar, tfbar = _adjoint_sweep(
             f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb, t_term,
-            ev_idx, y0b, args, yT, ybar, tbar, n_alg, cost=cost, qbar=qbar)
+            ev_idx, y0b, args, yT, ybar, tbar, n_alg, cost=cost, qbar=qbar,
+            vo_orders=vo_orders)
         # reduce cotangents back to the primal input shapes
         t0_ct = jnp.sum(t0bar) if jnp.ndim(t0) == 0 else t0bar
         tf_ct = jnp.sum(tfbar) if jnp.ndim(tf) == 0 else tfbar
@@ -432,12 +457,16 @@ def _build_adjoint(f, opts, jac_user, mass, events=None, n_alg=0, cost=None):
 
 def _adjoint_sweep(f, opts, jac_user, mass, specs, mesh, nacc, t0b, tfb,
                    t_term, ev_idx, y0b, args, yT, ybar, tbar, n_alg=0,
-                   cost=None, qbar=None):
+                   cost=None, qbar=None, vo_orders=None):
     """Backward lax.scan over the stored accepted-step mesh."""
     use_cost = cost is not None
     m, dim = yT.shape
     dtype = yT.dtype
-    s = opts.min_stages
+    # variable-order forward: the mesh polynomials are padded to the
+    # ladder's top stage count (zero high coefficients for lower-order
+    # lanes), and the backward collocation runs at that top order — one
+    # static stage count, per-lane forward order-adaptivity preserved
+    s = vo_orders[-1] if vo_orders else opts.min_stages
     tab = radau_tableau(s)
     cap = mesh["t"].shape[1]
     npair = (s - 1) // 2

@@ -38,6 +38,29 @@ HHOU = 1.2        # step-size nudge on order raise
 HHOD = 0.8        # step-size nudge on order lower
 
 
+def ladder_orders(opts: Options, dtype, warn: bool = False):
+    """The distinct stage counts the variable-order ladder may visit.
+
+    f32 caps the ladder at s=5 (order 9): the s=7 transformed stage systems
+    lose the simplified Newton at eps=1.2e-7 (measured on chip) unless the
+    caller pinned min_stages == max_stages == 7 explicitly. Shared with
+    ``radau_adjoint`` so the recorded-mesh width matches the forward ladder.
+    """
+    max_stages = opts.max_stages
+    if (jnp.dtype(dtype) == jnp.float32 and max_stages > 5
+            and opts.min_stages < max_stages):
+        if warn:
+            import warnings
+            warnings.warn(
+                "radaup: capping the variable-order ladder at s=5 (order 9) "
+                "in float32 — the s=7 transformed stage systems lose the "
+                "simplified Newton at eps=1.2e-7 (measured on chip); pin "
+                "min_stages=max_stages=7 to override", stacklevel=3)
+        max_stages = 5
+    return tuple(s for s in (1, 3, 5, 7)
+                 if opts.min_stages <= s <= max_stages)
+
+
 @struct.dataclass
 class _VState:
     t: jnp.ndarray
@@ -67,6 +90,8 @@ class _VState:
     status: jnp.ndarray
     stats: dict
     out_ys: Any
+    out_sd: Any               # [K, M, T, D] dense tangent samples (0-d unused)
+    td: Any                   # [K, M] event-time tangents dt*_k (0-d unused)
     ev: Any
     dyn: Any
 
@@ -77,7 +102,8 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
                    events=None, tangents=None,
                    args_tangents=None,
                    quad: Optional[Callable] = None,
-                   dense: int = 0) -> cm.Solution:
+                   dense: int = 0, _mesh_size: int = 0,
+                   _h0=None) -> cm.Solution:
     """Variable-order Radau IIA with optional first-class IND tangents.
 
     dense: step-mesh capacity N > 0: store each accepted step's
@@ -96,47 +122,33 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
     the fixed-stage path.
 
     tangents / args_tangents: seed directions for internal-differentiation
-    forward sensitivities (terminal state only; the reference's dual
-    variable-order RadauTeD role, radauted_impl.hpp). Each accepted step
-    runs ONE linear tangent collocation sweep at the lane's CURRENT order,
-    reusing that order's LU factors — the order ladder the primal walked is
-    exactly the one the tangents ride. Returned in ``Solution.sens``.
+    forward sensitivities (the reference's dual variable-order RadauTeD
+    role, radauted_impl.hpp). Each accepted step runs ONE linear tangent
+    collocation sweep at the lane's CURRENT order, reusing that order's LU
+    factors — the order ladder the primal walked is exactly the one the
+    tangents ride. Returned in ``Solution.sens``; composes with ``t_eval``
+    (``Solution.sens_ys`` off the per-order tangent collocation polynomial,
+    padded to the ladder's shared power basis) and with ``events``
+    (implicit-function event-time correction; ``Solution.sens_t`` —
+    the reference's EventZeroFcn-on-duals role, radauted_impl.hpp:2306).
     """
     opts = options if options is not None else Options()
     specs = normalize_events(events)
     use_sens = tangents is not None or args_tangents is not None
-    store_q = bool(dense)
+    mesh_cap = max(int(dense), int(_mesh_size))
+    store_q = bool(mesh_cap)
     use_quad = quad is not None
     if use_quad and use_sens:
         raise ValueError("radaup quad= has no IND quadrature tangents; "
                          "use the fixed-stage 'radau' method for "
                          "sens_quad")
-    if use_sens and (events is not None or t_eval is not None):
-        raise ValueError(
-            "radaup tangents= are terminal-state only; for tangents "
-            "combined with t_eval/events use the fixed-stage 'radau' "
-            "method, or jax.jvp through the solve")
-    # f32: the s=7 (order-13) stage systems lose the simplified Newton
-    # (measured on chip at rtol 1e-6 — success 0; the transformed 2D×2D
-    # complex blocks are too ill-conditioned at eps=1.2e-7). Cap the order
-    # ladder at s=5 unless the caller pinned stages explicitly.
-    max_stages = opts.max_stages
-    if (jnp.asarray(y0).dtype == jnp.float32 and max_stages > 5
-            and opts.min_stages < max_stages):
-        import warnings
-        warnings.warn("radaup: capping the variable-order ladder at s=5 "
-                      "(order 9) in float32 — the s=7 transformed stage "
-                      "systems lose the simplified Newton at eps=1.2e-7 "
-                      "(measured on chip); pin min_stages=max_stages=7 to "
-                      "override", stacklevel=2)
-        max_stages = 5
-    orders = tuple(s for s in (1, 3, 5, 7)
-                   if opts.min_stages <= s <= max_stages)
+    orders = ladder_orders(opts, jnp.asarray(y0).dtype, warn=True)
     if len(orders) < 2:
         from janus_tpu.solve.radau import solve_radau
         return solve_radau(f, t0, tf, y0, args, options, t_eval, jac, mass,
                            events, tangents=tangents,
-                           args_tangents=args_tangents)
+                           args_tangents=args_tangents, quad=quad,
+                           dense=dense, _mesh_size=_mesh_size, _h0=_h0)
     smax = orders[-1]
     pmax = (smax - 1) // 2
     tabs = {s: radau_tableau(s) for s in orders}
@@ -162,7 +174,18 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
     max_iter = opts.newton_max_iter
 
     f0 = f(t0, y0, args)
-    if opts.h0 == 0.0:
+    if _h0 is not None:
+        # signed per-lane warm start (segment chaining in solve.adjoint);
+        # lanes with _h0 == 0 fall back to the automatic initial step
+        direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
+        if mass is None:
+            h_auto = cm.initial_step(f, t0, y0, f0, tf, 3, opts.rtol,
+                                     opts.atol, args, opts.max_step)
+        else:
+            h_auto = jnp.minimum(1e-3, jnp.abs(tf - t0) * 1e-2) * direction
+        h_mag = jnp.abs(jnp.broadcast_to(jnp.asarray(_h0, dtype), (m,)))
+        h = jnp.where(h_mag > 0, h_mag * direction, h_auto)
+    elif opts.h0 == 0.0:
         h = cm.initial_step(f, t0, y0, f0, tf, 3, opts.rtol, opts.atol,
                             args, opts.max_step)
     else:
@@ -200,6 +223,11 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
     else:
         yd0 = jnp.zeros((0, m, dim), dtype)
         args_d = None
+    if use_sens and use_dense:
+        out_sd0 = jnp.where(at_t0[None, :, :, None], yd0[:, :, None, :],
+                            jnp.nan)
+    else:
+        out_sd0 = jnp.zeros((), dtype)
     already_done = t0 == tf
     order0 = min(max(3, orders[0]), orders[-1])
     state = _VState(
@@ -222,14 +250,16 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         have_sol=jnp.zeros((m,), bool),
         q_acc=jnp.zeros((m, qdim), dtype) if use_quad
         else jnp.zeros((), dtype),
-        mesh={"t": jnp.zeros((m, dense), dtype),
-              "h": jnp.zeros((m, dense), dtype),
-              "y": jnp.zeros((m, dense, dim), dtype),
-              "q": jnp.zeros((m, dense, smax, dim), dtype)}
+        mesh={"t": jnp.zeros((m, mesh_cap), dtype),
+              "h": jnp.zeros((m, mesh_cap), dtype),
+              "y": jnp.zeros((m, mesh_cap, dim), dtype),
+              "q": jnp.zeros((m, mesh_cap, smax, dim), dtype)}
         if store_q else {},
         active=~already_done,
         status=jnp.where(already_done, cm.SUCCESS, cm.RUNNING).astype(jnp.int8),
-        stats=stats, out_ys=out_ys,
+        stats=stats, out_ys=out_ys, out_sd=out_sd0,
+        td=(jnp.zeros((yd0.shape[0], m), dtype)
+            if use_sens and specs else jnp.zeros((), dtype)),
         ev=init_event_state(specs, m, dim, t0, y0, args, dtype),
         dyn=init_dyn(m, opts.record_steps, dtype),
     )
@@ -392,9 +422,16 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         reject_err = conv & (enorm > 1.0)
 
         # ---- IND tangent sweep at each lane's own order (gated) -----------
+        need_qd = use_sens and (use_dense or bool(specs))
+        qd_all = None
         if use_sens:
             k_dirs = yd0.shape[0]
             yd_delta = jnp.zeros((k_dirs, m, dim), dtype)
+            if need_qd:
+                # tangent collocation polynomial in the ladder's shared
+                # power basis (zero-padded high coefficients for low-order
+                # lanes — exactly the primal q_poly convention)
+                qd_all = jnp.zeros((k_dirs, m, smax, dim), dtype)
             for s in orders:
                 msk = accept & (st.order == s)
                 np_s = (s - 1) // 2
@@ -405,12 +442,27 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
                         newton_tol, lu_r, piv_r, lu_c[:, :np_s],
                         piv_c[:, :np_s], msk, args, mass=mass,
                         max_iter=max_iter, args_d=args_d)
-                    return zd[:, :, -1, :]
+                    out = (zd[:, :, -1, :],)
+                    if need_qd:
+                        p_s = jnp.asarray(tab.p, dtype)
+                        qd = jnp.einsum("kmsd,sq->kmqd", zd, p_s,
+                                        precision=_EINSUM_PRECISION)
+                        out = out + (jnp.zeros((k_dirs, m, smax, dim),
+                                               dtype).at[:, :, :s].set(qd),)
+                    return out
 
-                dyd = jax.lax.cond(
-                    jnp.any(msk), do_tan,
-                    lambda _: jnp.zeros((k_dirs, m, dim), dtype), None)
-                yd_delta = jnp.where(msk[None, :, None], dyd, yd_delta)
+                def skip_tan(_):
+                    out = (jnp.zeros((k_dirs, m, dim), dtype),)
+                    if need_qd:
+                        out = out + (jnp.zeros((k_dirs, m, smax, dim),
+                                               dtype),)
+                    return out
+
+                res_t = jax.lax.cond(jnp.any(msk), do_tan, skip_tan, None)
+                yd_delta = jnp.where(msk[None, :, None], res_t[0], yd_delta)
+                if need_qd:
+                    qd_all = jnp.where(msk[None, :, None, None], res_t[1],
+                                       qd_all)
             yd_new = jnp.where(accept[None, :, None], st.yd + yd_delta,
                                st.yd)
         else:
@@ -466,11 +518,83 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         if use_dense:
             out_ys = cm.collect_dense(out_ys, t_eval, st.t, h, accept, interp)
 
-        ev, terminate, t_ev, y_ev, _ev_idx = handle_events(
+        out_sd = st.out_sd
+        if use_sens and use_dense:
+            def collect_k(o_k, qd_k, yd_k):
+                def interp_k(theta):                    # [M,T] -> [M,T,D]
+                    tp = jnp.stack([theta ** (q + 1) for q in range(smax)],
+                                   axis=-1)
+                    return yd_k[:, None, :] + jnp.einsum(
+                        "mtq,mqd->mtd", tp, qd_k,
+                        precision=_EINSUM_PRECISION)
+                return cm.collect_dense(o_k, t_eval, st.t, h, accept,
+                                        interp_k)
+
+            out_sd = jax.vmap(collect_k)(st.out_sd, qd_all, st.yd)
+
+        ev, terminate, t_ev, y_ev, ev_idx = handle_events(
             specs, st.ev, st.t, h, st.y, t_new, y_new, interp, accept, args)
         if use_dense and specs:
             out_ys = cm.mask_dense_after_event(out_ys, t_eval, terminate,
                                                t_ev, h)
+            if use_sens:
+                out_sd = jax.vmap(lambda o: cm.mask_dense_after_event(
+                    o, t_eval, terminate, t_ev, h))(out_sd)
+
+        if use_sens and specs:
+            # total derivative at an event: dt*_k = −(g_y·yd_k + g_θ·dθ_k)
+            # / (g_t + g_y·ẏ*) with ẏ* = M⁻¹f(t*, y*); the lane's terminal
+            # sensitivity is yd(t*) + ẏ*·dt*_k (implicit-function
+            # correction, same formula as the fixed-stage path; reference
+            # EventZeroFcn on duals, radauted_impl.hpp:2306). yd(t*) comes
+            # off the padded tangent collocation polynomial at the lane's
+            # own order.
+            theta_ev = jnp.clip((t_ev - st.t) / h, 0.0, 1.0)
+            tp_ev = jnp.stack([theta_ev ** (q + 1) for q in range(smax)],
+                              axis=-1)                  # [M, smax]
+            yd_ev = st.yd + jnp.einsum("kmqd,mq->kmd", qd_all, tp_ev,
+                                       precision=_EINSUM_PRECISION)
+            zeros_sel = jnp.zeros(yd_ev.shape[:2], dtype)   # [K, M]
+
+            def ev_tangent(_):
+                f_ev = f(t_ev, y_ev, args)
+                if mass is None:
+                    ydot_ev = f_ev
+                else:
+                    mb = jnp.broadcast_to(jnp.asarray(mass, dtype),
+                                          (m, dim, dim))
+                    lu_m, piv_m = lu_factor(mb, pivot=True)
+                    ydot_ev = lu_solve(lu_m, piv_m, f_ev)
+                sens_sel = yd_ev
+                dts_sel = zeros_sel                         # [K, M] dt*_k
+                for j, spec in enumerate(specs):
+                    gfun = (lambda tt, yy, aa, _sp=spec: _sp.fn(tt, yy, aa))
+                    _, gdot = jax.jvp(
+                        lambda tt, yy: gfun(tt, yy, args), (t_ev, y_ev),
+                        (jnp.ones_like(t_ev), ydot_ev))
+                    if args_d is None:
+                        gy_yd = jax.vmap(lambda yk: jax.jvp(
+                            lambda tt, yy: gfun(tt, yy, args), (t_ev, y_ev),
+                            (jnp.zeros_like(t_ev), yk))[1])(yd_ev)  # [K, M]
+                    else:
+                        gy_yd = jax.vmap(lambda yk, ak: jax.jvp(
+                            lambda yy, aa: gfun(t_ev, yy, aa), (y_ev, args),
+                            (yk, ak))[1])(yd_ev, args_d)            # [K, M]
+                    dts = -gy_yd / jnp.where(gdot == 0.0, 1.0, gdot)[None]
+                    corr_j = yd_ev + dts[:, :, None] * ydot_ev[None]
+                    sens_sel = jnp.where((ev_idx == j)[None, :, None],
+                                         corr_j, sens_sel)
+                    dts_sel = jnp.where((ev_idx == j)[None, :], dts,
+                                        dts_sel)
+                return sens_sel, dts_sel
+
+            sens_sel, dts_sel = jax.lax.cond(
+                jnp.any(terminate), ev_tangent,
+                lambda _: (yd_ev, zeros_sel), operand=None)
+            yd_new = jnp.where(terminate[None, :, None], sens_sel, yd_new)
+            td_new = jnp.where(terminate[None, :], dts_sel, st.td)
+        else:
+            td_new = st.td
 
         if use_quad:
             q_acc = cm.quad_gl3_step(_ql, st.t, h, interp, accept,
@@ -566,18 +690,21 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
             q_acc=q_acc,
             mesh=mesh,
             active=active, status=status, stats=stats, out_ys=out_ys,
-            ev=ev, dyn=dyn,
+            out_sd=out_sd, td=td_new, ev=ev, dyn=dyn,
         )
 
     final = jax.lax.while_loop(cond, body, state)
     return cm.Solution(
         t=final.t, y=final.y, status=final.status, stats=final.stats,
         sens=final.yd if use_sens else None,
+        sens_ys=final.out_sd if (use_sens and use_dense) else None,
+        sens_t=final.td if (use_sens and specs) else None,
         quad=(final.q_acc[:, 0] if quad_scalar else final.q_acc)
         if use_quad else None,
         mesh=final.mesh if store_q else None,
         ts=t_eval if use_dense else None,
         ys=final.out_ys if use_dense else None,
+        h_next=final.h,
         event_t=final.ev["event_t"] if specs else None,
         event_y=final.ev["event_y"] if specs else None,
         event_idx=final.ev["event_idx"] if specs else None,

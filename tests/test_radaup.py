@@ -134,17 +134,70 @@ def test_radaup_ind_parameter_sensitivity():
                                rtol=5e-4, atol=1e-7)
 
 
-def test_radaup_ind_terminal_only_raises():
-    y0 = jnp.array([[2.0, 0.0]])
-    seeds = _identity_seeds(1, 2)
-    with pytest.raises(ValueError, match="terminal-state only"):
-        solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="radaup", args=100.0,
-                  tangents=seeds, t_eval=jnp.linspace(0.0, 1.0, 5))
+def test_radaup_ind_composes_with_t_eval():
+    """sens_ys off the per-order tangent collocation polynomial (padded to
+    the ladder's shared power basis) must match jvp-of-the-trajectory."""
+    mus = jnp.array([3.0, 30.0, 120.0])
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.5], [2.2, -0.3]])
+    opts = Options(rtol=1e-9, atol=1e-11)
+    te = jnp.array([0.5, 1.0, 1.7])
+    seeds = jnp.stack([jnp.ones_like(y0),
+                       jnp.zeros_like(y0).at[:, 1].set(1.0)])
+    sol = solve_ivp(vdp_rhs, (0.0, 2.0), y0, method="radaup", args=mus,
+                    options=opts, t_eval=te, tangents=seeds)
+    assert bool(jnp.all(sol.status == SUCCESS))
+    for k in range(2):
+        _, jv = jax.jvp(
+            lambda z: solve_ivp(vdp_rhs, (0.0, 2.0), z, method="radaup",
+                                args=mus, options=opts, t_eval=te).ys,
+            (y0,), (seeds[k],))
+        np.testing.assert_allclose(np.asarray(sol.sens_ys[k]),
+                                   np.asarray(jv), rtol=1e-5, atol=1e-6)
+
+
+def test_radaup_ind_composes_with_events():
+    """Event-terminated IND: implicit-function correction of the terminal
+    sensitivity + Solution.sens_t event-time tangents, FD-verified."""
     from janus_tpu.solve.events import Event
-    with pytest.raises(ValueError, match="terminal-state only"):
-        solve_ivp(vdp_rhs, (0.0, 1.0), y0, method="radaup", args=100.0,
-                  tangents=seeds,
-                  events=Event(lambda t, y, a: y[:, 0], terminal=True))
+    ev = Event(lambda t, y, a: y[:, 0], terminal=True, direction=-1)
+    mus = jnp.array([3.0, 8.0])
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.5]])
+    opts = Options(rtol=1e-9, atol=1e-11)
+    seeds = jnp.stack([jnp.ones_like(y0),
+                       jnp.zeros_like(y0).at[:, 1].set(1.0)])
+    sol = solve_ivp(vdp_rhs, (0.0, 10.0), y0, method="radaup", args=mus,
+                    options=opts, events=ev, tangents=seeds)
+    assert bool(jnp.all(sol.event_idx == 0))
+    eps = 1e-6
+    for k in range(2):
+        sp = solve_ivp(vdp_rhs, (0.0, 10.0), y0 + eps * seeds[k],
+                       method="radaup", args=mus, options=opts, events=ev)
+        sm = solve_ivp(vdp_rhs, (0.0, 10.0), y0 - eps * seeds[k],
+                       method="radaup", args=mus, options=opts, events=ev)
+        np.testing.assert_allclose(np.asarray(sol.sens[k]),
+                                   np.asarray((sp.y - sm.y) / (2 * eps)),
+                                   rtol=3e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(sol.sens_t[k]),
+            np.asarray((sp.event_t - sm.event_t) / (2 * eps)),
+            rtol=3e-4, atol=1e-4)
+    # parameter seed through the event correction (g_θ·dθ term)
+    at = jnp.stack([jnp.ones_like(mus)])
+    sol = solve_ivp(vdp_rhs, (0.0, 10.0), y0, method="radaup", args=mus,
+                    options=opts, events=ev,
+                    tangents=jnp.zeros((1,) + y0.shape),
+                    args_tangents=at)
+    sp = solve_ivp(vdp_rhs, (0.0, 10.0), y0, method="radaup",
+                   args=mus + eps, options=opts, events=ev)
+    sm = solve_ivp(vdp_rhs, (0.0, 10.0), y0, method="radaup",
+                   args=mus - eps, options=opts, events=ev)
+    np.testing.assert_allclose(np.asarray(sol.sens[0]),
+                               np.asarray((sp.y - sm.y) / (2 * eps)),
+                               rtol=3e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sol.sens_t[0]),
+        np.asarray((sp.event_t - sm.event_t) / (2 * eps)),
+        rtol=3e-4, atol=1e-4)
 
 
 def test_radaup_dual_fast_path_routes_ind():
