@@ -63,13 +63,30 @@ def make_data(key):
     return y0, ts, sol.ys
 
 
-def main(steps=400, seed=0, verbose=True):
+def main(steps=400, seed=0, verbose=True, reg=0.0):
+    """reg > 0 adds a kinetic-energy running cost λ·∫‖f_θ(y)‖² dt to the
+    fitting loss via ``dopri_adjoint(cost=)`` — the Lagrange-term
+    regularizer of "How to Train Your Neural ODE" (Finlay et al. 2020)
+    that straightens learned trajectories and cuts solver steps. The
+    integral's gradient flows through the SAME backward sweep as the fit
+    (q̄ pulled through each recorded step's replayed GL-3 increment) — no
+    state augmentation, no second solve; the reverse twin of the CVODES
+    quadrature sensitivities (reference
+    examples/cpp/for_sens_vdp_example.cpp:1-38)."""
     key = jax.random.PRNGKey(seed)
     k_data, k_net = jax.random.split(key)
     y0, ts, ys_true = make_data(k_data)
     params = mlp_init(k_net, [2, 64, 64, 2], dtype=ys_true.dtype)
 
+    def kinetic(t, y, params):
+        return jnp.sum(mlp_apply(params, y) ** 2, axis=-1)
+
     def loss_fn(params):
+        if reg > 0.0:
+            ys, q = dopri_adjoint(nn_rhs, (0.0, T_FINAL), y0, args=params,
+                                  options=OPTS, t_eval=ts, method="dopri5",
+                                  cost=kinetic)
+            return jnp.mean((ys - ys_true) ** 2) + reg * jnp.mean(q)
         ys = dopri_adjoint(nn_rhs, (0.0, T_FINAL), y0, args=params,
                            options=OPTS, t_eval=ts, method="dopri5")
         return jnp.mean((ys - ys_true) ** 2)

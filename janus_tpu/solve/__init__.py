@@ -27,10 +27,10 @@ FEATURES = {
     "radaup":       (True,  True,  True,  True),
     "radau_fused":  (False, False, False, False),
     "bdf":          (True,  True,  True,  True),
-    "bdf2":         (True,  False, False, True),
+    "bdf2":         (True,  False, False, True),   # LEGACY: subsumed by bdf
     "seulex":       (True,  True,  True,  True),
     "rodas":        (True,  True,  True,  True),
-    "grk4t":        (True,  False, False, True),
+    "grk4t":        (True,  False, False, True),   # LEGACY: subsumed by rodas
 }
 
 _ALIASES = {
@@ -286,9 +286,13 @@ def solve_adjoint(f: Callable, tspan, y0, method: str = "radau",
     order adaptivity in the recorded mesh, top-order backward collocation;
     LU stage solver only), 'rodas' / 'seulex' / 'bdf' (discrete adjoints;
     mass=, jac=), 'dopri5' / 'dopri853' (discrete adjoint on the explicit
-    family). 'rodas' and the dopri methods also take terminal events= —
-    they return (y*, t*), both reverse-differentiable (the
-    neural-ODE-with-stopping-condition training path). Aliases follow
+    family). 'rodas', 'bdf', and the dopri methods also take terminal
+    events= — they return (y*, t*), both reverse-differentiable (the
+    neural-ODE-with-stopping-condition training path; the dopri methods
+    compose events with t_eval like radau). 'rodas' and the dopri methods
+    also take cost= (integral Lagrange objectives: q̄ pulled through each
+    recorded step's replayed GL-3 quadrature increment — the reverse twin
+    of the CVODES forward quadrature sensitivities). Aliases follow
     solve_ivp's table.
     Unsupported methods raise — forward-mode (tangents=/jet) covers the
     rest; reference: the upstream framework has forward duals only.

@@ -36,12 +36,14 @@ dead-slot lesson).
 
 Scope: terminal mode, ``t_eval=`` trajectory sampling (chained
 warm-started adaptive segments, the radau/rodas/seulex adjoint
-convention), and terminal ``events=`` — ``(y*, t*)`` both
+convention), terminal ``events=`` — ``(y*, t*)`` both
 reverse-differentiable via the vjp of the triggering step's replayed
 dense interpolant with a differentiable Newton re-polish of θ* (the
-rodas_adjoint event mechanics; events + t_eval stays on radau_adjoint).
-The reference's explicit family has forward duals only
-(src/cpp/dopri853ted.hpp — every state a TensorDual).
+rodas_adjoint event mechanics; events + t_eval stays on radau_adjoint) —
+and integral costs (``cost=``: q̄ pulled through each step's replayed
+GL-3 increment on the rebuilt dense interpolant, bit-identical to the
+forward ``quad=`` accumulation). The reference's explicit family has
+forward duals only (src/cpp/dopri853ted.hpp — every state a TensorDual).
 """
 
 from __future__ import annotations
@@ -100,9 +102,29 @@ def _one_step(tab, f, t, h, y, args, live=None, want_interp=False):
     return y1, interp
 
 
+def _gl3_inc(lq, t, h, interp, theta_q):
+    """One step's running-cost increment: 3-point Gauss-Legendre on the
+    replayed dense interpolant over [0, θ_q] — the SAME arithmetic as the
+    forward ``cm.quad_gl3_step``, so the full-step increment (θ_q = 1)
+    reproduces the forward accumulation bit-for-bit and its vjp is the
+    exact discrete quadrature adjoint."""
+    dtype = t.dtype
+    s35 = 0.6 ** 0.5
+    gl_xi = jnp.asarray([0.5 * (1 - s35), 0.5, 0.5 * (1 + s35)], dtype)
+    gl_w = jnp.asarray([5.0 / 18.0, 8.0 / 18.0, 5.0 / 18.0], dtype)
+    nodes = theta_q[:, None] * gl_xi[None, :]              # [M, 3]
+    yq = interp(nodes)                                     # [M, 3, D]
+    tq = t[:, None] + nodes * h[:, None]
+    lv = jnp.stack([lq(tq[:, i], yq[:, i]) for i in range(3)],
+                   axis=1)                                 # [M, 3, Q]
+    return (h * theta_q)[:, None] * jnp.sum(gl_w[None, :, None] * lv,
+                                            axis=1)
+
+
 def dopri_adjoint(f: Callable, tspan, y0, args=None,
                   options: Optional[Options] = None, t_eval=None,
-                  method: str = "dopri5", events=None):
+                  method: str = "dopri5", events=None,
+                  cost: Optional[Callable] = None):
     """Reverse-differentiable batched adaptive Dormand-Prince solve.
 
     Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
@@ -128,8 +150,30 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
     training path. The triggering step's cotangents pull through the vjp
     of its replayed dense interpolant (the rk45 quartic / dop853 degree-7
     extension) with θ* re-polished by a differentiable Newton step from
-    the recorded root (the rodas_adjoint event mechanics). Not combinable
-    with t_eval here.
+    the recorded root (the rodas_adjoint event mechanics). Combines with
+    t_eval (the radau_adjoint convention): returns
+    ``(ys [M,T,D], y_term [M,D], t_term [M])`` (+ q with ``cost``) where
+    samples past a lane's t* are NaN — the forward solvers' truncation
+    convention — and a triggered lane's later segments collapse to
+    zero-length solves so the triggering segment's event pull carries the
+    whole gradient; mask the NaN samples out of the loss (e.g.
+    ``jnp.where(jnp.isfinite(ys), (ys − data)**2, 0)``). The
+    event-truncated trajectory-fitting loss is the canonical
+    neural-ODE-with-stopping workload.
+
+    cost: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
+    (or ``[M, Q]``). Appends ``q = ∫ l dt`` (``solve_ivp(quad=...)``, the
+    CVODES quadrature role) to the outputs — ``(y, q)``, ``(ys, q)`` with
+    t_eval (q summed over the grid span), ``(y, t_term, q)`` with events
+    (q truncated at t*) — and q's cotangent flows through the SAME
+    backward sweep: each recorded step's replay also rebuilds its dense
+    interpolant and recomputes the GL-3 quadrature increment
+    (bit-identical to the forward accumulation), so q̄ pulls are exact
+    discrete-adjoint gradients of the computed q. Integral-cost (Lagrange)
+    objectives — the standard neural-ODE regularized-training shape — at
+    one backward sweep, no state augmentation; reverse twin of the CVODES
+    quadrature sensitivities (reference
+    examples/cpp/for_sens_vdp_example.cpp:1-38).
     """
     if method not in TABLEAUS:
         raise ValueError(f"dopri_adjoint: unknown method {method!r}; "
@@ -143,34 +187,38 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
             raise ValueError("dopri_adjoint(events=...) requires every "
                              "event terminal (non-terminal recordings "
                              "have no gradient contract)")
-        if t_eval is not None:
-            raise ValueError("dopri_adjoint: events + t_eval is not "
-                             "supported on the discrete adjoint; use "
-                             "radau_adjoint (continuous) for event-"
-                             "truncated trajectory losses")
     cap = opts.adjoint_steps
+    use_cost = cost is not None
 
     t0_in, tf_in = tspan
 
     @jax.custom_vjp
     def run(t0, tf, y0, args, h0):
         sol = solve_erk(tab, f, t0, tf, y0, args, opts,
-                        events=events or None, _h0=h0)
+                        events=events or None, quad=cost, _h0=h0)
         if specs:
-            return sol.y, sol.t, sol.h_next, sol.event_idx
-        return sol.y, sol.h_next
+            outs = (sol.y, sol.t, sol.h_next, sol.event_idx)
+        else:
+            outs = (sol.y, sol.h_next)
+        return outs + ((sol.quad,) if use_cost else ())
 
     def fwd(t0, tf, y0, args, h0):
         sol = solve_erk(tab, f, t0, tf, y0, args, opts,
-                        events=events or None, _mesh_size=cap, _h0=h0)
+                        events=events or None, quad=cost, _mesh_size=cap,
+                        _h0=h0)
         res = (sol.mesh, sol.stats["naccept"], t0, tf,
                y0, args, sol.y, sol.t, h0,
                sol.event_idx if specs else None)
         if specs:
-            return (sol.y, sol.t, sol.h_next, sol.event_idx), res
-        return (sol.y, sol.h_next), res
+            outs = (sol.y, sol.t, sol.h_next, sol.event_idx)
+        else:
+            outs = (sol.y, sol.h_next)
+        return outs + ((sol.quad,) if use_cost else ()), res
 
     def bwd(res, out_bar):
+        qbar_in = out_bar[-1] if use_cost else None
+        if use_cost:
+            out_bar = out_bar[:-1]
         if specs:
             ybar, tbar_in, _, _ = out_bar    # h_next/event_idx: knobs
         else:
@@ -185,6 +233,22 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
 
         def fa(t, y, dl):
             return f(t, y, rebuild(dl))
+
+        if use_cost:
+            def lfun(t, y, dl):                        # canon [M, Q]
+                return cm.canon_cost(cost(t, y, rebuild(dl)))
+
+            qb = jnp.asarray(qbar_in, dtype)
+            qb = qb if qb.ndim == 2 else qb[:, None]   # [M, Q]
+
+        def step(t, h, y, dl, live):
+            if not use_cost:
+                return _one_step(tab, fa, t, h, y, dl, live=live)
+            y1, interp = _one_step(tab, fa, t, h, y, dl, live=live,
+                                   want_interp=True)
+            q_inc = _gl3_inc(lambda tt, yy: lfun(tt, yy, dl), t, h,
+                             interp, jnp.ones_like(t))
+            return y1, q_inc
 
         gl0 = [jnp.zeros(jnp.shape(l), dtype) for l in dleaves]
 
@@ -221,7 +285,15 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
                 for _ in range(2):
                     gv, dg = jax.jvp(gfun, (th,), (jnp.ones_like(th),))
                     th = th - gv / jnp.where(dg == 0.0, 1.0, dg)
-                return yi(th), t + th * h
+                outs = (yi(th), t + th * h)
+                if use_cost:
+                    # the lane's LAST quadrature increment truncates at θ*
+                    # (the forward's event-lane convention), so dq/dt*
+                    # also falls out of the vjp
+                    outs = outs + (_gl3_inc(
+                        lambda tt, yy: lfun(tt, yy, dl), t, h, interp,
+                        th),)
+                return outs
 
         def body(carry, k):
             lam, gl = carry
@@ -245,9 +317,18 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
                 is_evt = live & triggered & (k == nacc - 1)
                 lam_in = jnp.where(is_evt[:, None], 0.0, lam_in)
             _, pull = jax.vjp(
-                lambda yy, dl: _one_step(tab, fa, tk, hk, yy, dl,
-                                         live=live), yk, dleaves)
-            dy, dgl = pull(lam_in)
+                lambda yy, dl: step(tk, hk, yy, dl, live), yk, dleaves)
+            if use_cost:
+                # each live step's replayed quadrature increment takes the
+                # whole q̄ (q = Σ increments); the triggering lane's last
+                # slot accumulated its (truncated) increment through
+                # evt_endpoint instead
+                qb_k = jnp.where(live[:, None], qb, 0.0)
+                if specs:
+                    qb_k = jnp.where(is_evt[:, None], 0.0, qb_k)
+                dy, dgl = pull((lam_in, qb_k))
+            else:
+                dy, dgl = pull(lam_in)
             if specs:
                 th0 = jnp.clip(
                     (t_end - tk) / jnp.where(hk == 0.0, 1.0, hk), 0.0, 1.0)
@@ -257,8 +338,11 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
                     _, pull_e = jax.vjp(
                         lambda yy, dl: evt_endpoint(tk, hk, yy, dl, th0,
                                                     live), yk, dleaves)
-                    return pull_e((jnp.where(is_evt[:, None], lam, 0.0),
-                                   jnp.where(is_evt, tbar, 0.0)))
+                    ct = (jnp.where(is_evt[:, None], lam, 0.0),
+                          jnp.where(is_evt, tbar, 0.0))
+                    if use_cost:
+                        ct = ct + (jnp.where(is_evt[:, None], qb, 0.0),)
+                    return pull_e(ct)
 
                 dye, dgle = jax.lax.cond(
                     jnp.any(is_evt), do_evt,
@@ -281,12 +365,19 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
         gl = [jnp.where(any_over, jnp.nan, g) for g in gl]
 
         tf_bar = jnp.sum(ybar * fa(t_end, yT, dleaves), axis=-1)    # [M]
+        if use_cost:
+            # the quadrature endpoint moves with tf: dq/dT = l(T, y(T))
+            tf_bar = tf_bar + jnp.sum(qb * lfun(t_end, yT, dleaves),
+                                      axis=-1)
         if specs:
             # triggered lanes stop at t* < tf (frozen mesh: tf moves
-            # nothing; the (ȳ*, t̄*) pull went through the event
+            # nothing; the (ȳ*, t̄*, q̄) pull went through the event
             # endpoint); non-triggered lanes return t = tf exactly
             tf_bar = jnp.where(triggered, 0.0, tf_bar + tbar)
         t0_bar = -jnp.sum(lam0 * fa(t0b, y0b, dleaves), axis=-1)    # [M]
+        if use_cost:
+            t0_bar = t0_bar - jnp.sum(qb * lfun(t0b, y0b, dleaves),
+                                      axis=-1)
 
         t0_ct = jnp.sum(t0_bar) if jnp.ndim(t0) == 0 else \
             jnp.reshape(t0_bar, jnp.shape(t0))
@@ -304,8 +395,14 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
 
     if t_eval is None:
         if specs:
+            if use_cost:
+                y, t_term, _, _, q = run(t0_in, tf_in, y0, args, None)
+                return y, t_term, q
             y, t_term, _, _ = run(t0_in, tf_in, y0, args, None)
             return y, t_term
+        if use_cost:
+            y, _, q = run(t0_in, tf_in, y0, args, None)
+            return y, q
         y, _ = run(t0_in, tf_in, y0, args, None)
         return y
 
@@ -321,6 +418,73 @@ def dopri_adjoint(f: Callable, tspan, y0, args=None,
     t_lo = jnp.concatenate([jnp.full((1,), t0_in, dtype), t_eval[:-1]])
     t_hi = t_eval
     h_carry0 = jnp.zeros(t0b.shape, dtype)     # 0 ⇒ automatic initial step
+
+    if specs:
+        # events + t_eval: chain the sample segments per lane; once a lane
+        # triggers, its later segments are ZERO-LENGTH solves t* → t* (the
+        # identity — their boundary cotangents cancel, so the event pull
+        # applied in the triggering segment's backward pass carries the
+        # whole gradient). Samples past t* are NaN (the forward solvers'
+        # truncation convention); the sample exactly AT t* (a trigger on a
+        # segment boundary) stays valid. The radau_adjoint convention
+        # (solve/adjoint.py seg_ev).
+        m = y0b.shape[0]
+        done0 = jnp.zeros((m,), bool)
+        tstar0 = jnp.full((m,), t0_in, dtype)
+        nan = jnp.asarray(jnp.nan, dtype)
+        if use_cost:
+            q0 = jnp.zeros(jax.eval_shape(
+                lambda: cost(t0b, y0b, args)).shape, dtype)
+
+        def seg_ev(carry, bounds):
+            if use_cost:
+                y, h, done, tstar, q = carry
+            else:
+                y, h, done, tstar = carry
+            ta, tb = bounds
+            ta_l = jnp.where(done, tstar, jnp.full((m,), ta, dtype))
+            tb_l = jnp.where(done, tstar, jnp.full((m,), tb, dtype))
+            outs = run(ta_l, tb_l, y, args, h)
+            if use_cost:
+                y2, t2, h2, idx2, q2 = outs
+            else:
+                y2, t2, h2, idx2 = outs
+            trig = (idx2 >= 0) & ~done
+            tstar2 = jnp.where(trig, t2, tstar)
+            done2 = done | trig
+            # a trigger strictly inside the segment invalidates the
+            # segment's endpoint sample; a trigger exactly at tb keeps it
+            dead = done | (trig & (t2 != tb_l))
+            sample = jnp.where(dead[:, None], nan, y2)
+            if use_cost:
+                return (y2, h2, done2, tstar2, q + q2), sample
+            return (y2, h2, done2, tstar2), sample
+
+        if use_cost:
+            (yF, _, doneF, tstarF, q), ys = jax.lax.scan(
+                seg_ev, (y0b, h_carry0, done0, tstar0, q0), (t_lo, t_hi))
+        else:
+            (yF, _, doneF, tstarF), ys = jax.lax.scan(
+                seg_ev, (y0b, h_carry0, done0, tstar0), (t_lo, t_hi))
+        ys = jnp.swapaxes(ys, 0, 1)                    # [M, T, D]
+        t_term = jnp.where(doneF, tstarF,
+                           jnp.broadcast_to(t_eval[-1], (m,)))
+        if use_cost:
+            return ys, yF, t_term, q
+        return ys, yF, t_term
+
+    if use_cost:
+        q0 = jnp.zeros(jax.eval_shape(
+            lambda: cost(t0b, y0b, args)).shape, dtype)
+
+        def seg_q(carry, bounds):
+            y, h, q = carry
+            y2, h2, q2 = run(bounds[0], bounds[1], y, args, h)
+            return (y2, h2, q + q2), y2
+
+        (_, _, q), ys = jax.lax.scan(seg_q, (y0b, h_carry0, q0),
+                                     (t_lo, t_hi))
+        return jnp.swapaxes(ys, 0, 1), q       # [M, T, D], [M(, Q)]
 
     def seg(carry, bounds):
         y, h = carry

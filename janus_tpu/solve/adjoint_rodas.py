@@ -40,10 +40,11 @@ src/fortran/radau.f ROSCOR + radauted_impl.hpp duals); reverse mode on a
 Rosenbrock integrator has no reference counterpart.
 
 Scope: terminal mode, ``t_eval=`` trajectory sampling (chained segments),
-and terminal ``events=`` — ``(y*, t*)`` both reverse-differentiable via
+terminal ``events=`` — ``(y*, t*)`` both reverse-differentiable via
 the vjp of the triggering step's replayed CONTRO-cubic endpoint with a
-differentiable Newton re-polish of θ* (events + t_eval and quad= stay on
-radau_adjoint); mass matrices supported including singular index-1 DAE
+differentiable Newton re-polish of θ* — and integral costs (``cost=``,
+q̄ pulled through each step's replayed GL-3 increment; events + t_eval
+stays on radau_adjoint); mass matrices supported including singular index-1 DAE
 masses for the y0/args gradients (the step map is well-defined whenever the
 forward solve is; algebraic-slot y0 cotangents are the true derivatives of
 the discrete scheme). t0/tf cotangents use the continuous boundary formulas
@@ -125,10 +126,32 @@ def _one_step(f, jac_fn, mass, opts, t, h, y, args, want_interp=False):
     return y_new, cont2, cont3
 
 
+def _gl3_inc(lq, t, h, y, y_new, c2, c3, theta_q):
+    """One step's running-cost increment: 3-point Gauss-Legendre on the
+    replayed CONTRO cubic over [0, θ_q] — the SAME arithmetic as the
+    forward ``cm.quad_gl3_step`` on ``solve_rodas(quad=)``'s interpolant,
+    so the increment (θ_q = 1) reproduces the forward accumulation
+    bit-for-bit and its vjp is the exact discrete quadrature adjoint."""
+    dtype = t.dtype
+    s35 = 0.6 ** 0.5
+    gl_xi = jnp.asarray([0.5 * (1 - s35), 0.5, 0.5 * (1 + s35)], dtype)
+    gl_w = jnp.asarray([5.0 / 18.0, 8.0 / 18.0, 5.0 / 18.0], dtype)
+    nodes = theta_q[:, None] * gl_xi[None, :]              # [M, 3]
+    se = nodes[..., None]
+    yq = (y[:, None, :] * (1.0 - se)
+          + se * (y_new[:, None, :]
+                  + (1.0 - se) * (c2[:, None, :] + se * c3[:, None, :])))
+    tq = t[:, None] + nodes * h[:, None]
+    lv = jnp.stack([lq(tq[:, i], yq[:, i]) for i in range(3)],
+                   axis=1)                                 # [M, 3, Q]
+    return (h * theta_q)[:, None] * jnp.sum(gl_w[None, :, None] * lv,
+                                            axis=1)
+
+
 def rodas_adjoint(f: Callable, tspan, y0, args=None,
                   options: Optional[Options] = None,
                   jac: Optional[Callable] = None, mass=None, t_eval=None,
-                  events=None):
+                  events=None, cost: Optional[Callable] = None):
     """Reverse-differentiable batched adaptive RODAS4 solve.
 
     Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
@@ -156,8 +179,22 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
     starting at a converged root, one polished iteration's derivative
     equals the IFT derivative to O(residual)). Not combinable with t_eval
     here (use radau_adjoint for event-truncated dense losses).
+
+    cost: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
+    (or ``[M, Q]``). Appends ``q = ∫ l dt`` (``solve_rodas(quad=...)``, the
+    CVODES quadrature role) to the outputs — ``(y, q)``, ``(ys, q)`` with
+    t_eval (q summed over the grid span), ``(y, t_term, q)`` with events
+    (q truncated at t*) — and q's cotangent flows through the SAME
+    backward sweep: each recorded step's replay also recomputes its GL-3
+    quadrature increment on the replayed CONTRO cubic (bit-identical to
+    the forward accumulation), so q̄ pulls are exact discrete-adjoint
+    gradients of the computed q. Integral-cost (Lagrange) objectives at
+    one backward sweep, no state augmentation — the reverse twin of the
+    CVODES forward quadrature sensitivities
+    (reference examples/cpp/for_sens_vdp_example.cpp:1-38).
     """
     opts = options if options is not None else Options()
+    use_cost = cost is not None
     if opts.pallas_lu:
         raise ValueError("rodas_adjoint replays steps under jax.vjp; the "
                          "Pallas LU has no AD rules — use pallas_lu=False")
@@ -181,23 +218,31 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
     @jax.custom_vjp
     def run(t0, tf, y0, args, h0):
         sol = rd.solve_rodas(f, t0, tf, y0, args, opts, jac=jac_user,
-                             mass=mass, events=events or None, _h0=h0)
+                             mass=mass, events=events or None, quad=cost,
+                             _h0=h0)
         if specs:
-            return sol.y, sol.t, sol.h_next, sol.event_idx
-        return sol.y, sol.h_next
+            outs = (sol.y, sol.t, sol.h_next, sol.event_idx)
+        else:
+            outs = (sol.y, sol.h_next)
+        return outs + ((sol.quad,) if use_cost else ())
 
     def fwd(t0, tf, y0, args, h0):
         sol = rd.solve_rodas(f, t0, tf, y0, args, opts, jac=jac_user,
-                             mass=mass, events=events or None,
+                             mass=mass, events=events or None, quad=cost,
                              _mesh_size=cap, _h0=h0)
         res = (sol.mesh, sol.stats["naccept"], t0, tf,
                y0, args, sol.y, sol.t, h0,
                sol.event_idx if specs else None)
         if specs:
-            return (sol.y, sol.t, sol.h_next, sol.event_idx), res
-        return (sol.y, sol.h_next), res
+            outs = (sol.y, sol.t, sol.h_next, sol.event_idx)
+        else:
+            outs = (sol.y, sol.h_next)
+        return outs + ((sol.quad,) if use_cost else ()), res
 
     def bwd(res, out_bar):
+        qbar_in = out_bar[-1] if use_cost else None
+        if use_cost:
+            out_bar = out_bar[:-1]
         if specs:
             ybar, tbar_in, _, _ = out_bar    # h_next/event_idx: knobs
         else:
@@ -216,8 +261,21 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
         jac_fn = (lambda t, y, dl: jac_user(t, y, rebuild(dl))) if jac_user \
             else default_jacobian(fa)
 
+        if use_cost:
+            def lfun(t, y, dl):                        # canon [M, Q]
+                return cm.canon_cost(cost(t, y, rebuild(dl)))
+
+            qb = jnp.asarray(qbar_in, dtype)
+            qb = qb if qb.ndim == 2 else qb[:, None]   # [M, Q]
+
         def step(t, h, y, dl):
-            return _one_step(fa, jac_fn, mass, opts, t, h, y, dl)
+            if not use_cost:
+                return _one_step(fa, jac_fn, mass, opts, t, h, y, dl)
+            y_new, c2, c3 = _one_step(fa, jac_fn, mass, opts, t, h, y, dl,
+                                      want_interp=True)
+            q_inc = _gl3_inc(lambda tt, yy: lfun(tt, yy, dl), t, h, y,
+                             y_new, c2, c3, jnp.ones_like(t))
+            return y_new, q_inc
 
         gl0 = [jnp.zeros(jnp.shape(l), dtype) for l in dleaves]
 
@@ -240,7 +298,10 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
                 # replay the step, rebuild the CONTRO cubic, and re-polish
                 # θ* by TWO Newton iterations from the recorded root —
                 # starting converged, the polished iterate's derivative
-                # equals the implicit-function derivative to O(residual²)
+                # equals the implicit-function derivative to O(residual²).
+                # With cost=: the lane's LAST quadrature increment is the
+                # GL-3 rule truncated at θ* (the forward's event-lane
+                # convention), so dq/dt* also falls out of the vjp.
                 y_new, c2, c3 = _one_step(fa, jac_fn, mass, opts, t, h, y,
                                           dl, want_interp=True)
 
@@ -256,7 +317,12 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
                 for _ in range(2):
                     gv, dg = jax.jvp(gfun, (th,), (jnp.ones_like(th),))
                     th = th - gv / jnp.where(dg == 0.0, 1.0, dg)
-                return yi(th), t + th * h
+                outs = (yi(th), t + th * h)
+                if use_cost:
+                    outs = outs + (_gl3_inc(
+                        lambda tt, yy: lfun(tt, yy, dl), t, h, y, y_new,
+                        c2, c3, th),)
+                return outs
 
         def body(carry, k):
             lam, gl = carry
@@ -278,7 +344,17 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
                     lam_in = jnp.where(is_evt[:, None], 0.0, lam_in)
                 _, pull = jax.vjp(
                     lambda yy, dl: step(tk, hk, yy, dl), yk, dleaves)
-                dy, dgl = pull(lam_in)
+                if use_cost:
+                    # each live step's replayed quadrature increment takes
+                    # the whole q̄ (q = Σ increments); the triggering
+                    # lane's last slot accumulated its (truncated)
+                    # increment through evt_endpoint instead
+                    qb_k = jnp.where(live[:, None], qb, 0.0)
+                    if specs:
+                        qb_k = jnp.where(is_evt[:, None], 0.0, qb_k)
+                    dy, dgl = pull((lam_in, qb_k))
+                else:
+                    dy, dgl = pull(lam_in)
                 if specs:
                     th0 = jnp.clip(
                         (t_end - tk) / jnp.where(hk == 0.0, 1.0, hk),
@@ -289,9 +365,11 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
                         _, pull_e = jax.vjp(
                             lambda yy, dl: evt_endpoint(tk, hk, yy, dl,
                                                         th0), yk, dleaves)
-                        return pull_e(
-                            (jnp.where(is_evt[:, None], lam, 0.0),
-                             jnp.where(is_evt, tbar, 0.0)))
+                        ct = (jnp.where(is_evt[:, None], lam, 0.0),
+                              jnp.where(is_evt, tbar, 0.0))
+                        if use_cost:
+                            ct = ct + (jnp.where(is_evt[:, None], qb, 0.0),)
+                        return pull_e(ct)
 
                     dye, dgle = jax.lax.cond(
                         jnp.any(is_evt), do_evt,
@@ -328,12 +406,18 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
             return lu_solve(lu_m, piv_m, fv)
 
         tf_bar = jnp.sum(ybar * ydot(t_end, yT), axis=-1)     # [M]
+        if use_cost:
+            # the quadrature endpoint moves with tf: dq/dT = l(T, y(T))
+            tf_bar = tf_bar + jnp.sum(qb * lfun(t_end, yT, dleaves),
+                                      axis=-1)
         if specs:
             # triggered lanes stop at t* < tf: tf moves nothing (frozen
-            # mesh); the (ȳ*, t̄*) pull went through the event endpoint.
+            # mesh); the (ȳ*, t̄*, q̄) pull went through the event endpoint.
             # Non-triggered lanes return t = tf exactly, so t̄ adds 1:1.
             tf_bar = jnp.where(triggered, 0.0, tf_bar + tbar)
         t0_bar = -jnp.sum(lam0 * ydot(t0b, y0b), axis=-1)     # [M]
+        if use_cost:
+            t0_bar = t0_bar - jnp.sum(qb * lfun(t0b, y0b, dleaves), axis=-1)
 
         t0_ct = jnp.sum(t0_bar) if jnp.ndim(t0) == 0 else \
             jnp.reshape(t0_bar, jnp.shape(t0))
@@ -351,8 +435,14 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
 
     if t_eval is None:
         if specs:
+            if use_cost:
+                y, t_term, _, _, q = run(t0_in, tf_in, y0, args, None)
+                return y, t_term, q
             y, t_term, _, _ = run(t0_in, tf_in, y0, args, None)
             return y, t_term
+        if use_cost:
+            y, _, q = run(t0_in, tf_in, y0, args, None)
+            return y, q
         y, _ = run(t0_in, tf_in, y0, args, None)
         return y
 
@@ -368,6 +458,19 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
     t_lo = jnp.concatenate([jnp.full((1,), t0_in, dtype), t_eval[:-1]])
     t_hi = t_eval
     h_carry0 = jnp.zeros(t0b.shape, dtype)     # 0 ⇒ automatic initial step
+
+    if use_cost:
+        q0 = jnp.zeros(jax.eval_shape(
+            lambda: cost(t0b, y0b, args)).shape, dtype)
+
+        def seg_q(carry, bounds):
+            y, h, q = carry
+            y2, h2, q2 = run(bounds[0], bounds[1], y, args, h)
+            return (y2, h2, q + q2), y2
+
+        (_, _, q), ys = jax.lax.scan(seg_q, (y0b, h_carry0, q0),
+                                     (t_lo, t_hi))
+        return jnp.swapaxes(ys, 0, 1), q       # [M, T, D], [M(, Q)]
 
     def seg(carry, bounds):
         y, h = carry

@@ -291,7 +291,150 @@ def test_dopri_adjoint_events_guards():
     with pytest.raises(ValueError, match="terminal"):
         dopri_adjoint(lambda t, y, a: -y, (0.0, 1.0), jnp.zeros((1, 2)),
                       events=ev_nt)
-    ev = Event(lambda t, y, a: y[..., 0], terminal=True)
-    with pytest.raises(ValueError, match="t_eval"):
-        dopri_adjoint(lambda t, y, a: -y, (0.0, 1.0), jnp.zeros((1, 2)),
-                      events=ev, t_eval=jnp.array([0.5, 1.0]))
+
+
+def test_events_plus_t_eval_trajectory_fitting():
+    """events + t_eval (the canonical neural-ODE-with-stopping workload):
+    samples past t* are NaN, a triggered lane's later segments collapse to
+    zero-length solves, and the masked-fit gradient matches BOTH the
+    continuous radau_adjoint on the same composition and central FD."""
+    from janus_tpu.solve.adjoint import radau_adjoint
+    from janus_tpu.solve.events import Event
+
+    mu = jnp.array([2.0, 2.0])
+    y0 = jnp.array([[2.0, 0.0], [2.0, 0.5]])
+    thr = jnp.array([1.2, -50.0])       # lane 0 triggers; lane 1 never
+    ev = Event(lambda t, y, a: y[..., 0] - thr, terminal=True,
+               direction=-1.0)
+    opts = Options(rtol=1e-9, atol=1e-12, adjoint_steps=2048,
+                   max_steps=8192)
+    ts = jnp.array([0.5, 1.0, 1.5, 2.0])
+
+    def loss(y0_, mu_, solver):
+        ys, yF, tt = solver(vdp_rhs, (0.0, 2.0), y0_, args=mu_,
+                            options=opts, t_eval=ts, events=ev)
+        fit = jnp.where(jnp.isfinite(ys), ys ** 2, 0.0)
+        return jnp.sum(fit) + jnp.sum(yF[:, 1] ** 2) + 2.0 * jnp.sum(tt)
+
+    ys, yF, tt = dopri_adjoint(vdp_rhs, (0.0, 2.0), y0, args=mu,
+                               options=opts, t_eval=ts, events=ev)
+    assert float(tt[0]) < 2.0 and float(tt[1]) == 2.0
+    assert bool(jnp.all(jnp.isnan(ys[0, 3]))) \
+        and bool(jnp.all(jnp.isfinite(ys[0, :3]))) \
+        and bool(jnp.all(jnp.isfinite(ys[1])))
+
+    g = jax.grad(lambda a, b: loss(a, b, dopri_adjoint),
+                 argnums=(0, 1))(y0, mu)
+    gr = jax.grad(lambda a, b: loss(a, b, radau_adjoint),
+                  argnums=(0, 1))(y0, mu)
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(gr[0]),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g[1]), np.asarray(gr[1]),
+                               rtol=0, atol=2e-5)
+
+    lv = jax.jit(lambda a, b: loss(a, b, dopri_adjoint))
+    eps = 1e-6
+    for i in range(2):
+        e = jnp.zeros((2, 2)).at[i, 0].set(eps)
+        fd = (lv(y0 + e, mu) - lv(y0 - e, mu)) / (2 * eps)
+        assert abs(g[0][i, 0] - fd) <= 2e-5 * max(abs(fd), 1.0)
+        e = jnp.zeros(2).at[i].set(eps)
+        fd = (lv(y0, mu + e) - lv(y0, mu - e)) / (2 * eps)
+        assert abs(g[1][i] - fd) <= 2e-5 * max(abs(fd), 1.0)
+
+
+def _lq(t, y, args):
+    return y[..., 0] ** 2 + 0.1 * y[..., 1] ** 2
+
+
+@pytest.mark.parametrize("method", ["dopri5", "dopri853"])
+def test_cost_terminal_fd_and_forward_parity(method):
+    """cost= (integral Lagrange term): the primal q is the forward quad=
+    accumulation bit-for-bit; the q̄ pull through each replayed step's
+    GL-3 increment on the rebuilt dense interpolant matches central FD."""
+    opts = Options(rtol=1e-8, atol=1e-11, adjoint_steps=512,
+                   max_steps=2048)
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.5]])
+    mu = jnp.array([1.0, 3.0])
+    m = 2
+    tab = TABLEAUS[method]
+
+    def loss(y0, mu, t0, tf):
+        y, q = dopri_adjoint(vdp_rhs, (t0, tf), y0, args=mu, options=opts,
+                             cost=_lq, method=method)
+        return jnp.sum(y ** 2) + jnp.sum(q)
+
+    g_y0, g_mu, g_t0, g_tf = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        y0, mu, 0.0, 2.0)
+
+    q_adj = dopri_adjoint(vdp_rhs, (0.0, 2.0), y0, args=mu, options=opts,
+                          cost=_lq, method=method)[1]
+    s_fwd = solve_erk(tab, vdp_rhs, jnp.zeros(m), jnp.full(m, 2.0), y0, mu,
+                      opts, quad=_lq)
+    np.testing.assert_array_equal(np.asarray(q_adj), np.asarray(s_fwd.quad))
+
+    def lfd(y0v, muv, t0v, tfv):
+        s = solve_erk(tab, vdp_rhs, jnp.full(m, t0v), jnp.full(m, tfv),
+                      y0v, muv, opts, quad=_lq)
+        return float(jnp.sum(s.y ** 2) + jnp.sum(s.quad))
+
+    eps = 1e-6
+    for i in range(m):
+        fd = (lfd(y0, mu.at[i].add(eps), 0.0, 2.0)
+              - lfd(y0, mu.at[i].add(-eps), 0.0, 2.0)) / (2 * eps)
+        assert abs(g_mu[i] - fd) <= 3e-5 * max(abs(fd), 1e-6)
+        fd = (lfd(y0.at[i, 0].add(eps), mu, 0.0, 2.0)
+              - lfd(y0.at[i, 0].add(-eps), mu, 0.0, 2.0)) / (2 * eps)
+        assert abs(g_y0[i, 0] - fd) <= 3e-5 * max(abs(fd), 1e-6)
+    fd_t0 = (lfd(y0, mu, eps, 2.0) - lfd(y0, mu, -eps, 2.0)) / (2 * eps)
+    fd_tf = (lfd(y0, mu, 0.0, 2.0 + eps)
+             - lfd(y0, mu, 0.0, 2.0 - eps)) / (2 * eps)
+    assert abs(g_t0 - fd_t0) <= 1e-4 * abs(fd_t0)
+    assert abs(g_tf - fd_tf) <= 1e-4 * abs(fd_tf)
+
+
+def test_cost_t_eval_and_events():
+    """cost= composed with t_eval (q spans the grid) and with events=
+    (q truncated at t*, dq/dt* through the polished-root vjp)."""
+    from janus_tpu.solve.events import Event
+
+    opts = Options(rtol=1e-8, atol=1e-11, adjoint_steps=512,
+                   max_steps=2048)
+    y0 = jnp.array([[2.0, 0.0], [2.0, 0.5]])
+    mu = jnp.array([1.0, 1.0])
+    ts = jnp.array([0.7, 1.4, 2.0])
+
+    def loss_te(y0, mu):
+        ys, q = dopri_adjoint(vdp_rhs, (0.0, 2.0), y0, args=mu,
+                              options=opts, cost=_lq, t_eval=ts)
+        return jnp.sum(ys ** 2) + jnp.sum(q)
+
+    g = jax.grad(loss_te, argnums=(0, 1))(y0, mu)
+    lv = jax.jit(loss_te)
+    eps = 1e-6
+    for i in range(2):
+        e = jnp.zeros(2).at[i].set(eps)
+        fd = (lv(y0, mu + e) - lv(y0, mu - e)) / (2 * eps)
+        assert abs(g[1][i] - fd) <= 3e-5 * max(abs(fd), 1.0)
+        e2 = jnp.zeros((2, 2)).at[i, 0].set(eps)
+        fd = (lv(y0 + e2, mu) - lv(y0 - e2, mu)) / (2 * eps)
+        assert abs(g[0][i, 0] - fd) <= 3e-5 * max(abs(fd), 1.0)
+
+    thr = jnp.array([1.2, -50.0])
+    ev = Event(lambda t, y, a: y[..., 0] - thr, terminal=True,
+               direction=-1.0)
+
+    def loss_ev(y0, mu):
+        y, t, q = dopri_adjoint(vdp_rhs, (0.0, 2.0), y0, args=mu,
+                                options=opts, cost=_lq, events=ev)
+        return jnp.sum(y[:, 1] ** 2) + 2.0 * jnp.sum(t) + jnp.sum(q)
+
+    g = jax.grad(loss_ev, argnums=(0, 1))(y0, mu)
+    lv = jax.jit(loss_ev)
+    for i in range(2):
+        e = jnp.zeros(2).at[i].set(eps)
+        fd = (lv(y0, mu + e) - lv(y0, mu - e)) / (2 * eps)
+        assert abs(g[1][i] - fd) <= 3e-5 * max(abs(fd), 1.0)
+        e2 = jnp.zeros((2, 2)).at[i, 0].set(eps)
+        fd = (lv(y0 + e2, mu) - lv(y0 - e2, mu)) / (2 * eps)
+        assert abs(g[0][i, 0] - fd) <= 3e-5 * max(abs(fd), 1.0)

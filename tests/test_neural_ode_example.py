@@ -15,3 +15,15 @@ def test_neural_ode_trains():
     loss0, lossN, holdout = main(steps=200, verbose=False)
     assert lossN < loss0 / 20.0          # measured ~180x in 200 Adam steps
     assert holdout < 0.5                 # generalizes, not memorizes
+
+
+def test_neural_ode_trains_with_running_cost():
+    """Kinetic-energy-regularized training (loss = fit + λ·∫‖f_θ‖² dt):
+    the Lagrange term's gradient rides dopri_adjoint(cost=) — the
+    integral-cost reverse mode must steer a real optimizer, not just pass
+    FD checks."""
+    from examples.neural_ode_dopri import main
+
+    loss0, lossN, holdout = main(steps=120, verbose=False, reg=1e-3)
+    assert lossN < loss0 / 5.0
+    assert holdout < 0.5
