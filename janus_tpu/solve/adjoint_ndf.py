@@ -45,12 +45,25 @@ backward-Euler increment (M − h₀J₀)⁻¹h₀f₀ under a mass matrix, sing
 index-1 included); h₀ is recorded and frozen, and the pull through d₁
 carries the startup's y0/θ dependence.
 
-Scope: terminal mode and ``t_eval=`` trajectory sampling (chained
+Scope: terminal mode, ``t_eval=`` trajectory sampling (chained
 warm-started adaptive segments — note each segment RESTARTS the difference
 array at order 1, the multistep analog of the one-step chaining convention;
-samples remain O(rtol)-accurate solve endpoints). events raise; LU corrector
-only (``stage_solver='gmres'`` raises — its probed preconditioner is an
-iteration device, but the IFT transpose here wants the assembled matrix).
+samples remain O(rtol)-accurate solve endpoints), and terminal ``events=``
+— ``(y*, t*)`` both reverse-differentiable via the vjp of the triggering
+step's backward-difference interpolant (linear in the replayed history
+array) with a differentiable Newton re-polish of θ* from the recorded
+root (the rodas_adjoint event mechanics; events + t_eval stays on
+radau_adjoint). ``stage_solver='gmres'/'tridiag'`` runs the backward IFT
+solves MATRIX-FREE: (M − cJ)ᵀw = λ_d by batched GMRES whose operator
+applies Jᵀ·v as a vjp pull at the converged point (reverse mode is the
+natural direction for transposed operators) preconditioned by the
+TRANSPOSED probed structure (``gmres_shifted_solver_T``; bands shift,
+blocks transpose) — large-D MOL reverse mode on the multistep family with
+J never materialized (the reference's BDF+Krylov role,
+examples/cpp/vdp_bdf_gmres.cpp + odesolvers/linsolve.py:60-111, which has
+no reverse mode). Gradient accuracy then tracks the Krylov solve like the
+forward corrector tracks its own (exact for tridiagonal-structure J under
+'tridiag'; the radau continuous adjoint's backward-gmres contract).
 Memory: the D' ring is [M, cap, 8, dim] — 8× the one-step adjoints' y ring;
 size ``options.adjoint_steps`` accordingly on large-D problems.
 
@@ -117,7 +130,7 @@ def _predict(Dp, order, gamma_slots, alpha):
 def ndf_adjoint(f: Callable, tspan, y0, args=None,
                 options: Optional[Options] = None,
                 jac: Optional[Callable] = None, mass=None, t_eval=None,
-                ndf: bool = True):
+                ndf: bool = True, events=None):
     """Reverse-differentiable batched adaptive NDF/BDF (orders 1-5) solve.
 
     Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
@@ -126,14 +139,36 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
     of ``args``, t0, tf, and (in t_eval mode) the sample times. Memory: one
     (t, h, order, d, D', T)-slot per accepted step, ``options.adjoint_steps``
     slots per lane PER SEGMENT (gradient poisoned with NaN on overflow).
+
+    events: optional TERMINAL event spec(s). Returns ``(y, t)``: the state
+    and time each lane stopped at ((y*, t*) on triggered lanes), BOTH
+    reverse-differentiable. The triggering step's cotangents pull through
+    the vjp of its backward-difference interpolant — linear in the
+    replayed history array ``_hist_update(D', d)``, so the pull composes
+    with the corrector IFT and the rescale chain like the plain terminal
+    cotangent — with θ* re-polished by a differentiable Newton step from
+    the recorded root (the rodas_adjoint event mechanics). Not combinable
+    with t_eval here; NOTE a no-trigger lane in an events batch integrates
+    the whole span — size ``adjoint_steps`` for it.
     """
     opts = options if options is not None else Options()
-    if opts.stage_solver != "lu":
-        raise ValueError("ndf_adjoint needs the assembled (M − cJ) corrector "
-                         "matrix for its transposed IFT solves; "
-                         "stage_solver='gmres'/'tridiag' is forward-only "
-                         "here — use radau_adjoint for matrix-free reverse "
-                         "mode")
+    use_gmres = opts.stage_solver != "lu"
+    if use_gmres and jac is not None:
+        raise ValueError("stage_solver='gmres' is matrix-free (Jᵀ·v by "
+                         "vjp, transposed probed preconditioner); drop "
+                         "jac=")
+    from janus_tpu.solve.events import normalize_events
+    specs = normalize_events(events)
+    if specs:
+        if not all(e.terminal for e in specs):
+            raise ValueError("ndf_adjoint(events=...) requires every event "
+                             "terminal (non-terminal recordings have no "
+                             "gradient contract)")
+        if t_eval is not None:
+            raise ValueError("ndf_adjoint: events + t_eval is not supported "
+                             "on the discrete adjoint; use radau_adjoint "
+                             "(continuous) for event-truncated trajectory "
+                             "losses")
     cap = opts.adjoint_steps
     jac_user = jac
 
@@ -142,18 +177,29 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
     @jax.custom_vjp
     def run(t0, tf, y0, args, h0):
         sol = nd.solve_bdf(f, t0, tf, y0, args, opts, jac=jac_user,
-                           mass=mass, ndf=ndf, _h0=h0)
+                           mass=mass, ndf=ndf, events=events or None,
+                           _h0=h0)
+        if specs:
+            return sol.y, sol.t, sol.h_next, sol.event_idx
         return sol.y, sol.h_next
 
     def fwd(t0, tf, y0, args, h0):
         sol = nd.solve_bdf(f, t0, tf, y0, args, opts, jac=jac_user,
-                           mass=mass, ndf=ndf, _mesh_size=cap, _h0=h0)
-        return (sol.y, sol.h_next), (sol.mesh, sol.stats["naccept"], t0, tf,
-                                     y0, args, sol.y, sol.t, h0)
+                           mass=mass, ndf=ndf, events=events or None,
+                           _mesh_size=cap, _h0=h0)
+        res = (sol.mesh, sol.stats["naccept"], t0, tf,
+               y0, args, sol.y, sol.t, h0,
+               sol.event_idx if specs else None)
+        if specs:
+            return (sol.y, sol.t, sol.h_next, sol.event_idx), res
+        return (sol.y, sol.h_next), res
 
     def bwd(res, out_bar):
-        ybar, _ = out_bar            # h_next is a non-differentiable knob
-        mesh, nacc, t0, tf, y0, args, yT, t_end, h0 = res
+        if specs:
+            ybar, tbar_in, _, _ = out_bar    # h_next/event_idx: knobs
+        else:
+            ybar, _ = out_bar        # h_next is a non-differentiable knob
+        mesh, nacc, t0, tf, y0, args, yT, t_end, h0, ev_idx = res
         t0b, tfb, y0b = cm.broadcast_batch(t0, tf, y0)
         m, dim = y0b.shape
         dtype = y0b.dtype
@@ -167,8 +213,15 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
         def fa(t, y, dl):
             return f(t, y, rebuild(dl))
 
-        jac_fn = (lambda t, y, dl: jac_user(t, y, rebuild(dl))) if jac_user \
-            else default_jacobian(fa)
+        if use_gmres:
+            from janus_tpu.solve.radau import (gmres_shifted_solver,
+                                               gmres_shifted_solver_T,
+                                               precond_probe_fn)
+            g_iters = 0 if opts.stage_solver == "tridiag" \
+                else opts.gmres_iters
+        else:
+            jac_fn = (lambda t, y, dl: jac_user(t, y, rebuild(dl))) \
+                if jac_user else default_jacobian(fa)
 
         def mdot(v):
             if mass is None:
@@ -188,6 +241,56 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
         # benign substitutes for dead (lane, slot) pairs: order 1, h 1,
         # D' = [y0, 0, ...] (a consistent basis), d = 0, T = I
         D_ben = jnp.zeros((m, _SLOTS, dim), dtype).at[:, 0].set(y0b)
+
+        if specs:
+            triggered = ev_idx >= 0
+            tbar = jnp.asarray(tbar_in, dtype)
+            # triggered lanes' terminal cotangent enters through the event
+            # endpoint inside the scan body, not the e₀ ⊗ ȳ injection
+            e0bar = jnp.where(triggered[:, None, None], 0.0, e0bar)
+
+            def g_sel(t, y, dl):
+                # the lane's OWN terminating event function (one-hot over
+                # the spec list by the recorded event_idx)
+                a = rebuild(dl)
+                vals = jnp.stack([jnp.asarray(e.fn(t, y, a), dtype)
+                                  for e in specs], axis=0)      # [K, M]
+                oh = (jnp.arange(len(specs))[:, None]
+                      == jnp.maximum(ev_idx, 0)[None, :]).astype(dtype)
+                return jnp.sum(oh * vals, axis=0)
+
+            def evt_endpoint(tk, hk, kk, Dp, d, dl, th0):
+                # (y*, t*) of the triggering step as a differentiable map:
+                # rebuild the post-accept history array (linear), evaluate
+                # the backward-difference interpolant at θ, and re-polish
+                # θ* by TWO Newton iterations from the recorded root
+                # (starting converged, the polished iterate's derivative
+                # equals the implicit-function derivative to O(residual²)).
+                # Mirrors the forward interp (solve/ndf.py 'dense output &
+                # events') on a single θ per lane.
+                Dh = _hist_update(Dp, d, kk)
+                t_new = tk + hk
+                iidx = jnp.arange(nd.MAX_ORDER, dtype=dtype)
+                kmask = jnp.arange(nd.MAX_ORDER)[None, :] < kk[:, None]
+
+                def yi(th):
+                    tq = tk + th * hk
+                    x = ((tq[:, None]
+                          - (t_new[:, None] - iidx[None, :] * hk[:, None]))
+                         / ((iidx[None, :] + 1.0) * hk[:, None]))
+                    cp = jnp.cumprod(x, axis=-1)
+                    w = jnp.where(kmask, cp, 0.0)
+                    return Dh[:, 0] + jnp.sum(
+                        w[:, :, None] * Dh[:, 1:_K], axis=1)
+
+                def gfun(th):
+                    return g_sel(tk + th * hk, yi(th), dl)
+
+                th = th0
+                for _ in range(2):
+                    gv, dg = jax.jvp(gfun, (th,), (jnp.ones_like(th),))
+                    th = th - gv / jnp.where(dg == 0.0, 1.0, dg)
+                return yi(th), tk + th * hk
 
         def body(carry, k):
             lam, gl = carry
@@ -209,6 +312,39 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
                     lambda Dp, d: _hist_update(Dp, d, kk), Dk, dk)
                 lam_Dp, lam_d = pull_h(lam_h)
 
+                if specs:
+                    # the triggering lane's LAST live slot carries the
+                    # whole (ȳ*, t̄*) cotangent through the event endpoint
+                    # — a direct function of (D', d, θ*) — instead of the
+                    # e₀ ⊗ ȳ injection (zeroed above for these lanes)
+                    is_evt = live & triggered & (k == nacc - 1)
+                    th0 = jnp.clip(
+                        (t_end - tk) / jnp.where(hk == 0.0, 1.0, hk),
+                        0.0, 1.0)
+                    th0 = jnp.where(is_evt, th0, 0.5)
+
+                    def do_evt(_):
+                        _, pull_e = jax.vjp(
+                            lambda Dp, d, dl: evt_endpoint(
+                                tk, hk, kk, Dp, d, dl, th0),
+                            Dk, dk, dleaves)
+                        return pull_e(
+                            (jnp.where(is_evt[:, None], ybar, 0.0),
+                             jnp.where(is_evt, tbar, 0.0)))
+
+                    dDp_e, dd_e, dgl_e = jax.lax.cond(
+                        jnp.any(is_evt), do_evt,
+                        lambda _: (jnp.zeros_like(lam_Dp),
+                                   jnp.zeros_like(lam_d),
+                                   [jnp.zeros(jnp.shape(l), dtype)
+                                    for l in dleaves]), None)
+                    lam_Dp = lam_Dp + jnp.where(is_evt[:, None, None],
+                                                dDp_e, 0.0)
+                    lam_d = lam_d + jnp.where(is_evt[:, None], dd_e, 0.0)
+                else:
+                    dgl_e = [jnp.zeros(jnp.shape(l), dtype)
+                             for l in dleaves]
+
                 # 2) corrector IFT: (M − c·J(t+h, y_new))ᵀ w = λ_d, fresh J
                 # at the converged point, live-masked so dead lanes solve a
                 # benign well-conditioned system with a zero rhs
@@ -216,11 +352,31 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
                 c = hk / alpha_ord
                 t_new = tk + hk
                 y_new = y_pred + dk
-                jm = jac_fn(t_new, y_new, dleaves)
-                jm = jnp.where(live[:, None, None], jm, 0.0)
-                amat_t = jnp.swapaxes(mmat - c[:, None, None] * jm, 1, 2)
-                lu_t, piv_t = lu_factor(amat_t, pivot=opts.pivoting)
-                w = lu_solve(lu_t, piv_t, lam_d)
+                if use_gmres:
+                    # matrix-free: Jᵀ·v by vjp pull at (t+h, y_new), the
+                    # transposed probed structure as preconditioner (the
+                    # reference's BDF+Krylov role, vdp_bdf_gmres.cpp, now
+                    # in reverse); dead lanes' masked f makes their
+                    # operator Mᵀ (identity when mass is None)
+                    def f_live(t, y, dl):
+                        fv = fa(t, y, dl)
+                        return jnp.where(live[:, None], fv, 0.0)
+
+                    pdata = precond_probe_fn(
+                        f_live, opts.precond, opts.precond_block,
+                        dim)(t_new, y_new, dleaves)
+                    solve_T = gmres_shifted_solver_T(
+                        f_live, t_new, y_new, dleaves, pdata,
+                        jnp.ones_like(c), c, mass, g_iters,
+                        precond=opts.precond, block=opts.precond_block)
+                    w = solve_T(lam_d)
+                else:
+                    jm = jac_fn(t_new, y_new, dleaves)
+                    jm = jnp.where(live[:, None, None], jm, 0.0)
+                    amat_t = jnp.swapaxes(mmat - c[:, None, None] * jm,
+                                          1, 2)
+                    lu_t, piv_t = lu_factor(amat_t, pivot=opts.pivoting)
+                    w = lu_solve(lu_t, piv_t, lam_d)
 
                 # 3) pull −w through G(D', θ) at fixed d (the corrector
                 # residual's explicit dependences); RHS live-masked
@@ -241,7 +397,8 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
                 lam_prev = jnp.concatenate([lam6, lam_Dp[:, _K:]], axis=1)
 
                 return (jnp.where(live[:, None, None], lam_prev, lam_in),
-                        [g + dg for g, dg in zip(gl, gdl)])
+                        [g + dg + de
+                         for g, dg, de in zip(gl, gdl, dgl_e)])
 
             lam, gl = jax.lax.cond(jnp.any(live), do,
                                    lambda _: (lam_in, gl), None)
@@ -258,6 +415,18 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
             f0 = fa(t0b, y0v, dl)
             if mass is None:
                 return h0r[:, None] * f0
+            if use_gmres:
+                # mirror the forward startup's matrix-free solve (ndf.py
+                # 'difference-array startup'); the vjp through the GMRES
+                # iteration is the discrete adjoint of the computed d1
+                pdata0 = precond_probe_fn(
+                    fa, opts.precond, opts.precond_block,
+                    dim)(t0b, y0v, dl)
+                solve0, _ = gmres_shifted_solver(
+                    fa, t0b, y0v, dl, pdata0, jnp.ones_like(h0r), h0r,
+                    mass, g_iters, precond=opts.precond,
+                    block=opts.precond_block)
+                return solve0(h0r[:, None] * f0)
             j0 = jac_fn(t0b, y0v, dl)
             lu0, piv0 = lu_factor(mmat - h0r[:, None, None] * j0, pivot=True)
             return lu_solve(lu0, piv0, h0r[:, None] * f0)
@@ -283,6 +452,11 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
             return lu_solve(lu_m, piv_m, fv)
 
         tf_bar = jnp.sum(ybar * ydot(t_end, yT), axis=-1)     # [M]
+        if specs:
+            # triggered lanes stop at t* < tf (frozen mesh: tf moves
+            # nothing; the (ȳ*, t̄*) pull went through the event endpoint);
+            # non-triggered lanes return t = tf exactly, so t̄ adds 1:1
+            tf_bar = jnp.where(triggered, 0.0, tf_bar + tbar)
         t0_bar = -jnp.sum(lam0 * ydot(t0b, y0b), axis=-1)     # [M]
 
         t0_ct = jnp.sum(t0_bar) if jnp.ndim(t0) == 0 else \
@@ -300,6 +474,9 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
     run.defvjp(fwd, bwd)
 
     if t_eval is None:
+        if specs:
+            y, t_term, _, _ = run(t0_in, tf_in, y0, args, None)
+            return y, t_term
         y, _ = run(t0_in, tf_in, y0, args, None)
         return y
 

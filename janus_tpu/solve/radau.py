@@ -744,6 +744,67 @@ def gmres_shifted_solver(f, t_lin, y_lin, args, pdata, a_coef, b_coef, mass,
     return solve, mdotv
 
 
+def gmres_shifted_solver_T(f, t_lin, y_lin, args, pdata, a_coef, b_coef,
+                           mass, iters, precond="tridiag", block=0):
+    """solve(rhs) for the TRANSPOSED real shifted system
+    (a·M − b·J)ᵀ x = rhs, matrix-free: Jᵀ·v is a ``jax.vjp`` PULL of the
+    rhs at the frozen linearization point (reverse mode is the natural
+    direction for transposed operators — J is never materialized), Mᵀ·v an
+    explicit matvec, and the preconditioner is the TRANSPOSE of the probed
+    forward structure — bands: (Jᵀ)_dl[i] = J_du[i−1], (Jᵀ)_du[i] =
+    J_dl[i+1] (line-boundary zeros map to line-boundary zeros, so 'lines'
+    rides the same shift); blocks: per-block transpose. The discrete-
+    adjoint twin of ``gmres_shifted_solver`` (the IFT corrector pulls of
+    solve/adjoint_ndf.py); iters == 0 direct-solves the transposed
+    preconditioner structure."""
+    from janus_tpu.linalg.gmres import gmres_batched, tridiag_solve_auto
+
+    m, dim = y_lin.shape
+    dtype = y_lin.dtype
+    pull = jax.vjp(lambda yy: f(t_lin, yy, args), y_lin)[1]
+
+    def jtv(v):
+        return pull(v)[0]
+
+    mass_t = None if mass is None else jnp.swapaxes(
+        mass if mass.ndim == 3 else jnp.broadcast_to(
+            mass[None], (m, dim, dim)), -1, -2)
+
+    if precond == "block":
+        mdotv, mblk = _gmres_mass_blocks(mass_t, m, dim // block, block,
+                                         dtype)
+        a_blk = (a_coef[:, None, None, None] * mblk
+                 - b_coef[:, None, None, None]
+                 * jnp.swapaxes(pdata, -1, -2))
+        lu_b, piv_b = _guarded_block_lu(a_blk)
+        pc = lambda v: lu_solve(                                # noqa: E731
+            lu_b, piv_b, v.reshape(m, -1, block)).reshape(m, dim)
+    else:
+        mdotv, m_dl, m_d, m_du = _gmres_mass_ops(mass_t, m, dim,
+                                                 pdata[:, 1])
+        z1 = jnp.zeros((m, 1), dtype)
+        jt_dl = jnp.concatenate([z1, pdata[:, 2, :-1]], axis=1)
+        jt_du = jnp.concatenate([pdata[:, 0, 1:], z1], axis=1)
+        a_dl = a_coef[:, None] * m_dl - b_coef[:, None] * jt_dl
+        a_d = a_coef[:, None] * m_d - b_coef[:, None] * pdata[:, 1]
+        a_du = a_coef[:, None] * m_du - b_coef[:, None] * jt_du
+        okp = jnp.all(jnp.isfinite(a_d) & (a_d != 0.0), axis=-1,
+                      keepdims=True)
+        pc_d = jnp.where(okp, a_d, 1.0)
+        pc_dl = jnp.where(okp, a_dl, 0.0)
+        pc_du = jnp.where(okp, a_du, 0.0)
+        pc = lambda v: tridiag_solve_auto(pc_dl, pc_d, pc_du, v)  # noqa: E731
+
+    def solve(rhs):
+        mv = lambda v: a_coef[:, None] * mdotv(v) \
+            - b_coef[:, None] * jtv(v)                          # noqa: E731
+        if iters == 0:
+            return pc(rhs)
+        return gmres_batched(mv, rhs, pc, iters)[0]
+
+    return solve
+
+
 def _gmres_stage_solver(tab, f, t_lin, y_lin, args, pdata, h, mass, iters,
                         precond="tridiag", block=0):
     """Matrix-free transformed-stage solvers for stage_solver='gmres'.

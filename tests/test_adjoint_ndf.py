@@ -255,3 +255,108 @@ def test_t_eval_trajectory_fitting():
         fd = (lfd(y0, mu, ts.at[j].add(eps))
               - lfd(y0, mu, ts.at[j].add(-eps))) / (2 * eps)
         assert abs(g_ts[j] - fd) <= 5e-5 * abs(fd) + 1e-6
+
+
+def test_ndf_adjoint_terminal_events_mixed_batch_vs_fd():
+    """events= on the multistep discrete adjoint: the triggering lane's
+    (y*, t*) cotangents pull through the vjp of the backward-difference
+    interpolant (linear in the replayed history array) with θ* re-polished
+    from the recorded root; the no-trigger lane keeps the plain e₀ ⊗ ȳ
+    injection (+ the t̄ → tf boundary identity). Oracle: central FD of the
+    full solver."""
+    from janus_tpu.solve import solve_ivp
+    from janus_tpu.solve.events import Event
+
+    mu = jnp.array([2.0, 2.0])
+    y0 = jnp.array([[2.0, 0.0], [2.0, 0.5]])
+    thr = jnp.array([1.2, -50.0])       # lane 0 triggers; lane 1 never
+    ev = Event(lambda t, y, a: y[..., 0] - thr, terminal=True,
+               direction=-1.0)
+    opts = Options(rtol=1e-9, atol=1e-12, adjoint_steps=4096,
+                   max_steps=8192)
+
+    def loss(y0_, mu_):
+        y, t = ndf_adjoint(vdp_rhs, (0.0, 2.0), y0_, args=mu_,
+                           options=opts, events=ev)
+        return jnp.sum(y ** 2) + 2.0 * jnp.sum(t), (y, t)
+
+    (val, (y, t)), grads = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(y0, mu)
+    assert float(t[0]) < 2.0 and float(t[1]) == 2.0
+
+    # forward parity: the adjoint's primal IS the events forward solve
+    sol = solve_ivp(vdp_rhs, (0.0, 2.0), y0, method="bdf", args=mu,
+                    options=opts, events=ev)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(sol.y))
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(sol.t))
+
+    def lv(y0_, mu_):
+        s = solve_ivp(vdp_rhs, (0.0, 2.0), y0_, method="bdf", args=mu_,
+                      options=opts, events=ev)
+        return float(jnp.sum(s.y ** 2) + 2.0 * jnp.sum(s.t))
+
+    eps = 1e-6
+    for i in range(2):
+        for j in range(2):
+            e = jnp.zeros((2, 2)).at[i, j].set(eps)
+            fd = (lv(y0 + e, mu) - lv(y0 - e, mu)) / (2 * eps)
+            assert abs(grads[0][i, j] - fd) <= 2e-5 * max(abs(fd), 1.0) \
+                + 2e-6
+        e = jnp.zeros(2).at[i].set(eps)
+        fd = (lv(y0, mu + e) - lv(y0, mu - e)) / (2 * eps)
+        assert abs(grads[1][i] - fd) <= 2e-5 * max(abs(fd), 1.0) + 2e-6
+
+
+def test_ndf_adjoint_events_guards():
+    from janus_tpu.solve.events import Event
+    ev_nt = Event(lambda t, y, a: y[..., 0], terminal=False)
+    with pytest.raises(ValueError, match="terminal"):
+        ndf_adjoint(vdp_rhs, (0.0, 1.0), jnp.zeros((1, 2)), args=1.0,
+                    events=ev_nt)
+    ev = Event(lambda t, y, a: y[..., 0], terminal=True)
+    with pytest.raises(ValueError, match="t_eval"):
+        ndf_adjoint(vdp_rhs, (0.0, 1.0), jnp.zeros((1, 2)), args=1.0,
+                    events=ev, t_eval=jnp.array([0.5, 1.0]))
+
+
+@pytest.mark.parametrize("ss", ["gmres", "tridiag"])
+def test_matrix_free_reverse_large_d_mol(ss):
+    """stage_solver='gmres'/'tridiag' reverse mode on a D=96 Fisher-KPP MOL
+    line — the backward IFT solves run (M − cJ)ᵀw = λ_d matrix-free (Jᵀ·v
+    by vjp pull, TRANSPOSED probed Thomas preconditioner,
+    gmres_shifted_solver_T) with J never materialized; 'tridiag' direct-
+    solves the transposed tridiagonal structure (exact here: 3-point
+    stencil). Gradients must match FD re-solves. Reference role: BDF with
+    Krylov solves (examples/cpp/vdp_bdf_gmres.cpp,
+    odesolvers/linsolve.py:60-111) — forward-only there."""
+    from tests.test_radau_gmres import _mol_rhs
+
+    d = 96
+    dx = 1.0 / (d + 1)
+    xg = np.linspace(dx, 1.0 - dx, d)
+    rhs = _mol_rhs(dx)
+    m = 2
+    y0 = jnp.tile(jnp.asarray(np.exp(-100 * (xg - 0.3) ** 2))[None], (m, 1))
+    rates0 = jnp.array([1.0, 8.0])[:, None]
+    opts = Options(rtol=1e-7, atol=1e-10, stage_solver=ss,
+                   gmres_iters=25, adjoint_steps=512)
+
+    def loss(z, rates):
+        yT = ndf_adjoint(rhs, (0.0, 0.4), z, args=(0.01, rates),
+                         options=opts)
+        return jnp.sum(jnp.asarray(xg)[None, :] * yT ** 2)
+
+    g_y0, g_r = jax.jit(jax.grad(loss, argnums=(0, 1)))(y0, rates0)
+    assert bool(jnp.all(jnp.isfinite(g_y0))) and bool(
+        jnp.all(jnp.isfinite(g_r)))
+    lv = jax.jit(loss)
+    eps = 1e-5
+    for i in range(m):
+        e = jnp.zeros((m, 1)).at[i, 0].set(eps)
+        fd = (lv(y0, rates0 + e) - lv(y0, rates0 - e)) / (2 * eps)
+        np.testing.assert_allclose(float(g_r[i, 0]), float(fd), rtol=2e-4)
+    for j in (17, 48):                       # spot-check y0 components
+        e = jnp.zeros((m, d)).at[0, j].set(eps)
+        fd = (lv(y0 + e, rates0) - lv(y0 - e, rates0)) / (2 * eps)
+        np.testing.assert_allclose(float(g_y0[0, j]), float(fd), rtol=5e-4,
+                                   atol=1e-8)
