@@ -119,24 +119,43 @@ def _mol_metrics(jax, jnp):
             best = min(best, (t3 - t1) / 2)
         mol_ok = bool(jnp.all(s1 == 1))
 
-        aopts = opts.replace(adjoint_steps=64)
+        # adjoint gradient: the experiments/mol_adjoint_chip.py method and
+        # config EXACTLY (adjoint_steps=48, chained-marginal timing with
+        # the gradient folded into the carry) so this field and the
+        # documented 14.9 ms claim share a scale — the round-4 single-call
+        # adjoint_steps=64 reading (53 ms) mixed the ~66 ms tunnel
+        # round-trip into the metric and read as a 3.6x phantom regression
+        aopts = opts.replace(adjoint_steps=48)
 
-        def loss(z, r):
-            yT = radau_adjoint(rhs, (0.0, 0.4), z, args=(0.01, r),
-                               options=aopts)
-            return jnp.sum(yT ** 2)
+        def gstep(z, r):
+            def loss(zz, rr):
+                yT = radau_adjoint(rhs, (0.0, 0.4), zz, args=(0.01, rr),
+                                   options=aopts)
+                return jnp.sum(jnp.asarray(xg, dtype)[None, :] * yT ** 2)
+            return jax.grad(loss, argnums=(0, 1))(z, r)
 
-        grad = jax.jit(jax.grad(loss, argnums=(0, 1)))
-        g0, _ = grad(y0, rates)
-        np.asarray(g0)
+        def chain_g(z, n):
+            def one(c, _):
+                gz, gr = gstep(c, rates)
+                return c + 1e-9 * gz, gr
+            return jax.lax.scan(one, z, None, length=n)
+
+        g1f = jax.jit(lambda z: chain_g(z, 1))
+        g3f = jax.jit(lambda z: chain_g(z, 3))
+        o1, gr1 = g1f(y0)
+        np.asarray(o1)
+        finite = bool(jnp.all(jnp.isfinite(o1)) & jnp.all(jnp.isfinite(gr1)))
+        np.asarray(g3f(y0 + 1e-6)[0])
         besta = np.inf
         for it in range(3):
-            z = y0 + 1e-5 * (it + 1)
+            z = y0 + 1e-5 * it
             t0 = time.perf_counter()
-            g0, g1 = grad(z, rates)
-            np.asarray(g0)
-            besta = min(besta, time.perf_counter() - t0)
-        finite = bool(jnp.all(jnp.isfinite(g0)) & jnp.all(jnp.isfinite(g1)))
+            np.asarray(g1f(z)[0])
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(g3f(z)[0])
+            t3 = time.perf_counter() - t0
+            besta = min(besta, (t3 - t1) / 2)
         return {
             "mol_d128_tridiag_ms_per_solve": round(best * 1e3, 2),
             "mol_d128_tridiag_ok": mol_ok,
@@ -145,6 +164,62 @@ def _mol_metrics(jax, jnp):
         }
     except Exception as e:                    # pragma: no cover
         return {"mol_metrics_error": f"{type(e).__name__}: {e}"}
+
+
+def _rodas_adjoint_metric(jax, jnp):
+    """Round-4 flagship regression tracker: the rodas discrete adjoint at
+    the experiments/rodas_adjoint_chip.py config (8192 heterogeneous-mu VdP
+    lanes, rtol 1e-4 f32, full (y0, mu) gradient, chained marginals) —
+    documented chip reading 3.18 ms/grad. Never raises."""
+    try:
+        import time as _t
+
+        from janus_tpu.models.problems import vdp_rhs, vdp_jac
+        from janus_tpu.solve import Options
+        from janus_tpu.solve.adjoint_rodas import rodas_adjoint
+
+        m, tf = 8192, 1.0
+        dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
+        opts = Options(rtol=1e-4, atol=1e-7, pivoting=False,
+                       adjoint_steps=128)
+        y0 = jnp.tile(jnp.array([[2.0, 0.0]], dtype), (m, 1))
+        mus = jnp.logspace(1.5, 3.0, m).astype(dtype)
+
+        def gstep(z):
+            g_y0, g_mu = jax.grad(
+                lambda zz, mm: jnp.sum(rodas_adjoint(
+                    vdp_rhs, (0.0, tf), zz, args=mm, options=opts,
+                    jac=vdp_jac) ** 2), argnums=(0, 1))(z, mus)
+            return g_y0, g_mu
+
+        def chain(z, n):
+            def one(c, _):
+                gz, gmu = gstep(c)
+                return c + 1e-9 * gz, gmu
+            return jax.lax.scan(one, z, None, length=n)
+
+        f1 = jax.jit(lambda z: chain(z, 1))
+        f3 = jax.jit(lambda z: chain(z, 3))
+        o1, gmu1 = f1(y0)
+        np.asarray(o1)
+        finite = bool(jnp.all(jnp.isfinite(o1)) & jnp.all(jnp.isfinite(gmu1)))
+        np.asarray(f3(y0 + 1e-6)[0])
+        best = np.inf
+        for it in range(3):
+            z = y0 + 1e-5 * it
+            t0 = _t.perf_counter()
+            np.asarray(f1(z)[0])
+            t1 = _t.perf_counter() - t0
+            t0 = _t.perf_counter()
+            np.asarray(f3(z)[0])
+            t3 = _t.perf_counter() - t0
+            best = min(best, (t3 - t1) / 2)
+        return {
+            "rodas_adjoint_ms_per_gradient": round(best * 1e3, 2),
+            "rodas_adjoint_finite": finite,
+        }
+    except Exception as e:                    # pragma: no cover
+        return {"rodas_adjoint_metric_error": f"{type(e).__name__}: {e}"}
 
 
 def main():
@@ -246,6 +321,7 @@ def main():
     vs_baseline = traj_per_sec / cpu_rate
 
     mol = _mol_metrics(jax, jnp)
+    rodas_adj = _rodas_adjoint_metric(jax, jnp)
 
     print(json.dumps({
         "metric": "stiff VdP mu=1e3 trajectories/sec/chip (with fwd sens, "
@@ -260,6 +336,7 @@ def main():
         "accept_fraction": round(accept_fraction, 4),
         "seconds_per_solve": round(dt, 4),
         **mol,
+        **rodas_adj,
     }))
 
 
