@@ -177,9 +177,6 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
             # variable order by default: stages 1..7
             options = options.replace(min_stages=1, max_stages=7)
         if options.min_stages != options.max_stages:
-            if options.stage_solver != "lu":
-                raise ValueError("stage_solver='gmres' is supported by the "
-                                 "fixed-stage 'radau' methods only")
             from janus_tpu.solve.radaup import solve_radau_vo
             return solve_radau_vo(f, t0, tf, y0, args, options, t_eval,
                                   jac=jac, mass=mass, events=events,

@@ -181,11 +181,11 @@ def radau_adjoint(f: Callable, tspan, y0, args=None,
         if len(orders) < 2:
             opts = opts.replace(min_stages=orders[0], max_stages=orders[0])
         else:
-            if opts.stage_solver != "lu":
-                raise ValueError(
-                    "the variable-order (radaup) adjoint is LU-only; pin "
-                    "min_stages == max_stages for the matrix-free "
-                    "(gmres/tridiag) adjoint")
+            # round 5: stage_solver='gmres'/'tridiag' compose — the forward
+            # ladder runs per-order matrix-free stage solvers (radaup.py)
+            # and the backward sweep is order-parameterized already (it
+            # integrates at the ladder's top order, so the fixed-stage
+            # matrix-free backward machinery applies verbatim)
             vo_orders = orders
     use_cost = cost is not None
     if n_alg:

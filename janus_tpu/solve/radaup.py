@@ -69,11 +69,13 @@ class _VState:
     f0: jnp.ndarray
     h: jnp.ndarray
     order: jnp.ndarray        # [M] stage count (1/3/5/7)
-    jac: jnp.ndarray
+    jac: jnp.ndarray          # [M,D,D] J, or probed precond data (gmres)
     lu_real: jnp.ndarray
     piv_real: jnp.ndarray
     lu_cplx: jnp.ndarray      # [M, Pmax, 2D, 2D]
     piv_cplx: jnp.ndarray
+    t_lin: jnp.ndarray        # frozen linearization point (gmres J·v jvp)
+    y_lin: jnp.ndarray
     h_fact: jnp.ndarray
     current_jac: jnp.ndarray
     need_jac: jnp.ndarray
@@ -166,7 +168,22 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
 
         def _ql(t, y):
             return cm.canon_cost(quad(t, y, args))
-    jac_fn = jac if jac is not None else default_jacobian(f)
+    use_gmres = opts.stage_solver != "lu"
+    if use_gmres:
+        # matrix-free ladder: J·v by jvp at the frozen linearization point
+        # per order's _gmres_stage_solver; st.jac holds the PROBED
+        # preconditioner data (bands/blocks), never the matrix — the
+        # fixed-stage radau convention (reference decom_rc_gmres role)
+        if jac is not None:
+            raise ValueError("stage_solver='gmres' is matrix-free (J·v by "
+                             "jvp, probed structure preconditioner); "
+                             "drop jac=")
+        from janus_tpu.solve.radau import precond_probe_fn
+        jac_fn = precond_probe_fn(f, opts.precond, opts.precond_block,
+                                  jnp.asarray(y0).shape[-1])
+        g_iters = 0 if opts.stage_solver == "tridiag" else opts.gmres_iters
+    else:
+        jac_fn = jac if jac is not None else default_jacobian(f)
     # index-2/3 DAE error/Newton weighting (shared with solve_radau)
     ind_exp, use_index = cm.index_weights(opts, dim, dtype)
     newton_tol = (opts.newton_tol if opts.newton_tol > 0
@@ -230,14 +247,21 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         out_sd0 = jnp.zeros((), dtype)
     already_done = t0 == tf
     order0 = min(max(3, orders[0]), orders[-1])
+    jac_shape = ((m, dim // opts.precond_block, opts.precond_block,
+                  opts.precond_block)
+                 if (use_gmres and opts.precond == "block")
+                 else (m, 3, dim) if use_gmres else (m, dim, dim))
     state = _VState(
         t=t0, y=y0, yd=yd0, f0=f0, h=h,
         order=jnp.full((m,), order0, jnp.int32),
-        jac=jnp.zeros((m, dim, dim), dtype),
-        lu_real=jnp.zeros((m, dim, dim), dtype),
-        piv_real=jnp.zeros((m, dim), jnp.int32),
-        lu_cplx=jnp.zeros((m, pmax, 2 * dim, 2 * dim), dtype),
-        piv_cplx=jnp.zeros((m, pmax, 2 * dim), jnp.int32),
+        jac=jnp.zeros(jac_shape, dtype),
+        lu_real=jnp.zeros((m, 0, 0) if use_gmres else (m, dim, dim), dtype),
+        piv_real=jnp.zeros((m, 0) if use_gmres else (m, dim), jnp.int32),
+        lu_cplx=jnp.zeros((m, pmax, 0, 0) if use_gmres
+                          else (m, pmax, 2 * dim, 2 * dim), dtype),
+        piv_cplx=jnp.zeros((m, pmax, 0) if use_gmres
+                           else (m, pmax, 2 * dim), jnp.int32),
+        t_lin=t0, y_lin=y0,
         h_fact=jnp.zeros((m,), dtype),
         current_jac=jnp.zeros((m,), bool),
         need_jac=jnp.ones((m,), bool),
@@ -282,6 +306,11 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
 
         jmat = jax.lax.cond(jnp.any(needj), do_jac, lambda _: st.jac, None)
         current_jac = st.current_jac | needj
+        t_lin = jnp.where(needj, st.t, st.t_lin)
+        y_lin = jnp.where(needj[:, None], st.y, st.y_lin)
+        if use_gmres:
+            from janus_tpu.solve.radau import (_gmres_stage_solver,
+                                               gmres_shifted_solver)
 
         # ---- per-order factorization + Newton ----------------------------
         lu_r, piv_r = st.lu_real, st.piv_real
@@ -302,35 +331,49 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
         if use_index:
             scale_n = scale_n / (jnp.abs(h)[:, None] ** ind_exp[None, :])
 
+        solvers = {}
         for s in orders:
             tab = tabs[s]
             sel = st.active & (st.order == s)
             needf = sel & (needj | (h != h_fact))
             npair = (s - 1) // 2
 
-            def do_fact(_, tab=tab, needf=needf, npair=npair):
-                lr, pr, lc, pc, ok = _factorize(tab, h, jmat, mass,
-                                                opts.pivoting)
-                lcp = jnp.zeros((m, pmax, 2 * dim, 2 * dim), dtype)
-                pcp = jnp.zeros((m, pmax, 2 * dim), jnp.int32)
-                if npair:
-                    lcp = lcp.at[:, :npair].set(lc)
-                    pcp = pcp.at[:, :npair].set(pc)
-                return lr, pr, lcp, pcp, ok
+            if use_gmres:
+                # nothing to factor: per-order matrix-free stage solvers at
+                # this step's (h, frozen linearization point); the probed
+                # preconditioner data is shared across orders
+                solver_s = _gmres_stage_solver(
+                    tab, f, t_lin, y_lin, args, jmat, h, mass, g_iters,
+                    precond=opts.precond, block=opts.precond_block)
+                solvers[s] = solver_s
+                ok_g = jnp.all(jnp.isfinite(jmat),
+                               axis=tuple(range(1, jmat.ndim)))
+                fact_ok = jnp.where(needf, ok_g, fact_ok)
+                h_fact = jnp.where(needf, h, h_fact)
+            else:
+                def do_fact(_, tab=tab, needf=needf, npair=npair):
+                    lr, pr, lc, pc, ok = _factorize(tab, h, jmat, mass,
+                                                    opts.pivoting)
+                    lcp = jnp.zeros((m, pmax, 2 * dim, 2 * dim), dtype)
+                    pcp = jnp.zeros((m, pmax, 2 * dim), jnp.int32)
+                    if npair:
+                        lcp = lcp.at[:, :npair].set(lc)
+                        pcp = pcp.at[:, :npair].set(pc)
+                    return lr, pr, lcp, pcp, ok
 
-            def skip_fact(_):
-                return (lu_r, piv_r, lu_c, piv_c, jnp.ones((m,), bool))
+                def skip_fact(_):
+                    return (lu_r, piv_r, lu_c, piv_c, jnp.ones((m,), bool))
 
-            lr, pr, lc, pc, ok = jax.lax.cond(jnp.any(needf), do_fact,
-                                              skip_fact, None)
-            w = needf
-            lu_r = jnp.where(w[:, None, None], lr, lu_r)
-            piv_r = jnp.where(w[:, None], pr, piv_r)
-            lu_c = jnp.where(w[:, None, None, None], lc, lu_c)
-            piv_c = jnp.where(w[:, None, None], pc, piv_c)
-            fact_ok = jnp.where(w, ok, fact_ok)
-            h_fact = jnp.where(w, h, h_fact)
-            nlu_add = nlu_add + w * (1 + npair)
+                lr, pr, lc, pc, ok = jax.lax.cond(jnp.any(needf), do_fact,
+                                                  skip_fact, None)
+                w = needf
+                lu_r = jnp.where(w[:, None, None], lr, lu_r)
+                piv_r = jnp.where(w[:, None], pr, piv_r)
+                lu_c = jnp.where(w[:, None, None, None], lc, lu_c)
+                piv_c = jnp.where(w[:, None, None], pc, piv_c)
+                fact_ok = jnp.where(w, ok, fact_ok)
+                h_fact = jnp.where(w, h, h_fact)
+                nlu_add = nlu_add + w * (1 + npair)
 
             run_s = sel & fact_ok
 
@@ -350,7 +393,8 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
                              lu_r, piv_r, lu_c[:, :max(npair, 1)][:, :npair]
                              if npair else lu_c[:, :0],
                              piv_c[:, :npair] if npair else piv_c[:, :0],
-                             run_s, max_iter, args, mass=mass)
+                             run_s, max_iter, args, mass=mass,
+                             solver=solvers.get(s))
                 yn = st.y + ns.z[:, -1, :]
                 e_vec = jnp.asarray(tab.e, dtype)
                 ze_s = jnp.einsum("s,msd->md", e_vec, ns.z,
@@ -400,7 +444,22 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
             ze = jnp.einsum("...ij,m...j->m...i" if mass.ndim == 2
                             else "mij,mj->mi", mass, ze,
                             precision=_EINSUM_PRECISION)
-        err1 = lu_solve(lu_r, piv_r, st.f0 + ze)
+        if use_gmres:
+            # per-lane real-shift solve (γ0_s/h·M − J)⁻¹ with each lane's
+            # OWN order's γ0 as the shift coefficient — the matrix-free
+            # twin of the per-lane factor buffers the LU path reuses
+            gam0 = jnp.zeros((m,), dtype)
+            for s_ in orders:
+                gam0 = jnp.where(st.order == s_,
+                                 jnp.asarray(float(tabs[s_].mu_real),
+                                             dtype), gam0)
+            solve_err, _ = gmres_shifted_solver(
+                f, t_lin, y_lin, args, jmat, gam0 / h,
+                jnp.ones((m,), dtype), mass, g_iters,
+                precond=opts.precond, block=opts.precond_block)
+            err1 = solve_err(st.f0 + ze)
+        else:
+            err1 = lu_solve(lu_r, piv_r, st.f0 + ze)
         scale_e = opts.atol + opts.rtol * jnp.maximum(jnp.abs(st.y),
                                                       jnp.abs(y_new))
         if use_index:
@@ -411,7 +470,8 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
 
         def do_refine(_):
             fe = f(st.t, st.y + err1, args)
-            err2 = lu_solve(lu_r, piv_r, fe + ze)
+            err2 = (solve_err(fe + ze) if use_gmres
+                    else lu_solve(lu_r, piv_r, fe + ze))
             en2 = cm.safe_sqrt(jnp.mean(jnp.square(err2 / scale_e), axis=-1))
             return jnp.where(refine, jnp.where(jnp.isfinite(en2), en2, 1e10),
                              enorm1)
@@ -441,7 +501,8 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
                         tab, f, st.t, st.y, h, z_buf[:, :s, :], st.yd,
                         newton_tol, lu_r, piv_r, lu_c[:, :np_s],
                         piv_c[:, :np_s], msk, args, mass=mass,
-                        max_iter=max_iter, args_d=args_d)
+                        max_iter=max_iter, args_d=args_d,
+                        gmres_solver=solvers.get(s))
                     out = (zd[:, :, -1, :],)
                     if need_qd:
                         p_s = jnp.asarray(tab.p, dtype)
@@ -671,6 +732,7 @@ def solve_radau_vo(f: Callable, t0, tf, y0, args=None,
             order=jnp.where(st.active, order_next, st.order),
             jac=jmat,
             lu_real=lu_r, piv_real=piv_r, lu_cplx=lu_c, piv_cplx=piv_c,
+            t_lin=t_lin, y_lin=y_lin,
             h_fact=jnp.where((accept & ~deadzone) | reject_err | nf_fresh
                              | order_changed, 0.0, h_fact),
             current_jac=jnp.where(accept, False, current_jac),

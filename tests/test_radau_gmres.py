@@ -106,12 +106,11 @@ def test_gmres_feature_exclusions():
     with pytest.raises(ValueError):              # analytic jac is dense-only
         solve_radau(f, 0.0, 1.0, y0, options=opts,
                     jac=lambda t, y, a: jnp.zeros((1, 4, 4)))
-    with pytest.raises(ValueError):              # variable order needs LU
-        solve_ivp(f, (0.0, 1.0), y0, method="radaup",
-                  options=opts.replace(min_stages=1, max_stages=7))
-    # (IND tangents and the n_alg DAE adjoint USED to be LU-only; both now
-    # ride the matrix-free solvers — see test_gmres_ind_tangents_match_fd
-    # and test_adjoint.py::test_adjoint_gmres_index1_dae_matches_fd)
+    # (IND tangents, the n_alg DAE adjoint, and — round 5 — the
+    # variable-order ladder all USED to be LU-only; every one now rides
+    # the matrix-free solvers — see test_gmres_ind_tangents_match_fd,
+    # test_adjoint.py::test_adjoint_gmres_index1_dae_matches_fd, and
+    # test_radaup.py::test_variable_order_matrix_free_mol)
 
 
 def test_gmres_adjoint_with_mass_matches_fd():

@@ -226,3 +226,52 @@ def test_radaup_dual_fast_path_routes_ind():
         _, tan = jax.jvp(final, (y0,), (seed,))
         np.testing.assert_allclose(np.asarray(yj.d[k]), np.asarray(tan),
                                    rtol=3e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_variable_order_matrix_free_mol():
+    """stage_solver='gmres'/'tridiag' on the VARIABLE-ORDER ladder (round 5):
+    per-order matrix-free stage solvers from ONE probed preconditioner,
+    per-lane order-dependent real-shift error estimate
+    (gmres_shifted_solver with a_coef = γ0(order)/h), IND tangents riding
+    the per-order gmres solvers. D=24 Fisher-KPP MOL line vs the fixed-
+    stage LU oracle; reference role: decom_rc_gmres + the variable-order
+    dual solver (odesolvers/linsolve.py:61-110, radauted.hpp:241-296)."""
+    from tests.test_radau_gmres import _mol_rhs
+
+    d = 24
+    dx = 1.0 / (d + 1)
+    xg = np.linspace(dx, 1.0 - dx, d)
+    rhs = _mol_rhs(dx)
+    m = 2
+    y0 = jnp.tile(jnp.asarray(np.exp(-100 * (xg - 0.3) ** 2))[None], (m, 1))
+    rates = jnp.array([1.0, 8.0])[:, None]
+    args = (0.01, rates)
+
+    oracle = solve_ivp(rhs, (0.0, 0.4), y0, method="radau", args=args,
+                       options=Options(rtol=1e-9, atol=1e-12))
+
+    for ss_ in ("gmres", "tridiag"):
+        opts = Options(rtol=1e-6, atol=1e-9, stage_solver=ss_,
+                       gmres_iters=20, min_stages=1, max_stages=5)
+        s = solve_ivp(rhs, (0.0, 0.4), y0, method="radaup", args=args,
+                      options=opts)
+        assert bool(jnp.all(s.status == SUCCESS)), ss_
+        np.testing.assert_allclose(np.asarray(s.y), np.asarray(oracle.y),
+                                   rtol=0, atol=1e-7, err_msg=ss_)
+
+    # IND tangents ride the per-order matrix-free solvers
+    from janus_tpu.solve.radaup import solve_radau_vo
+    opts = Options(rtol=1e-6, atol=1e-9, stage_solver="tridiag",
+                   min_stages=1, max_stages=5)
+    seeds = jnp.zeros((1, m, d)).at[0, :, 10].set(1.0)
+    s = solve_radau_vo(rhs, jnp.zeros(m), jnp.full(m, 0.4), y0, args, opts,
+                       tangents=seeds)
+
+    def final(z):
+        return solve_ivp(rhs, (0.0, 0.4), z, method="radaup", args=args,
+                         options=Options(rtol=1e-9, atol=1e-12)).y
+
+    _, tan = jax.jvp(final, (y0,), (seeds[0],))
+    np.testing.assert_allclose(np.asarray(s.sens[0]), np.asarray(tan),
+                               rtol=0, atol=1e-4)
