@@ -317,6 +317,11 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
     if opts.stage_solver not in ("lu", "gmres", "tridiag"):
         raise ValueError(f"unknown stage_solver {opts.stage_solver!r}")
     use_gmres = opts.stage_solver != "lu"
+    use_pallas = (opts.pallas_lu and not use_gmres
+                  and jax.default_backend() == "tpu")
+    if opts.pallas_lu and opts.pivoting:
+        raise ValueError("Options(pallas_lu=True) needs pivoting=False "
+                         "(the fused SoA kernel is pivot-free)")
     if use_gmres and jac is not None:
         raise ValueError("stage_solver='gmres' is matrix-free (J·v by jvp, "
                          "probed structure preconditioner); drop jac=")
@@ -545,7 +550,11 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
                       if mass is not None
                       else jnp.eye(dim, dtype=dtype)[None])
                 amat = mb - c[:, None, None] * jmat
-                lu_n, piv_n = lu_factor(amat, pivot=opts.pivoting)
+                if use_pallas:
+                    from janus_tpu.solve.radau import _pallas_lu_factor
+                    lu_n, piv_n = _pallas_lu_factor(amat)
+                else:
+                    lu_n, piv_n = lu_factor(amat, pivot=opts.pivoting)
                 ok = lu_ok(lu_n)
                 return (jnp.where(needf[:, None, None], lu_n, st.lu),
                         jnp.where(needf[:, None], piv_n, st.piv),
@@ -556,7 +565,11 @@ def solve_bdf(f: Callable, t0, tf, y0, args=None,
                 jnp.any(needf), do_fact,
                 lambda _: (st.lu, st.piv, jnp.ones((m,), bool), st.c_fact),
                 None)
-            solve_corr = lambda r: lu_solve(lu_m, piv_m, r)    # noqa: E731
+            if use_pallas:
+                from janus_tpu.solve.radau import _pallas_lu_solve
+                solve_corr = lambda r: _pallas_lu_solve(lu_m, r)  # noqa: E731
+            else:
+                solve_corr = lambda r: lu_solve(lu_m, piv_m, r)  # noqa: E731
         singular = st.active & ~fact_ok
 
         # ---- Newton on the corrector M(d + psi) = c f(t+h, y_pred+d) -----

@@ -63,10 +63,12 @@ class Options:
     # matrices (gamma/h·M − J) of very stiff regimes)
     pivoting: bool = _static(True)
     # use the fused Pallas SoA LU kernels for the stage factor/solves
-    # (radau LU path; requires pivoting=False — the kernel is pivot-free).
-    # Measured 1.27x END-TO-END on the 65k-lane bench config on chip
-    # (1.20M -> 1.53M traj/s w/ 2 IND dirs) AND ~30x faster XLA compiles
-    # (the unrolled jnp LU's trace is the compile hot spot); dispatches to
+    # (LU paths of radau, rodas, bdf/NDF, and seulex; requires
+    # pivoting=False — the kernel is pivot-free). Measured 1.27x
+    # END-TO-END on the 65k-lane radau bench config on chip (1.20M ->
+    # 1.53M traj/s w/ 2 IND dirs) AND ~30x faster XLA compiles (the
+    # unrolled jnp LU's trace is the compile hot spot); rodas/bdf/seulex
+    # A/B in experiments/pallas_families_chip.py. Dispatches to
     # the jnp path off-TPU. NOT compatible with differentiating THROUGH the
     # solve by jax.jvp/jax.grad transforms (Pallas kernels carry no AD
     # rules) — IND tangents and the continuous adjoint work (they apply the

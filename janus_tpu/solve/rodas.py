@@ -151,6 +151,10 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
                          "weighting) is honored by 'radau'/'radaup' only; "
                          "rodas is index-1 capable via mass= alone")
     specs = normalize_events(events)
+    use_pallas = opts.pallas_lu and jax.default_backend() == "tpu"
+    if opts.pallas_lu and opts.pivoting:
+        raise ValueError("Options(pallas_lu=True) needs pivoting=False "
+                         "(the fused SoA kernel is pivot-free)")
     t0, tf, y0 = cm.broadcast_batch(t0, tf, y0)
     m, dim = y0.shape
     dtype = y0.dtype
@@ -318,7 +322,11 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
             mm = eye[None] if mass is None else (
                 mass[None] if mass.ndim == 2 else mass)
             emat = mm / (h * GAMMA)[:, None, None] - jmat
-            lu_n, piv_n = lu_factor(emat, pivot=opts.pivoting)
+            if use_pallas:
+                from janus_tpu.solve.radau import _pallas_lu_factor
+                lu_n, piv_n = _pallas_lu_factor(emat)
+            else:
+                lu_n, piv_n = lu_factor(emat, pivot=opts.pivoting)
             ok = lu_ok(lu_n)
             return (jnp.where(needf[:, None, None], lu_n, st.lu),
                     jnp.where(needf[:, None], piv_n, st.piv),
@@ -333,8 +341,14 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         # ---- the 6 stages -------------------------------------------------
         hc = h[:, None]
 
-        def slv(rhs):
-            return lu_solve(lu_m, piv_m, rhs)
+        if use_pallas:
+            from janus_tpu.solve.radau import _pallas_lu_solve
+
+            def slv(rhs):
+                return _pallas_lu_solve(lu_m, rhs)
+        else:
+            def slv(rhs):
+                return lu_solve(lu_m, piv_m, rhs)
 
         k1 = slv(f1 + (h * D1)[:, None] * fx)
         f2 = f(st.t + C2 * h, st.y + A21 * k1, args)
@@ -472,6 +486,9 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
                                       precision=_EINSUM_PRECISION)
 
                 def slv_k(rhs):
+                    if use_pallas:
+                        return jax.vmap(
+                            lambda b: _pallas_lu_solve(lu_m, b))(rhs)
                     return jax.vmap(
                         lambda b: lu_solve(lu_m, piv_m, b))(rhs)
 

@@ -161,6 +161,10 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
     tangents raise — use jax.jvp there).
     """
     opts = options if options is not None else Options()
+    use_pallas = opts.pallas_lu and jax.default_backend() == "tpu"
+    if opts.pallas_lu and opts.pivoting:
+        raise ValueError("Options(pallas_lu=True) needs pivoting=False "
+                         "(the fused SoA kernel is pivot-free)")
     if opts.nind2 or opts.nind3:
         raise ValueError("Options.nind2/nind3 (higher-index DAE error "
                          "weighting) is honored by 'radau'/'radaup' only; "
@@ -395,7 +399,14 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                 mm = eye[None] if mass is None else (
                     mass[None] if mass.ndim == 2 else mass)
                 amat = mm / hsub[:, None, None] - jmat
-                lu, piv = lu_factor(amat, pivot=opts.pivoting)
+                if use_pallas:
+                    from janus_tpu.solve.radau import (_pallas_lu_factor,
+                                                       _pallas_lu_solve)
+                    lu, piv = _pallas_lu_factor(amat)
+                    lu_solve_l = lambda l, p, b: _pallas_lu_solve(l, b)  # noqa: E731
+                else:
+                    lu, piv = lu_factor(amat, pivot=opts.pivoting)
+                    lu_solve_l = lu_solve
                 ok = lu_ok(lu)
                 x1 = st.t + hsub
 
@@ -413,9 +424,9 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                                       for q in range(k_dirs)])
 
                 def solve_k(rhs):              # [K, M, D] -> [K, M, D]
-                    return jax.vmap(lambda b: lu_solve(lu, piv, b))(rhs)
+                    return jax.vmap(lambda b: lu_solve_l(lu, piv, b))(rhs)
 
-                d = lu_solve(lu, piv, f(x1, st.y, fa))
+                d = lu_solve_l(lu, piv, f(x1, st.y, fa))
                 ytemp = st.y
                 theta_k = jnp.full((m,), -1.0, dtype)
                 if use_sens:
@@ -433,13 +444,13 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                     del1 = cm.safe_sqrt(jnp.mean(jnp.square(d / scale), axis=-1))
                     dytemp = f(x1, ytemp, fa)
                     dd = dytemp - mdot(d) / hsub[:, None]
-                    d2v = lu_solve(lu, piv, dd)
+                    d2v = lu_solve_l(lu, piv, dd)
                     del2 = cm.safe_sqrt(jnp.mean(jnp.square(d2v / scale),
                                              axis=-1))
                     theta_k = del2 / jnp.maximum(1.0, del1)
                     theta_k = jnp.where(jnp.isfinite(theta_k), theta_k, 2.0)
                     ok = ok & (theta_k <= 1.0)
-                d = lu_solve(lu, piv, fy1)
+                d = lu_solve_l(lu, piv, fy1)
                 if use_sens:
                     dd_s = solve_k(var_rhs(st.t + 2.0 * hsub, ytemp, yd_t))
                 ymid0 = ytemp          # after 1 substep == the nj=2 midpoint
@@ -454,7 +465,7 @@ def solve_seulex(f: Callable, t0, tf, y0, args=None,
                         ydc = ydc + dds
                         dds = solve_k(var_rhs(st.t + (nn + 1.0) * hsub, yt,
                                               ydc))
-                    return yt, lu_solve(lu, piv, rhs), ym, ydc, dds
+                    return yt, lu_solve_l(lu, piv, rhs), ym, ydc, dds
 
                 ytemp, d, ymid, yd_t, dd_s = jax.lax.fori_loop(
                     2, nj, sub, (ytemp, d, ymid0, yd_t, dd_s))
