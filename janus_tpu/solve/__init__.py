@@ -286,11 +286,12 @@ def solve_adjoint(f: Callable, tspan, y0, method: str = "radau",
     family). 'rodas', 'bdf', and the dopri methods also take terminal
     events= — they return (y*, t*), both reverse-differentiable (the
     neural-ODE-with-stopping-condition training path; the dopri methods
-    compose events with t_eval like radau). 'rodas' and the dopri methods
-    also take cost= (integral Lagrange objectives: q̄ pulled through each
-    recorded step's replayed GL-3 quadrature increment — the reverse twin
-    of the CVODES forward quadrature sensitivities). Aliases follow
-    solve_ivp's table.
+    compose events with t_eval like radau). EVERY discrete adjoint
+    ('rodas', 'seulex', 'bdf', and the dopri methods) also takes cost=
+    (integral Lagrange objectives: q̄ pulled through each recorded step's
+    replayed GL-3 quadrature increment on the family's own rebuilt
+    interpolant — the reverse twin of the CVODES forward quadrature
+    sensitivities). Aliases follow solve_ivp's table.
     Unsupported methods raise — forward-mode (tangents=/jet) covers the
     rest; reference: the upstream framework has forward duals only.
     """

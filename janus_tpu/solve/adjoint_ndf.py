@@ -127,10 +127,51 @@ def _predict(Dp, order, gamma_slots, alpha):
     return y_pred, psi, alpha_ord
 
 
+def _bdf_interp(Dh, tk, hk, kk):
+    """The accepted step's backward-difference interpolant as
+    ``yi: θ[M] -> y[M, D]`` — the forward dense/events polynomial
+    (solve/ndf.py 'dense output & events') rebuilt from the replayed
+    post-accept history array ``_hist_update(D', d)``, LINEAR in Dh."""
+    dtype = tk.dtype
+    t_new = tk + hk
+    iidx = jnp.arange(nd.MAX_ORDER, dtype=dtype)
+    kmask = jnp.arange(nd.MAX_ORDER)[None, :] < kk[:, None]
+
+    def yi(th):
+        tq = tk + th * hk
+        x = ((tq[:, None]
+              - (t_new[:, None] - iidx[None, :] * hk[:, None]))
+             / ((iidx[None, :] + 1.0) * hk[:, None]))
+        cp = jnp.cumprod(x, axis=-1)
+        w = jnp.where(kmask, cp, 0.0)
+        return Dh[:, 0] + jnp.sum(w[:, :, None] * Dh[:, 1:_K], axis=1)
+
+    return yi
+
+
+def _gl3_inc(lq, t, h, yi, theta_q):
+    """One step's running-cost increment: 3-point Gauss-Legendre of ``lq``
+    on the replayed interpolant over [0, θ_q] — the same arithmetic as the
+    forward ``cm.quad_gl3_step`` on ``solve_bdf(quad=)``'s interpolant, so
+    the increment (θ_q = 1) reproduces the forward accumulation and its
+    vjp is the exact discrete quadrature adjoint (the rodas_adjoint
+    convention)."""
+    dtype = t.dtype
+    s35 = 0.6 ** 0.5
+    gl_xi = jnp.asarray([0.5 * (1 - s35), 0.5, 0.5 * (1 + s35)], dtype)
+    gl_w = jnp.asarray([5.0 / 18.0, 8.0 / 18.0, 5.0 / 18.0], dtype)
+    nodes = theta_q[:, None] * gl_xi[None, :]                  # [M, 3]
+    lv = jnp.stack([lq(t + nodes[:, i] * h, yi(nodes[:, i]))
+                    for i in range(3)], axis=1)                # [M, 3, Q]
+    return (h * theta_q)[:, None] * jnp.sum(gl_w[None, :, None] * lv,
+                                            axis=1)
+
+
 def ndf_adjoint(f: Callable, tspan, y0, args=None,
                 options: Optional[Options] = None,
                 jac: Optional[Callable] = None, mass=None, t_eval=None,
-                ndf: bool = True, events=None):
+                ndf: bool = True, events=None,
+                cost: Optional[Callable] = None):
     """Reverse-differentiable batched adaptive NDF/BDF (orders 1-5) solve.
 
     Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
@@ -150,8 +191,22 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
     the recorded root (the rodas_adjoint event mechanics). Not combinable
     with t_eval here; NOTE a no-trigger lane in an events batch integrates
     the whole span — size ``adjoint_steps`` for it.
+
+    cost: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
+    (or ``[M, Q]``). Appends ``q = ∫ l dt`` (``solve_bdf(quad=...)``, the
+    CVODES quadrature role) to the outputs — ``(y, q)``, ``(ys, q)`` with
+    t_eval (q summed over the grid span), ``(y, t_term, q)`` with events
+    (q truncated at t*) — and q's cotangent flows through the SAME
+    backward sweep: each recorded step's GL-3 increment is recomputed on
+    the backward-difference interpolant of the replayed history array
+    ``_hist_update(D', d)`` (bit-identical to the forward accumulation),
+    LINEAR in (D', d), so the pull composes with the corrector IFT and
+    rescale chain like the event pull. Exact discrete-adjoint gradients of
+    the computed q — the rodas_adjoint cost= mechanics on the multistep
+    family.
     """
     opts = options if options is not None else Options()
+    use_cost = cost is not None
     use_gmres = opts.stage_solver != "lu"
     if use_gmres and jac is not None:
         raise ValueError("stage_solver='gmres' is matrix-free (Jᵀ·v by "
@@ -178,23 +233,30 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
     def run(t0, tf, y0, args, h0):
         sol = nd.solve_bdf(f, t0, tf, y0, args, opts, jac=jac_user,
                            mass=mass, ndf=ndf, events=events or None,
-                           _h0=h0)
+                           quad=cost, _h0=h0)
         if specs:
-            return sol.y, sol.t, sol.h_next, sol.event_idx
-        return sol.y, sol.h_next
+            outs = (sol.y, sol.t, sol.h_next, sol.event_idx)
+        else:
+            outs = (sol.y, sol.h_next)
+        return outs + ((sol.quad,) if use_cost else ())
 
     def fwd(t0, tf, y0, args, h0):
         sol = nd.solve_bdf(f, t0, tf, y0, args, opts, jac=jac_user,
                            mass=mass, ndf=ndf, events=events or None,
-                           _mesh_size=cap, _h0=h0)
+                           quad=cost, _mesh_size=cap, _h0=h0)
         res = (sol.mesh, sol.stats["naccept"], t0, tf,
                y0, args, sol.y, sol.t, h0,
                sol.event_idx if specs else None)
         if specs:
-            return (sol.y, sol.t, sol.h_next, sol.event_idx), res
-        return (sol.y, sol.h_next), res
+            outs = (sol.y, sol.t, sol.h_next, sol.event_idx)
+        else:
+            outs = (sol.y, sol.h_next)
+        return outs + ((sol.quad,) if use_cost else ()), res
 
     def bwd(res, out_bar):
+        qbar_in = out_bar[-1] if use_cost else None
+        if use_cost:
+            out_bar = out_bar[:-1]
         if specs:
             ybar, tbar_in, _, _ = out_bar    # h_next/event_idx: knobs
         else:
@@ -235,6 +297,13 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
             jnp.broadcast_to(mass[None] if mass.ndim == 2 else mass,
                              (m, dim, dim)))
 
+        if use_cost:
+            def lfun(t, y, dl):                        # canon [M, Q]
+                return cm.canon_cost(cost(t, y, rebuild(dl)))
+
+            qb = jnp.asarray(qbar_in, dtype)
+            qb = qb if qb.ndim == 2 else qb[:, None]   # [M, Q]
+
         gl0 = [jnp.zeros(jnp.shape(l), dtype) for l in dleaves]
         e0bar = jnp.zeros((m, _SLOTS, dim), dtype).at[:, 0].set(ybar)
 
@@ -259,7 +328,7 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
                       == jnp.maximum(ev_idx, 0)[None, :]).astype(dtype)
                 return jnp.sum(oh * vals, axis=0)
 
-            def evt_endpoint(tk, hk, kk, Dp, d, dl, th0):
+            def evt_endpoint(tk, hk, kk, Dp, d, dl, th0, emask):
                 # (y*, t*) of the triggering step as a differentiable map:
                 # rebuild the post-accept history array (linear), evaluate
                 # the backward-difference interpolant at θ, and re-polish
@@ -268,20 +337,7 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
                 # equals the implicit-function derivative to O(residual²)).
                 # Mirrors the forward interp (solve/ndf.py 'dense output &
                 # events') on a single θ per lane.
-                Dh = _hist_update(Dp, d, kk)
-                t_new = tk + hk
-                iidx = jnp.arange(nd.MAX_ORDER, dtype=dtype)
-                kmask = jnp.arange(nd.MAX_ORDER)[None, :] < kk[:, None]
-
-                def yi(th):
-                    tq = tk + th * hk
-                    x = ((tq[:, None]
-                          - (t_new[:, None] - iidx[None, :] * hk[:, None]))
-                         / ((iidx[None, :] + 1.0) * hk[:, None]))
-                    cp = jnp.cumprod(x, axis=-1)
-                    w = jnp.where(kmask, cp, 0.0)
-                    return Dh[:, 0] + jnp.sum(
-                        w[:, :, None] * Dh[:, 1:_K], axis=1)
+                yi = _bdf_interp(_hist_update(Dp, d, kk), tk, hk, kk)
 
                 def gfun(th):
                     return g_sel(tk + th * hk, yi(th), dl)
@@ -290,7 +346,16 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
                 for _ in range(2):
                     gv, dg = jax.jvp(gfun, (th,), (jnp.ones_like(th),))
                     th = th - gv / jnp.where(dg == 0.0, 1.0, dg)
-                return yi(th), tk + th * hk
+                outs = (yi(th), tk + th * hk)
+                if use_cost:
+                    # the lane's LAST quadrature increment is the GL-3 rule
+                    # truncated at θ* (the forward's event-lane convention),
+                    # so dq/dt* also falls out of the vjp
+                    outs = outs + (_gl3_inc(
+                        lambda tt, yy: jnp.where(emask[:, None],
+                                                 lfun(tt, yy, dl), 0.0),
+                        tk, hk, yi, th),)
+                return outs
 
         def body(carry, k):
             lam, gl = carry
@@ -312,6 +377,35 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
                     lambda Dp, d: _hist_update(Dp, d, kk), Dk, dk)
                 lam_Dp, lam_d = pull_h(lam_h)
 
+                if use_cost:
+                    # each live step's GL-3 increment on the replayed
+                    # backward-difference interpolant takes the whole q̄
+                    # (q = Σ increments) — linear in (D', d), so the pull
+                    # composes with the corrector IFT below exactly like
+                    # the event pull; the triggering lane's last slot
+                    # accumulated its (truncated) increment through
+                    # evt_endpoint instead
+                    qb_k = jnp.where(live[:, None], qb, 0.0)
+                    if specs:
+                        qb_k = jnp.where(
+                            (live & triggered & (k == nacc - 1))[:, None],
+                            0.0, qb_k)
+
+                    def q_inc_fn(Dp, d, dl):
+                        yi = _bdf_interp(_hist_update(Dp, d, kk), tk, hk, kk)
+                        return _gl3_inc(
+                            lambda tt, yy: jnp.where(
+                                live[:, None], lfun(tt, yy, dl), 0.0),
+                            tk, hk, yi, jnp.ones_like(tk))
+
+                    _, pull_q = jax.vjp(q_inc_fn, Dk, dk, dleaves)
+                    dDp_q, dd_q, dgl_q = pull_q(qb_k)
+                    lam_Dp = lam_Dp + dDp_q
+                    lam_d = lam_d + dd_q
+                else:
+                    dgl_q = [jnp.zeros(jnp.shape(l), dtype)
+                             for l in dleaves]
+
                 if specs:
                     # the triggering lane's LAST live slot carries the
                     # whole (ȳ*, t̄*) cotangent through the event endpoint
@@ -326,11 +420,13 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
                     def do_evt(_):
                         _, pull_e = jax.vjp(
                             lambda Dp, d, dl: evt_endpoint(
-                                tk, hk, kk, Dp, d, dl, th0),
+                                tk, hk, kk, Dp, d, dl, th0, is_evt),
                             Dk, dk, dleaves)
-                        return pull_e(
-                            (jnp.where(is_evt[:, None], ybar, 0.0),
-                             jnp.where(is_evt, tbar, 0.0)))
+                        ct = (jnp.where(is_evt[:, None], ybar, 0.0),
+                              jnp.where(is_evt, tbar, 0.0))
+                        if use_cost:
+                            ct = ct + (jnp.where(is_evt[:, None], qb, 0.0),)
+                        return pull_e(ct)
 
                     dDp_e, dd_e, dgl_e = jax.lax.cond(
                         jnp.any(is_evt), do_evt,
@@ -397,8 +493,8 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
                 lam_prev = jnp.concatenate([lam6, lam_Dp[:, _K:]], axis=1)
 
                 return (jnp.where(live[:, None, None], lam_prev, lam_in),
-                        [g + dg + de
-                         for g, dg, de in zip(gl, gdl, dgl_e)])
+                        [g + dg + de + dq
+                         for g, dg, de, dq in zip(gl, gdl, dgl_e, dgl_q)])
 
             lam, gl = jax.lax.cond(jnp.any(live), do,
                                    lambda _: (lam_in, gl), None)
@@ -452,12 +548,19 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
             return lu_solve(lu_m, piv_m, fv)
 
         tf_bar = jnp.sum(ybar * ydot(t_end, yT), axis=-1)     # [M]
+        if use_cost:
+            # the quadrature endpoint moves with tf: dq/dT = l(T, y(T))
+            tf_bar = tf_bar + jnp.sum(qb * lfun(t_end, yT, dleaves),
+                                      axis=-1)
         if specs:
             # triggered lanes stop at t* < tf (frozen mesh: tf moves
-            # nothing; the (ȳ*, t̄*) pull went through the event endpoint);
-            # non-triggered lanes return t = tf exactly, so t̄ adds 1:1
+            # nothing; the (ȳ*, t̄*, q̄) pull went through the event
+            # endpoint); non-triggered lanes return t = tf exactly, so t̄
+            # adds 1:1
             tf_bar = jnp.where(triggered, 0.0, tf_bar + tbar)
         t0_bar = -jnp.sum(lam0 * ydot(t0b, y0b), axis=-1)     # [M]
+        if use_cost:
+            t0_bar = t0_bar - jnp.sum(qb * lfun(t0b, y0b, dleaves), axis=-1)
 
         t0_ct = jnp.sum(t0_bar) if jnp.ndim(t0) == 0 else \
             jnp.reshape(t0_bar, jnp.shape(t0))
@@ -475,8 +578,14 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
 
     if t_eval is None:
         if specs:
+            if use_cost:
+                y, t_term, _, _, q = run(t0_in, tf_in, y0, args, None)
+                return y, t_term, q
             y, t_term, _, _ = run(t0_in, tf_in, y0, args, None)
             return y, t_term
+        if use_cost:
+            y, _, q = run(t0_in, tf_in, y0, args, None)
+            return y, q
         y, _ = run(t0_in, tf_in, y0, args, None)
         return y
 
@@ -492,6 +601,19 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
     t_lo = jnp.concatenate([jnp.full((1,), t0_in, dtype), t_eval[:-1]])
     t_hi = t_eval
     h_carry0 = jnp.zeros(t0b.shape, dtype)     # 0 ⇒ automatic initial step
+
+    if use_cost:
+        q0 = jnp.zeros(jax.eval_shape(
+            lambda: cost(t0b, y0b, args)).shape, dtype)
+
+        def seg_q(carry, bounds):
+            y, h, q = carry
+            y2, h2, q2 = run(bounds[0], bounds[1], y, args, h)
+            return (y2, h2, q + q2), y2
+
+        (_, _, q), ys = jax.lax.scan(seg_q, (y0b, h_carry0, q0),
+                                     (t_lo, t_hi))
+        return jnp.swapaxes(ys, 0, 1), q       # [M, T, D], [M(, Q)]
 
     def seg(carry, bounds):
         y, h = carry

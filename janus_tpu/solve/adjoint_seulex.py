@@ -48,7 +48,9 @@ terminal ``events=`` — ``(y*, t*)`` both reverse-differentiable via the vjp
 of the triggering step's replayed extrapolation-quartic endpoint (the
 midpoint Neville table is rebuilt level-for-level in the replay) with a
 differentiable Newton re-polish of θ* (the rodas_adjoint event mechanics;
-events + t_eval and quad= stay on radau_adjoint). Mass matrices
+events + t_eval stays on radau_adjoint) — and integral costs (``cost=``,
+q̄ pulled through each step's replayed GL-3 increment on the rebuilt
+quartic/Hermite interpolant, the rodas_adjoint convention). Mass matrices
 supported including singular index-1 DAE masses for the y0/args gradients;
 t0/tf cotangents use the continuous boundary formulas ±ȳ·ẏ with ẏ = M⁻¹f
 and therefore need mass=None or invertible mass.
@@ -181,10 +183,68 @@ def _one_step(f, jac_fn, mass, opts, t, h, y, k_rec, args, live=None,
     return y_sel
 
 
+def _build_interp(fev, mass, t, h, y, y_new, ymid, mid_ok):
+    """The accepted step's continuous extension as ``yi: θ[M] -> y[M, D]``
+    — the SAME quartic / cubic-Hermite (mass: quadratic / linear)
+    construction as the forward interpolant (solve/seulex.py:659-691), so
+    GL-3 on it reproduces the forward ``quad=`` accumulation and the event
+    endpoint interpolates identically. ``fev`` must already be live-masked
+    (dead/masked lanes' f can overflow — the dead-slot lesson)."""
+    hc = h[:, None]
+    if mass is not None:
+        a1 = 4.0 * ymid - y_new - 3.0 * y
+        a2 = 2.0 * y_new + 2.0 * y - 4.0 * ymid
+
+        def yi(th):
+            e = th[:, None]
+            lin = (1.0 - e) * y + e * y_new
+            quad = y + a1 * e + a2 * e * e
+            return jnp.where(mid_ok[:, None], quad, lin)
+
+        return yi
+    fy = fev(t, y)
+    fn = fev(t + h, y_new)
+    b1 = hc * fy
+    r1 = y_new - y - b1
+    r2 = hc * fn - b1
+    r3 = ymid - y - 0.5 * b1
+    qa2 = sx._QI[0, 0] * r1 + sx._QI[0, 1] * r2 + sx._QI[0, 2] * r3
+    qa3 = sx._QI[1, 0] * r1 + sx._QI[1, 1] * r2 + sx._QI[1, 2] * r3
+    qa4 = sx._QI[2, 0] * r1 + sx._QI[2, 1] * r2 + sx._QI[2, 2] * r3
+    hf1 = hc * fn
+    c2 = 3.0 * (y_new - y) - 2.0 * b1 - hf1
+    c3 = -2.0 * (y_new - y) + b1 + hf1
+
+    def yi(th):
+        e = th[:, None]
+        quart = (y + b1 * e + qa2 * e ** 2 + qa3 * e ** 3 + qa4 * e ** 4)
+        cubic = y + b1 * e + c2 * e ** 2 + c3 * e ** 3
+        return jnp.where(mid_ok[:, None], quart, cubic)
+
+    return yi
+
+
+def _gl3_inc(lq, t, h, yi, theta_q):
+    """One step's running-cost increment: 3-point Gauss-Legendre of ``lq``
+    on the replayed interpolant over [0, θ_q] — the same arithmetic as the
+    forward ``cm.quad_gl3_step``, so the increment (θ_q = 1) reproduces the
+    forward accumulation and its vjp is the exact discrete quadrature
+    adjoint (the rodas_adjoint convention, solve/adjoint_rodas.py:129)."""
+    dtype = t.dtype
+    s35 = 0.6 ** 0.5
+    gl_xi = jnp.asarray([0.5 * (1 - s35), 0.5, 0.5 * (1 + s35)], dtype)
+    gl_w = jnp.asarray([5.0 / 18.0, 8.0 / 18.0, 5.0 / 18.0], dtype)
+    nodes = theta_q[:, None] * gl_xi[None, :]                  # [M, 3]
+    lv = jnp.stack([lq(t + nodes[:, i] * h, yi(nodes[:, i]))
+                    for i in range(3)], axis=1)                # [M, 3, Q]
+    return (h * theta_q)[:, None] * jnp.sum(gl_w[None, :, None] * lv,
+                                            axis=1)
+
+
 def seulex_adjoint(f: Callable, tspan, y0, args=None,
                    options: Optional[Options] = None,
                    jac: Optional[Callable] = None, mass=None, t_eval=None,
-                   events=None):
+                   events=None, cost: Optional[Callable] = None):
     """Reverse-differentiable batched adaptive SEULEX solve.
 
     Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
@@ -213,8 +273,20 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
     converged, the polished iterate's derivative equals the implicit-function
     derivative to O(residual²) (the rodas_adjoint mechanics). Not combinable
     with t_eval here (use radau_adjoint for event-truncated dense losses).
+
+    cost: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
+    (or ``[M, Q]``). Appends ``q = ∫ l dt`` (``solve_seulex(quad=...)``, the
+    CVODES quadrature role) to the outputs — ``(y, q)``, ``(ys, q)`` with
+    t_eval (q summed over the grid span), ``(y, t_term, q)`` with events
+    (q truncated at t*) — and q's cotangent flows through the SAME backward
+    sweep: each recorded step's ladder replay also rebuilds the midpoint
+    Neville table and recomputes its GL-3 quadrature increment on the
+    replayed quartic/Hermite interpolant (the forward accumulation's own
+    rule), so q̄ pulls are exact discrete-adjoint gradients of the computed
+    q (the rodas_adjoint cost= mechanics).
     """
     opts = options if options is not None else Options()
+    use_cost = cost is not None
     from janus_tpu.solve.events import normalize_events
     specs = normalize_events(events)
     if specs:
@@ -235,24 +307,31 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
     @jax.custom_vjp
     def run(t0, tf, y0, args, h0):
         sol = sx.solve_seulex(f, t0, tf, y0, args, opts, jac=jac_user,
-                              mass=mass, events=events or None, _h0=h0,
-                              _force_jac=True)
+                              mass=mass, events=events or None, quad=cost,
+                              _h0=h0, _force_jac=True)
         if specs:
-            return sol.y, sol.t, sol.h_next, sol.event_idx
-        return sol.y, sol.h_next
+            outs = (sol.y, sol.t, sol.h_next, sol.event_idx)
+        else:
+            outs = (sol.y, sol.h_next)
+        return outs + ((sol.quad,) if use_cost else ())
 
     def fwd(t0, tf, y0, args, h0):
         sol = sx.solve_seulex(f, t0, tf, y0, args, opts, jac=jac_user,
-                              mass=mass, events=events or None,
+                              mass=mass, events=events or None, quad=cost,
                               _mesh_size=cap, _h0=h0, _force_jac=True)
         res = (sol.mesh, sol.stats["naccept"], t0, tf,
                y0, args, sol.y, sol.t, h0,
                sol.event_idx if specs else None)
         if specs:
-            return (sol.y, sol.t, sol.h_next, sol.event_idx), res
-        return (sol.y, sol.h_next), res
+            outs = (sol.y, sol.t, sol.h_next, sol.event_idx)
+        else:
+            outs = (sol.y, sol.h_next)
+        return outs + ((sol.quad,) if use_cost else ()), res
 
     def bwd(res, out_bar):
+        qbar_in = out_bar[-1] if use_cost else None
+        if use_cost:
+            out_bar = out_bar[:-1]
         if specs:
             ybar, tbar_in, _, _ = out_bar    # h_next/event_idx: knobs
         else:
@@ -271,9 +350,30 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
         jac_fn = (lambda t, y, dl: jac_user(t, y, rebuild(dl))) if jac_user \
             else default_jacobian(fa)
 
+        if use_cost:
+            def lfun(t, y, dl):                        # canon [M, Q]
+                return cm.canon_cost(cost(t, y, rebuild(dl)))
+
+            qb = jnp.asarray(qbar_in, dtype)
+            qb = qb if qb.ndim == 2 else qb[:, None]   # [M, Q]
+
         def step(t, h, y, k, dl, live):
-            return _one_step(fa, jac_fn, mass, opts, t, h, y, k, dl,
-                             live=live)
+            if not use_cost:
+                return _one_step(fa, jac_fn, mass, opts, t, h, y, k, dl,
+                                 live=live)
+            y_new, ymid, mid_ok = _one_step(fa, jac_fn, mass, opts, t, h, y,
+                                            k, dl, live=live,
+                                            want_interp=True)
+
+            def fev(tt, yy):
+                return jnp.where(live[:, None], fa(tt, yy, dl), 0.0)
+
+            yi = _build_interp(fev, mass, t, h, y, y_new, ymid, mid_ok)
+            q_inc = _gl3_inc(
+                lambda tt, yy: jnp.where(live[:, None],
+                                         lfun(tt, yy, dl), 0.0),
+                t, h, yi, jnp.ones_like(t))
+            return y_new, q_inc
 
         gl0 = [jnp.zeros(jnp.shape(l), dtype) for l in dleaves]
 
@@ -310,39 +410,7 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
                     # can sit where f overflows (the dead-slot lesson)
                     return jnp.where(emask[:, None], fa(tt, yy, dl), 0.0)
 
-                hc = h[:, None]
-                if mass is not None:
-                    a1 = 4.0 * ymid - y_new - 3.0 * y
-                    a2 = 2.0 * y_new + 2.0 * y - 4.0 * ymid
-
-                    def yi(th):
-                        e = th[:, None]
-                        lin = (1.0 - e) * y + e * y_new
-                        quad = y + a1 * e + a2 * e * e
-                        return jnp.where(mid_ok[:, None], quad, lin)
-                else:
-                    fy = fev(t, y)
-                    fn = fev(t + h, y_new)
-                    b1 = hc * fy
-                    r1 = y_new - y - b1
-                    r2 = hc * fn - b1
-                    r3 = ymid - y - 0.5 * b1
-                    qa2 = (sx._QI[0, 0] * r1 + sx._QI[0, 1] * r2
-                           + sx._QI[0, 2] * r3)
-                    qa3 = (sx._QI[1, 0] * r1 + sx._QI[1, 1] * r2
-                           + sx._QI[1, 2] * r3)
-                    qa4 = (sx._QI[2, 0] * r1 + sx._QI[2, 1] * r2
-                           + sx._QI[2, 2] * r3)
-                    hf1 = hc * fn
-                    c2 = 3.0 * (y_new - y) - 2.0 * b1 - hf1
-                    c3 = -2.0 * (y_new - y) + b1 + hf1
-
-                    def yi(th):
-                        e = th[:, None]
-                        quart = (y + b1 * e + qa2 * e ** 2 + qa3 * e ** 3
-                                 + qa4 * e ** 4)
-                        cubic = y + b1 * e + c2 * e ** 2 + c3 * e ** 3
-                        return jnp.where(mid_ok[:, None], quart, cubic)
+                yi = _build_interp(fev, mass, t, h, y, y_new, ymid, mid_ok)
 
                 def gfun(th):
                     return g_sel(t + th * h, yi(th), dl)
@@ -351,7 +419,16 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
                 for _ in range(2):
                     gv, dg = jax.jvp(gfun, (th,), (jnp.ones_like(th),))
                     th = th - gv / jnp.where(dg == 0.0, 1.0, dg)
-                return yi(th), t + th * h
+                outs = (yi(th), t + th * h)
+                if use_cost:
+                    # the lane's LAST quadrature increment is the GL-3 rule
+                    # truncated at θ* (the forward's event-lane convention),
+                    # so dq/dt* also falls out of the vjp
+                    outs = outs + (_gl3_inc(
+                        lambda tt, yy: jnp.where(emask[:, None],
+                                                 lfun(tt, yy, dl), 0.0),
+                        t, h, yi, th),)
+                return outs
 
         def body(carry, k):
             lam, gl = carry
@@ -375,7 +452,17 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
                 _, pull = jax.vjp(
                     lambda yy, dl: step(tk, hk, yy, kk, dl, live),
                     yk, dleaves)
-                dy, dgl = pull(lam_in)
+                if use_cost:
+                    # each live step's replayed quadrature increment takes
+                    # the whole q̄ (q = Σ increments); the triggering
+                    # lane's last slot accumulated its (truncated)
+                    # increment through evt_endpoint instead
+                    qb_k = jnp.where(live[:, None], qb, 0.0)
+                    if specs:
+                        qb_k = jnp.where(is_evt[:, None], 0.0, qb_k)
+                    dy, dgl = pull((lam_in, qb_k))
+                else:
+                    dy, dgl = pull(lam_in)
                 if specs:
                     th0 = jnp.clip(
                         (t_end - tk) / jnp.where(hk == 0.0, 1.0, hk),
@@ -387,9 +474,11 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
                             lambda yy, dl: evt_endpoint(tk, hk, yy, kk, dl,
                                                         th0, is_evt),
                             yk, dleaves)
-                        return pull_e(
-                            (jnp.where(is_evt[:, None], lam, 0.0),
-                             jnp.where(is_evt, tbar, 0.0)))
+                        ct = (jnp.where(is_evt[:, None], lam, 0.0),
+                              jnp.where(is_evt, tbar, 0.0))
+                        if use_cost:
+                            ct = ct + (jnp.where(is_evt[:, None], qb, 0.0),)
+                        return pull_e(ct)
 
                     dye, dgle = jax.lax.cond(
                         jnp.any(is_evt), do_evt,
@@ -426,12 +515,18 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
             return lu_solve(lu_m, piv_m, fv)
 
         tf_bar = jnp.sum(ybar * ydot(t_end, yT), axis=-1)     # [M]
+        if use_cost:
+            # the quadrature endpoint moves with tf: dq/dT = l(T, y(T))
+            tf_bar = tf_bar + jnp.sum(qb * lfun(t_end, yT, dleaves),
+                                      axis=-1)
         if specs:
             # triggered lanes stop at t* < tf: tf moves nothing (frozen
-            # mesh); the (ȳ*, t̄*) pull went through the event endpoint.
+            # mesh); the (ȳ*, t̄*, q̄) pull went through the event endpoint.
             # Non-triggered lanes return t = tf exactly, so t̄ adds 1:1.
             tf_bar = jnp.where(triggered, 0.0, tf_bar + tbar)
         t0_bar = -jnp.sum(lam0 * ydot(t0b, y0b), axis=-1)     # [M]
+        if use_cost:
+            t0_bar = t0_bar - jnp.sum(qb * lfun(t0b, y0b, dleaves), axis=-1)
 
         t0_ct = jnp.sum(t0_bar) if jnp.ndim(t0) == 0 else \
             jnp.reshape(t0_bar, jnp.shape(t0))
@@ -449,8 +544,14 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
 
     if t_eval is None:
         if specs:
+            if use_cost:
+                y, t_term, _, _, q = run(t0_in, tf_in, y0, args, None)
+                return y, t_term, q
             y, t_term, _, _ = run(t0_in, tf_in, y0, args, None)
             return y, t_term
+        if use_cost:
+            y, _, q = run(t0_in, tf_in, y0, args, None)
+            return y, q
         y, _ = run(t0_in, tf_in, y0, args, None)
         return y
 
@@ -466,6 +567,19 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
     t_lo = jnp.concatenate([jnp.full((1,), t0_in, dtype), t_eval[:-1]])
     t_hi = t_eval
     h_carry0 = jnp.zeros(t0b.shape, dtype)     # 0 ⇒ automatic initial step
+
+    if use_cost:
+        q0 = jnp.zeros(jax.eval_shape(
+            lambda: cost(t0b, y0b, args)).shape, dtype)
+
+        def seg_q(carry, bounds):
+            y, h, q = carry
+            y2, h2, q2 = run(bounds[0], bounds[1], y, args, h)
+            return (y2, h2, q + q2), y2
+
+        (_, _, q), ys = jax.lax.scan(seg_q, (y0b, h_carry0, q0),
+                                     (t_lo, t_hi))
+        return jnp.swapaxes(ys, 0, 1), q       # [M, T, D], [M(, Q)]
 
     def seg(carry, bounds):
         y, h = carry

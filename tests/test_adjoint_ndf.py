@@ -360,3 +360,97 @@ def test_matrix_free_reverse_large_d_mol(ss):
         fd = (lv(y0 + e, rates0) - lv(y0 - e, rates0)) / (2 * eps)
         np.testing.assert_allclose(float(g_y0[0, j]), float(fd), rtol=5e-4,
                                    atol=1e-8)
+
+
+def _lq(t, y, args):
+    return y[..., 0] ** 2 + 0.1 * y[..., 1] ** 2
+
+
+def test_cost_terminal_fd_and_parity():
+    """cost= (integral Lagrange term) on the multistep adjoint: q parity
+    with the forward quad= accumulation is bit-exact (the GL-3 increment
+    is recomputed on the backward-difference interpolant of the replayed
+    history array — linear in (D', d), composing with the corrector IFT
+    and rescale chain), and gradients match central FD of the full
+    solver. Bounds: 3e-5·|fd| + floor (CLAUDE.md round-4 FD-bound note)."""
+    opts = Options(rtol=1e-8, atol=1e-11, adjoint_steps=1024,
+                   max_steps=4096)
+    y0 = jnp.array([[2.0, 0.0], [1.5, 0.5]])
+    mu = jnp.array([3.0, 30.0])
+    m = 2
+
+    def loss(y0, mu, t0, tf):
+        y, q = ndf_adjoint(vdp_rhs, (t0, tf), y0, args=mu, options=opts,
+                           cost=_lq)
+        return jnp.sum(y ** 2) + jnp.sum(q)
+
+    g_y0, g_mu, g_t0, g_tf = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        y0, mu, 0.0, 2.0)
+
+    # forward parity: the primal q is the quad= accumulation bit-for-bit
+    q_adj = ndf_adjoint(vdp_rhs, (0.0, 2.0), y0, args=mu, options=opts,
+                        cost=_lq)[1]
+    s_fwd = solve_bdf(vdp_rhs, jnp.zeros(m), jnp.full(m, 2.0), y0, mu,
+                      opts, quad=_lq)
+    np.testing.assert_array_equal(np.asarray(q_adj), np.asarray(s_fwd.quad))
+
+    def lfd(y0v, muv, t0v, tfv):
+        s = solve_bdf(vdp_rhs, jnp.full(m, t0v), jnp.full(m, tfv),
+                      y0v, muv, opts, quad=_lq)
+        return float(jnp.sum(s.y ** 2) + jnp.sum(s.quad))
+
+    eps = 1e-6
+    for i in range(m):
+        fd = (lfd(y0, mu.at[i].add(eps), 0.0, 2.0)
+              - lfd(y0, mu.at[i].add(-eps), 0.0, 2.0)) / (2 * eps)
+        assert abs(g_mu[i] - fd) <= 3e-5 * abs(fd) + 2e-6
+        for j in range(2):
+            fd = (lfd(y0.at[i, j].add(eps), mu, 0.0, 2.0)
+                  - lfd(y0.at[i, j].add(-eps), mu, 0.0, 2.0)) / (2 * eps)
+            assert abs(g_y0[i, j] - fd) <= 3e-5 * abs(fd) + 1e-5
+    fd_t0 = (lfd(y0, mu, eps, 2.0) - lfd(y0, mu, -eps, 2.0)) / (2 * eps)
+    fd_tf = (lfd(y0, mu, 0.0, 2.0 + eps)
+             - lfd(y0, mu, 0.0, 2.0 - eps)) / (2 * eps)
+    assert abs(g_t0 - fd_t0) <= 1e-4 * abs(fd_t0) + 2e-6
+    assert abs(g_tf - fd_tf) <= 1e-4 * abs(fd_tf) + 2e-6
+
+
+def test_cost_with_terminal_events_mixed_batch():
+    """cost= + events= on the multistep adjoint: q truncates at t*; the
+    triggering lane's final increment re-quadratures on [0, θ*] through
+    the replayed backward-difference interpolant, so dq/dt* rides the
+    polished-root vjp. Mixed trigger/no-trigger batch vs FD."""
+    from janus_tpu.solve.events import Event
+
+    mu = jnp.array([2.0, 2.0])
+    y0 = jnp.array([[2.0, 0.0], [2.0, 0.5]])
+    thr = jnp.array([1.2, -50.0])       # lane 0 triggers; lane 1 never
+    ev = Event(lambda t, y, a: y[..., 0] - thr, terminal=True,
+               direction=-1.0)
+    opts = Options(rtol=1e-9, atol=1e-12, adjoint_steps=4096,
+                   max_steps=8192)
+
+    def loss(y0_, mu_):
+        y, t, q = ndf_adjoint(vdp_rhs, (0.0, 2.0), y0_, args=mu_,
+                              options=opts, events=ev, cost=_lq)
+        return jnp.sum(y ** 2) + 2.0 * jnp.sum(t) + jnp.sum(q), t
+
+    (val, t), grads = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(y0, mu)
+    assert float(t[0]) < 2.0 and float(t[1]) == 2.0
+
+    def lv(y0_, mu_):
+        s = solve_bdf(vdp_rhs, 0.0, 2.0, y0_, mu_, opts, events=ev,
+                      quad=_lq)
+        return float(jnp.sum(s.y ** 2) + 2.0 * jnp.sum(s.t)
+                     + jnp.sum(s.quad))
+
+    eps = 1e-6
+    for i in range(2):
+        for j in range(2):
+            e = jnp.zeros((2, 2)).at[i, j].set(eps)
+            fd = (lv(y0 + e, mu) - lv(y0 - e, mu)) / (2 * eps)
+            assert abs(grads[0][i, j] - fd) <= 2e-5 * max(abs(fd), 1.0)
+        e = jnp.zeros(2).at[i].set(eps)
+        fd = (lv(y0, mu + e) - lv(y0, mu - e)) / (2 * eps)
+        assert abs(grads[1][i] - fd) <= 2e-5 * max(abs(fd), 1.0)
