@@ -101,9 +101,10 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
               interpolants. For reverse-mode gradients of integral costs
               use ``radau_adjoint(cost=...)``.
     step_args: optional pytree of per-ACCEPTED-step parameter slabs
-              ('dopri5'/'dopri853'/'seulex' — the reference's exact
-              adaptive-stepper theta/nparams_step semantics,
-              dopri853ted.hpp:302-308, seulexted.py:326-370): every leaf
+              (the one-step adaptive methods: 'dopri5'/'dopri853'/'seulex'
+              — the reference's exact adaptive-stepper theta/nparams_step
+              semantics, dopri853ted.hpp:302-308, seulexted.py:326-370 —
+              plus 'rodas' and fixed-stage 'radau'): every leaf
               has leading axis S; a lane's k-th accepted step evaluates
               all stages/levels with row k, passed to f as
               ``(args, slab_k)`` (the odeint_fixed convention). Leaves
@@ -158,11 +159,15 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
                          "'dopri5'/'dopri853'; use t_eval= otherwise")
 
     if step_args is not None and canonical not in ("dopri5", "dopri853",
-                                                   "seulex"):
+                                                   "seulex", "rodas",
+                                                   "radau"):
         raise ValueError("step_args= (per-accepted-step parameter slabs, "
                          "the reference's theta/nparams_step semantics) is "
-                         "supported by 'dopri5'/'dopri853' and 'seulex'; "
-                         "use models.controls time-indexed schedules or "
+                         "supported by the one-step adaptive methods "
+                         "'dopri5'/'dopri853', 'seulex', 'rodas' and "
+                         "fixed-stage 'radau' (multistep bdf history "
+                         "assumes a smooth f across steps); use "
+                         "models.controls time-indexed schedules or "
                          "solve.fixed.odeint_fixed(step_args=) otherwise")
     if canonical in ("dopri5", "dopri853"):
         from janus_tpu.solve.dopri import TABLEAUS, solve_erk
@@ -177,6 +182,11 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
             # variable order by default: stages 1..7
             options = options.replace(min_stages=1, max_stages=7)
         if options.min_stages != options.max_stages:
+            if step_args is not None:
+                raise ValueError("step_args= needs a fixed-stage radau "
+                                 "(e.g. method='radau5'); the variable-"
+                                 "order ladder re-attempts steps across "
+                                 "orders with no slab-row contract")
             from janus_tpu.solve.radaup import solve_radau_vo
             return solve_radau_vo(f, t0, tf, y0, args, options, t_eval,
                                   jac=jac, mass=mass, events=events,
@@ -187,7 +197,7 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         return solve_radau(f, t0, tf, y0, args, options, t_eval,
                            jac=jac, mass=mass, events=events,
                            tangents=tangents, args_tangents=args_tangents,
-                           quad=quad, dense=dense)
+                           quad=quad, dense=dense, step_args=step_args)
     if canonical == "radau_fused":
         from janus_tpu.solve.radau_fused import solve_radau_fused
         return solve_radau_fused(f, t0, tf, y0, args, options)
@@ -213,7 +223,7 @@ def solve_ivp(f: Callable, tspan, y0, method: str = "dopri5", args: Any = None,
         return solve_rodas(f, t0, tf, y0, args, options, t_eval,
                            jac=jac, mass=mass, events=events,
                            tangents=tangents, args_tangents=args_tangents,
-                           quad=quad, dense=dense)
+                           quad=quad, dense=dense, step_args=step_args)
     if canonical == "grk4t":
         from janus_tpu.solve.rosenbrock import solve_ros4
         return solve_ros4(f, t0, tf, y0, args, options, t_eval, jac=jac)

@@ -837,7 +837,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                 jac: Optional[Callable] = None, mass=None,
                 events=None, tangents=None,
                 args_tangents=None, quad: Optional[Callable] = None,
-                dense: int = 0, _mesh_size: int = 0,
+                dense: int = 0, step_args=None, _mesh_size: int = 0,
                 _h0=None) -> cm.Solution:
     """Batched adaptive Radau IIA solve (fixed stage count = options.min_stages).
 
@@ -925,7 +925,31 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     # h / h² (Hairer's higher-index DAE mechanism)
     ind_exp, use_index = cm.index_weights(opts, dim, dtype)
 
-    f0 = f(t0, y0, args)
+    use_slabs = step_args is not None
+    if use_slabs:
+        # per-ACCEPTED-step parameter slabs (the reference's adaptive-
+        # stepper theta/nparams_step semantics, dopri853ted.hpp:302-308,
+        # extended to the collocation family): a lane's k-th accepted-step
+        # ATTEMPT evaluates every stage RHS, the Jacobian, and the error-
+        # estimate f's with slab row k as f(t, y, (args, slab_k)); events
+        # and quad integrands see plain args. The stale-Jacobian reuse
+        # policy is unchanged — J is only an iteration matrix; the
+        # converged stages are slab-row-exact because the Newton residual
+        # evaluates f fresh under the row.
+        if tangents is not None or args_tangents is not None:
+            raise ValueError("step_args= does not compose with tangents= "
+                             "(slab rows are step-indexed; seed the slab "
+                             "leaves via jax.jvp instead)")
+        if _mesh_size or dense:
+            raise ValueError("step_args= does not compose with the "
+                             "adjoint / dense= (the replay has no slab "
+                             "index); use models.controls time-indexed "
+                             "schedules for differentiable controls")
+        n_slabs, slab_at = cm.make_slab_selector(step_args, m, dtype)
+
+    args0 = (args, slab_at(jnp.zeros((m,), jnp.int32))) if use_slabs \
+        else args
+    f0 = f(t0, y0, args0)
     if _h0 is not None:
         # signed per-lane warm start (segment chaining in solve.adjoint);
         # lanes with _h0 == 0 fall back to the automatic initial step, and
@@ -933,7 +957,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
         if mass is None:
             h_auto = cm.initial_step(f, t0, y0, f0, tf, s, opts.rtol,
-                                     opts.atol, args, opts.max_step)
+                                     opts.atol, args0, opts.max_step)
         else:
             h_auto = jnp.minimum(1e-3, jnp.abs(tf - t0) * 1e-2) * direction
         h_mag = jnp.abs(jnp.broadcast_to(jnp.asarray(_h0, dtype), (m,)))
@@ -941,7 +965,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
     elif opts.h0 == 0.0:
         if mass is None:
             h = cm.initial_step(f, t0, y0, f0, tf, s, opts.rtol, opts.atol,
-                                args, opts.max_step)
+                                args0, opts.max_step)
         else:
             # Hairer's hinit treats f0 as a derivative, which is wrong for
             # the algebraic rows of a singular-mass system — start small and
@@ -1093,11 +1117,20 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         h = jnp.where(last, remaining, st.h)
         h = jnp.where(h == 0.0, eps * dir0, h)
 
+        if use_slabs:
+            # a lane's k-th accepted-step attempt (all stage/Jacobian/
+            # error-estimate f evals) runs on slab row k
+            exhausted = st.active & (st.stats["naccept"] >= n_slabs)
+            fa = (args, slab_at(st.stats["naccept"]))
+        else:
+            exhausted = jnp.zeros((m,), bool)
+            fa = args
+
         # ---- Jacobian refresh (gated: skip when no lane needs it) --------
         needj = st.need_jac & st.active
 
         def do_jac(_):
-            jnew = jac_fn(st.t, st.y, args)
+            jnew = jac_fn(st.t, st.y, fa)
             sel = needj.reshape((m,) + (1,) * (jnew.ndim - 1))
             return jnp.where(sel, jnew, st.jac)
 
@@ -1118,7 +1151,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
                               axis=tuple(range(1, jmat.ndim)))
             h_fact = jnp.where(needf, h, st.h_fact)
             solver = _gmres_stage_solver(
-                tab, f, t_lin, y_lin, args, jmat, h, mass,
+                tab, f, t_lin, y_lin, fa, jmat, h, mass,
                 0 if opts.stage_solver == "tridiag" else opts.gmres_iters,
                 precond=opts.precond, block=opts.precond_block)
         else:
@@ -1220,11 +1253,11 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
             # weight index-2/3 components down by h^k in the norms
             hw = jnp.abs(h)[:, None] ** ind_exp[None, :]
             scale_n = scale_n / hw
-        run_newton = st.active & fact_ok
+        run_newton = st.active & fact_ok & ~exhausted
         with jax.named_scope("radau.newton"):
             ns = _newton(tab, f, st.t, st.y, h, z0, scale_n, newton_tol,
                          lu_r, piv_r, lu_c, piv_c, run_newton, max_iter,
-                         args, mass=mass, solver=solver)
+                         fa, mass=mass, solver=solver)
         conv = run_newton & ns.converged
         newton_fail = run_newton & ~ns.converged
 
@@ -1247,8 +1280,14 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         if mass is not None:
             ze = jnp.einsum("...ij,m...j->m...i" if mass.ndim == 2 else "mij,mj->mi",
                             mass, ze, precision=_EINSUM_PRECISION)
-        err1 = (solver[0](st.f0 + ze) if solver is not None
-                else lu_solve(lu_r, piv_r, st.f0 + ze))
+        if use_slabs:
+            # st.f0 was evaluated under the PREVIOUS step's slab row (the
+            # dopri FSAL-leak rule): re-evaluate under the current row
+            f0_use = f(st.t, st.y, fa)
+        else:
+            f0_use = st.f0
+        err1 = (solver[0](f0_use + ze) if solver is not None
+                else lu_solve(lu_r, piv_r, f0_use + ze))
         scale_e = opts.atol + opts.rtol * jnp.maximum(jnp.abs(st.y),
                                                       jnp.abs(y_new))
         if use_index:
@@ -1259,7 +1298,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         refine = conv & st.rejected & (enorm1 > 1.0)
 
         def do_refine(_):
-            fe = f(st.t, st.y + err1, args)
+            fe = f(st.t, st.y + err1, fa)
             err2 = (solver[0](fe + ze) if solver is not None
                     else lu_solve(lu_r, piv_r, fe + ze))
             en2 = cm.safe_sqrt(jnp.mean(jnp.square(err2 / scale_e), axis=-1))
@@ -1305,7 +1344,7 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         t_new = t_acc
 
         def do_fnew(_):
-            fn = f(t_new, y_new, args)
+            fn = f(t_new, y_new, fa)
             return jnp.where(accept[:, None], fn, st.f0)
 
         f_new = jax.lax.cond(jnp.any(accept), do_fnew, lambda _: st.f0,
@@ -1602,8 +1641,11 @@ def solve_radau(f: Callable, t0, tf, y0, args=None,
         status = jnp.where(exceeded, cm.MAX_STEPS, status).astype(jnp.int8)
         status = jnp.where(underflow, cm.STEP_UNDERFLOW, status).astype(jnp.int8)
         status = jnp.where(stall, cm.NEWTON_STALL, status).astype(jnp.int8)
+        status = jnp.where(exhausted, cm.PARAMS_EXHAUSTED,
+                           status).astype(jnp.int8)
         status = jnp.where(terminate, cm.EVENT_TERMINATED, status).astype(jnp.int8)
-        active = st.active & ~done & ~exceeded & ~underflow & ~stall & ~terminate
+        active = (st.active & ~done & ~exceeded & ~underflow & ~stall
+                  & ~terminate & ~exhausted)
 
         return _RadauState(
             t=jnp.where(accept, jnp.where(terminate, t_ev, t_new), st.t),

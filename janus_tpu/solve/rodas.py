@@ -107,6 +107,7 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
                 events=None, tangents=None,
                 args_tangents=None,
                 quad: Optional[Callable] = None, dense: int = 0,
+                step_args=None,
                 _mesh_size: int = 0, _h0=None) -> cm.Solution:
     """Batched adaptive RODAS4 solve (index-1 DAE capable via ``mass``).
 
@@ -139,6 +140,17 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
     radauted_impl.hpp:1901-1936, on its rosenbrock_torch_gmres family).
     Results in ``Solution.sens`` [K, M, D]; terminal mode only (t_eval /
     events with tangents raise — use jax.jvp through the solve there).
+
+    step_args: optional pytree of per-ACCEPTED-step parameter slabs (the
+    reference's adaptive-stepper theta/nparams_step semantics, extended to
+    the Rosenbrock family): every leaf has leading axis S; a lane's k-th
+    accepted-step ATTEMPT evaluates all six stages, the Jacobian, and
+    df/dt with row k, passed to f as ``(args, slab_k)``. Leaves with
+    second axis M are per-lane tables. Lanes needing a row past S fail
+    with status PARAMS_EXHAUSTED (per-lane). Terminal/t_eval/events modes;
+    tangents= and the discrete adjoint raise (slab rows are step-indexed —
+    the replay has no slab index; use ``models.controls`` time-indexed
+    schedules for differentiable controls).
     """
     opts = options if options is not None else Options()
     store_q = bool(dense)
@@ -191,13 +203,23 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         yd0 = jnp.zeros((0, m, dim), dtype)
         k_dirs = 0
 
+    use_slabs = step_args is not None
+    if use_slabs:
+        if use_sens:
+            raise ValueError("step_args= does not compose with tangents= "
+                             "(slab rows are step-indexed; seed the slab "
+                             "leaves via jax.jvp instead)")
+        if _mesh_size:
+            raise ValueError("step_args= does not compose with the discrete "
+                             "adjoint / dense= (the replay has no slab "
+                             "index); use models.controls time-indexed "
+                             "schedules for differentiable controls")
+        n_slabs, slab_at = cm.make_slab_selector(step_args, m, dtype)
+
     def ft_at(t, y, aa):
         ones = jnp.ones_like(t)
         _, out = jax.jvp(lambda tt: f(tt, y, aa), (t,), (ones,))
         return out
-
-    def ft_fn(t, y):
-        return ft_at(t, y, args)
 
     def mdot(v):
         if mass is None:
@@ -207,21 +229,23 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
                               precision=_EINSUM_PRECISION)
         return jnp.einsum("mij,mj->mi", mass, v, precision=_EINSUM_PRECISION)
 
-    f0 = f(t0, y0, args)
+    args0 = (args, slab_at(jnp.zeros((m,), jnp.int32))) if use_slabs \
+        else args
+    f0 = f(t0, y0, args0)
     if _h0 is not None:
         # per-lane warm-start step (segment chaining, solve/adjoint_rodas):
         # lanes with _h0 == 0 fall back to the automatic initial step
         direction = jnp.where(tf >= t0, 1.0, -1.0).astype(dtype)
         h_mag = jnp.abs(jnp.broadcast_to(jnp.asarray(_h0, dtype), (m,)))
         h_auto = jnp.abs(cm.initial_step(f, t0, y0, f0, tf, 4, opts.rtol,
-                                         opts.atol, args, opts.max_step)) \
+                                         opts.atol, args0, opts.max_step)) \
             if mass is None else jnp.minimum(1e-3, jnp.abs(tf - t0) * 1e-2)
         h_mag = jnp.where(h_mag > 0, h_mag, h_auto)
         h = jnp.minimum(h_mag, jnp.abs(tf - t0)) * direction
     elif opts.h0 == 0.0:
         if mass is None:
             h = cm.initial_step(f, t0, y0, f0, tf, 4, opts.rtol, opts.atol,
-                                args, opts.max_step)
+                                args0, opts.max_step)
         else:
             # singular-mass systems: f0 is not a derivative on the algebraic
             # rows; start small (same policy as solve/radau.py)
@@ -301,13 +325,22 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         h = jnp.where(last, remaining, st.h)
         h = jnp.where(h == 0.0, eps, h)
 
+        if use_slabs:
+            # a lane's k-th accepted-step attempt (all stages + J + f_t)
+            # runs on slab row k (the reference's nparams_step semantics)
+            exhausted = st.active & (st.stats["naccept"] >= n_slabs)
+            fa = (args, slab_at(st.stats["naccept"]))
+        else:
+            exhausted = jnp.zeros((m,), bool)
+            fa = args
+
         # ---- Jacobian + f + df/dt at the step point (every new point) ----
         needj = st.need_jac & st.active
 
         def do_jac(_):
-            jn = jac_fn(st.t, st.y, args)
-            f1n = f(st.t, st.y, args)
-            fxn = ft_fn(st.t, st.y)
+            jn = jac_fn(st.t, st.y, fa)
+            f1n = f(st.t, st.y, fa)
+            fxn = ft_at(st.t, st.y, fa)
             return (jnp.where(needj[:, None, None], jn, st.jac),
                     jnp.where(needj[:, None], f1n, st.f1),
                     jnp.where(needj[:, None], fxn, st.fx))
@@ -351,20 +384,20 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
                 return lu_solve(lu_m, piv_m, rhs)
 
         k1 = slv(f1 + (h * D1)[:, None] * fx)
-        f2 = f(st.t + C2 * h, st.y + A21 * k1, args)
+        f2 = f(st.t + C2 * h, st.y + A21 * k1, fa)
         k2 = slv(f2 + (h * D2)[:, None] * fx + mdot(C21 * k1) / hc)
-        f3 = f(st.t + C3 * h, st.y + A31 * k1 + A32 * k2, args)
+        f3 = f(st.t + C3 * h, st.y + A31 * k1 + A32 * k2, fa)
         k3 = slv(f3 + (h * D3)[:, None] * fx
                  + mdot(C31 * k1 + C32 * k2) / hc)
-        f4 = f(st.t + C4 * h, st.y + A41 * k1 + A42 * k2 + A43 * k3, args)
+        f4 = f(st.t + C4 * h, st.y + A41 * k1 + A42 * k2 + A43 * k3, fa)
         k4 = slv(f4 + (h * D4)[:, None] * fx
                  + mdot(C41 * k1 + C42 * k2 + C43 * k3) / hc)
         y5 = st.y + A51 * k1 + A52 * k2 + A53 * k3 + A54 * k4
         t_new = st.t + h
-        f5 = f(t_new, y5, args)
+        f5 = f(t_new, y5, fa)
         k5 = slv(f5 + mdot(C51 * k1 + C52 * k2 + C53 * k3 + C54 * k4) / hc)
         y_emb = y5 + k5                               # order-3 embedded
-        f6 = f(t_new, y_emb, args)
+        f6 = f(t_new, y_emb, fa)
         k6 = slv(f6 + mdot(C61 * k1 + C62 * k2 + C63 * k3 + C64 * k4
                            + C65 * k5) / hc)
         y_new = y_emb + k6                            # order-4 solution
@@ -377,7 +410,7 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
             jnp.isfinite(y_new), axis=-1), enorm, 1e10)
         enorm = jnp.maximum(enorm, 1e-16)
 
-        ok_step = st.active & fact_ok
+        ok_step = st.active & fact_ok & ~exhausted
         accept = ok_step & (enorm <= 1.0)
         reject = ok_step & (enorm > 1.0)
 
@@ -578,8 +611,11 @@ def solve_rodas(f: Callable, t0, tf, y0, args=None,
         status = jnp.where(exceeded, cm.MAX_STEPS, status).astype(jnp.int8)
         status = jnp.where(underflow, cm.STEP_UNDERFLOW, status).astype(jnp.int8)
         status = jnp.where(stall, cm.NEWTON_STALL, status).astype(jnp.int8)
+        status = jnp.where(exhausted, cm.PARAMS_EXHAUSTED,
+                           status).astype(jnp.int8)
         status = jnp.where(terminate, cm.EVENT_TERMINATED, status).astype(jnp.int8)
-        active = st.active & ~done & ~exceeded & ~underflow & ~stall & ~terminate
+        active = (st.active & ~done & ~exceeded & ~underflow & ~stall
+                  & ~terminate & ~exhausted)
 
         return _RodasState(
             t=jnp.where(accept, jnp.where(terminate, t_ev, t_new), st.t),

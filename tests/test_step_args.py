@@ -21,13 +21,14 @@ def _slab_rhs(t, y, a):
     return jnp.broadcast_to(u[:, None], y.shape)
 
 
-@pytest.mark.parametrize("method", ["dopri5", "dopri853", "seulex"])
+@pytest.mark.parametrize("method", ["dopri5", "dopri853", "seulex",
+                                    "rodas", "radau"])
 def test_constant_slabs_match_plain_run(method):
     # a slab table whose rows are all identical must reproduce the plain
     # args run exactly (same mesh, same stages)
     mu = jnp.array([5.0, 50.0])
     y0 = jnp.tile(jnp.array([[2.0, 0.0]]), (2, 1))
-    if method == "seulex":
+    if method in ("seulex", "rodas", "radau"):
         tf = 1.0
     else:
         mu = jnp.array([0.5, 2.0])   # explicit methods: nonstiff
@@ -56,7 +57,8 @@ def test_constant_slabs_match_plain_run(method):
     assert bool(jnp.all(slabbed.stats["naccept"] == plain.stats["naccept"]))
 
 
-@pytest.mark.parametrize("method", ["dopri5", "dopri853", "seulex"])
+@pytest.mark.parametrize("method", ["dopri5", "dopri853", "seulex",
+                                    "rodas", "radau"])
 def test_exhaustion_status(method):
     # far fewer slab rows than steps: the lane must FAIL loudly with
     # PARAMS_EXHAUSTED (the reference's exhaustion throw, made per-lane)
@@ -151,4 +153,9 @@ def test_slab_gradients_forward_mode():
 def test_step_args_unsupported_method_raises():
     with pytest.raises(ValueError, match="step_args"):
         solve_ivp(lambda t, y, a: -y, (0.0, 1.0), jnp.zeros((1, 2)),
-                  method="radau", step_args=jnp.ones((4,)))
+                  method="bdf", step_args=jnp.ones((4,)))
+    # variable-order radau has no slab-row contract (re-attempts across
+    # orders); only fixed-stage radau takes slabs
+    with pytest.raises(ValueError, match="fixed-stage"):
+        solve_ivp(lambda t, y, a: -y, (0.0, 1.0), jnp.zeros((1, 2)),
+                  method="radaup", step_args=jnp.ones((4,)))
