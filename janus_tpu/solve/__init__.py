@@ -301,7 +301,11 @@ def solve_adjoint(f: Callable, tspan, y0, method: str = "radau",
     (integral Lagrange objectives: q̄ pulled through each recorded step's
     replayed GL-3 quadrature increment on the family's own rebuilt
     interpolant — the reverse twin of the CVODES forward quadrature
-    sensitivities). Aliases follow solve_ivp's table.
+    sensitivities). The stiff discrete adjoints ('rodas'/'seulex'/'bdf')
+    also take n_alg= (trailing algebraic variables of a semi-explicit
+    index-1 DAE): t0/tf cotangents then use the constrained velocity
+    instead of M⁻¹f, so DAE lanes get boundary-time gradients too.
+    Aliases follow solve_ivp's table.
     Unsupported methods raise — forward-mode (tangents=/jet) covers the
     rest; reference: the upstream framework has forward duals only.
     """

@@ -380,6 +380,57 @@ def _split_diff(args):
     return dleaves, rebuild, leaves, treedef, diff_idx
 
 
+def constrained_ydot(fa, t, y, dl, mass, n_alg, *, use_gmres=False,
+                     gmres_iters=20):
+    """The true state velocity ẏ at (t, y) for the boundary-time cotangent
+    formulas t̄₀ = −λ₀·ẏ(t₀), t̄_f = ȳ·ẏ(T).
+
+    ODE: ẏ = f. Invertible mass: ẏ = M⁻¹f. Semi-explicit index-1 DAE
+    (``n_alg`` trailing algebraic rows, mass = blockdiag(A, 0)): the
+    CONSTRAINED velocity ẋ = A⁻¹f_x, ż = −g_z⁻¹(g_t + g_x·ẋ) — the
+    Cao–Li–Petzold boundary velocity the continuous adjoint uses for its
+    terminal conditions (this module's n_alg block). Matrix-free
+    throughout: g_z from n_alg z-slot jvp probes (only the small
+    [n_alg × n_alg] block is dense-factored), g_x·ẋ and g_t as jvp pulls,
+    the A block by dense LU (or batched GMRES under ``use_gmres`` for
+    large differential blocks). Shared by the discrete adjoints
+    (adjoint_{rodas,seulex,ndf}.py ``n_alg=``) so DAE lanes get t0/tf
+    gradients instead of the invertible-mass restriction."""
+    m, dim = y.shape
+    dtype = y.dtype
+    f_T = fa(t, y, dl)
+    if not n_alg:
+        if mass is None:
+            return f_T
+        mb = jnp.broadcast_to(jnp.asarray(mass, dtype), (m, dim, dim))
+        if use_gmres:
+            return _gmres_dense_solve(mb, f_T, gmres_iters)
+        lu_m, piv_m = lu_factor(mb, pivot=True)
+        return lu_solve(lu_m, piv_m, f_T)
+    n1 = dim - n_alg
+    a_blk = jnp.broadcast_to(jnp.asarray(mass, dtype),
+                             (m, dim, dim))[:, :n1, :n1]
+    f_at = lambda yy: fa(t, yy, dl)                            # noqa: E731
+    gz = jnp.stack(
+        [jax.jvp(f_at, (y,),
+                 (jnp.zeros((m, dim), dtype).at[:, n1 + a].set(1.0),)
+                 )[1][:, n1:] for a in range(n_alg)], axis=-1)
+    if use_gmres:
+        xdot = _gmres_dense_solve(a_blk, f_T[:, :n1], gmres_iters)
+    else:
+        lu_a, piv_a = lu_factor(a_blk, pivot=True)
+        xdot = lu_solve(lu_a, piv_a, f_T[:, :n1])
+    g_t = jax.jvp(lambda tt: fa(tt, y, dl), (t,),
+                  (jnp.ones_like(t),))[1][:, n1:]
+    gx_xdot = jax.jvp(
+        f_at, (y,),
+        (jnp.concatenate([xdot, jnp.zeros((m, n_alg), dtype)], axis=-1),)
+    )[1][:, n1:]
+    lu_gz, piv_gz = lu_factor(gz, pivot=True)
+    zdot = -lu_solve(lu_gz, piv_gz, g_t + gx_xdot)
+    return jnp.concatenate([xdot, zdot], axis=-1)
+
+
 def _build_adjoint(f, opts, jac_user, mass, events=None, n_alg=0, cost=None,
                    vo_orders=None):
     from janus_tpu.solve.events import normalize_events

@@ -82,7 +82,7 @@ import numpy as np
 from janus_tpu.linalg.smalllu import lu_factor, lu_solve
 from janus_tpu.solve import common as cm
 from janus_tpu.solve import ndf as nd
-from janus_tpu.solve.adjoint import _split_diff
+from janus_tpu.solve.adjoint import _split_diff, constrained_ydot
 from janus_tpu.solve.options import Options
 from janus_tpu.solve.radau import _EINSUM_PRECISION, default_jacobian
 
@@ -171,7 +171,7 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
                 options: Optional[Options] = None,
                 jac: Optional[Callable] = None, mass=None, t_eval=None,
                 ndf: bool = True, events=None,
-                cost: Optional[Callable] = None):
+                cost: Optional[Callable] = None, n_alg: int = 0):
     """Reverse-differentiable batched adaptive NDF/BDF (orders 1-5) solve.
 
     Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
@@ -204,9 +204,19 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
     rescale chain like the event pull. Exact discrete-adjoint gradients of
     the computed q — the rodas_adjoint cost= mechanics on the multistep
     family.
+
+    n_alg: trailing algebraic variables of a semi-explicit index-1 DAE
+    (mass = blockdiag(A, 0)): t0/tf cotangents then use the CONSTRAINED
+    velocity ẋ = A⁻¹f_x, ż = −g_z⁻¹(g_t + g_x ẋ) instead of M⁻¹f
+    (solve/adjoint.py ``constrained_ydot``; matrix-free under
+    ``stage_solver='gmres'``), so DAE lanes get boundary-time gradients.
     """
     opts = options if options is not None else Options()
     use_cost = cost is not None
+    if n_alg and mass is None:
+        raise ValueError("n_alg > 0 (semi-explicit index-1 DAE boundary "
+                         "velocity) needs mass=blockdiag(A, 0); without a "
+                         "mass matrix the system is an ODE")
     use_gmres = opts.stage_solver != "lu"
     if use_gmres and jac is not None:
         raise ValueError("stage_solver='gmres' is matrix-free (Jᵀ·v by "
@@ -539,13 +549,14 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
         any_over = jnp.any(over)
         gl = [jnp.where(any_over, jnp.nan, g) for g in gl]
 
-        # boundary-time cotangents (continuous formulas; need M invertible)
+        # boundary-time cotangents: the TRUE velocity — M⁻¹f, or with
+        # ``n_alg`` the index-1 DAE's constrained velocity (the continuous
+        # adjoint's boundary formula, solve/adjoint.py constrained_ydot;
+        # matrix-free A-block solves under stage_solver='gmres')
         def ydot(t, y):
-            fv = fa(t, y, dleaves)
-            if mass is None:
-                return fv
-            lu_m, piv_m = lu_factor(mmat, pivot=opts.pivoting)
-            return lu_solve(lu_m, piv_m, fv)
+            return constrained_ydot(fa, t, y, dleaves, mass, n_alg,
+                                    use_gmres=use_gmres,
+                                    gmres_iters=opts.gmres_iters)
 
         tf_bar = jnp.sum(ybar * ydot(t_end, yT), axis=-1)     # [M]
         if use_cost:

@@ -48,7 +48,11 @@ stays on radau_adjoint); mass matrices supported including singular index-1 DAE
 masses for the y0/args gradients (the step map is well-defined whenever the
 forward solve is; algebraic-slot y0 cotangents are the true derivatives of
 the discrete scheme). t0/tf cotangents use the continuous boundary formulas
-±ȳ·ẏ with ẏ = M⁻¹f and therefore require mass=None or invertible mass.
+±ȳ·ẏ with ẏ = M⁻¹f; for semi-explicit index-1 DAE lanes pass ``n_alg``
+(trailing algebraic variables, mass = blockdiag(A, 0)) and ẏ becomes the
+CONSTRAINED velocity ẋ = A⁻¹f_x, ż = −g_z⁻¹(g_t + g_x ẋ) (the continuous
+adjoint's boundary formula, solve/adjoint.py ``constrained_ydot``) — so
+DAE problems get boundary-time gradients too.
 """
 
 from __future__ import annotations
@@ -62,7 +66,7 @@ import numpy as np
 from janus_tpu.linalg.smalllu import lu_factor, lu_solve
 from janus_tpu.solve import common as cm
 from janus_tpu.solve import rodas as rd
-from janus_tpu.solve.adjoint import _split_diff
+from janus_tpu.solve.adjoint import _split_diff, constrained_ydot
 from janus_tpu.solve.options import Options
 from janus_tpu.solve.radau import _EINSUM_PRECISION, default_jacobian
 
@@ -151,7 +155,8 @@ def _gl3_inc(lq, t, h, y, y_new, c2, c3, theta_q):
 def rodas_adjoint(f: Callable, tspan, y0, args=None,
                   options: Optional[Options] = None,
                   jac: Optional[Callable] = None, mass=None, t_eval=None,
-                  events=None, cost: Optional[Callable] = None):
+                  events=None, cost: Optional[Callable] = None,
+                  n_alg: int = 0):
     """Reverse-differentiable batched adaptive RODAS4 solve.
 
     Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
@@ -195,6 +200,10 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
     """
     opts = options if options is not None else Options()
     use_cost = cost is not None
+    if n_alg and mass is None:
+        raise ValueError("n_alg > 0 (semi-explicit index-1 DAE boundary "
+                         "velocity) needs mass=blockdiag(A, 0); without a "
+                         "mass matrix the system is an ODE")
     if opts.pallas_lu:
         raise ValueError("rodas_adjoint replays steps under jax.vjp; the "
                          "Pallas LU has no AD rules — use pallas_lu=False")
@@ -395,15 +404,12 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
         any_over = jnp.any(over)
         gl = [jnp.where(any_over, jnp.nan, g) for g in gl]
 
-        # boundary-time cotangents (continuous formulas; need M invertible)
+        # boundary-time cotangents: t̄₀ = −λ₀·ẏ(t₀), t̄_f = ȳ·ẏ(T) with the
+        # TRUE velocity — M⁻¹f (invertible mass) or, with ``n_alg``, the
+        # index-1 DAE's constrained velocity ẋ = A⁻¹f_x,
+        # ż = −g_z⁻¹(g_t + g_x ẋ) (the continuous adjoint's formula)
         def ydot(t, y):
-            fv = fa(t, y, dleaves)
-            if mass is None:
-                return fv
-            mm = mass[None] if mass.ndim == 2 else mass
-            mm = jnp.broadcast_to(mm, (m, dim, dim))
-            lu_m, piv_m = lu_factor(mm, pivot=opts.pivoting)
-            return lu_solve(lu_m, piv_m, fv)
+            return constrained_ydot(fa, t, y, dleaves, mass, n_alg)
 
         tf_bar = jnp.sum(ybar * ydot(t_end, yT), axis=-1)     # [M]
         if use_cost:

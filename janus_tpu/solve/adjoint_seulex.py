@@ -52,8 +52,10 @@ events + t_eval stays on radau_adjoint) — and integral costs (``cost=``,
 q̄ pulled through each step's replayed GL-3 increment on the rebuilt
 quartic/Hermite interpolant, the rodas_adjoint convention). Mass matrices
 supported including singular index-1 DAE masses for the y0/args gradients;
-t0/tf cotangents use the continuous boundary formulas ±ȳ·ẏ with ẏ = M⁻¹f
-and therefore need mass=None or invertible mass.
+t0/tf cotangents use the continuous boundary formulas ±ȳ·ẏ with ẏ = M⁻¹f,
+or — with ``n_alg`` trailing algebraic variables (mass = blockdiag(A, 0))
+— the index-1 DAE's constrained velocity (solve/adjoint.py
+``constrained_ydot``), so DAE lanes get boundary-time gradients too.
 """
 
 from __future__ import annotations
@@ -67,7 +69,7 @@ import numpy as np
 from janus_tpu.linalg.smalllu import lu_factor, lu_solve
 from janus_tpu.solve import common as cm
 from janus_tpu.solve import seulex as sx
-from janus_tpu.solve.adjoint import _split_diff
+from janus_tpu.solve.adjoint import _split_diff, constrained_ydot
 from janus_tpu.solve.options import Options
 from janus_tpu.solve.radau import _EINSUM_PRECISION, default_jacobian
 
@@ -244,7 +246,8 @@ def _gl3_inc(lq, t, h, yi, theta_q):
 def seulex_adjoint(f: Callable, tspan, y0, args=None,
                    options: Optional[Options] = None,
                    jac: Optional[Callable] = None, mass=None, t_eval=None,
-                   events=None, cost: Optional[Callable] = None):
+                   events=None, cost: Optional[Callable] = None,
+                   n_alg: int = 0):
     """Reverse-differentiable batched adaptive SEULEX solve.
 
     Returns the final state y(T) [M, D], or — with ``t_eval`` — the sampled
@@ -287,6 +290,10 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
     """
     opts = options if options is not None else Options()
     use_cost = cost is not None
+    if n_alg and mass is None:
+        raise ValueError("n_alg > 0 (semi-explicit index-1 DAE boundary "
+                         "velocity) needs mass=blockdiag(A, 0); without a "
+                         "mass matrix the system is an ODE")
     from janus_tpu.solve.events import normalize_events
     specs = normalize_events(events)
     if specs:
@@ -504,15 +511,11 @@ def seulex_adjoint(f: Callable, tspan, y0, args=None,
         any_over = jnp.any(over)
         gl = [jnp.where(any_over, jnp.nan, g) for g in gl]
 
-        # boundary-time cotangents (continuous formulas; need M invertible)
+        # boundary-time cotangents: the TRUE velocity — M⁻¹f, or with
+        # ``n_alg`` the index-1 DAE's constrained velocity (the continuous
+        # adjoint's boundary formula, solve/adjoint.py constrained_ydot)
         def ydot(t, y):
-            fv = fa(t, y, dleaves)
-            if mass is None:
-                return fv
-            mm = mass[None] if mass.ndim == 2 else mass
-            mm = jnp.broadcast_to(mm, (m, dim, dim))
-            lu_m, piv_m = lu_factor(mm, pivot=opts.pivoting)
-            return lu_solve(lu_m, piv_m, fv)
+            return constrained_ydot(fa, t, y, dleaves, mass, n_alg)
 
         tf_bar = jnp.sum(ybar * ydot(t_end, yT), axis=-1)     # [M]
         if use_cost:

@@ -436,3 +436,32 @@ def test_cost_with_terminal_events_mixed_batch():
         e = jnp.zeros(2).at[i].set(eps)
         fd = (lv(y0, mu + e) - lv(y0, mu - e)) / (2 * eps)
         assert abs(grads[1][i] - fd) <= 2e-5 * max(abs(fd), 1.0)
+
+
+def test_dae_boundary_time_gradients_n_alg():
+    """n_alg= boundary-time cotangents on the index-1 Robertson DAE: t0/tf
+    gradients use the CONSTRAINED velocity (adjoint.constrained_ydot) —
+    the previous invertible-mass restriction is gone. Oracle: central FD
+    of the full solver in tf (t0 = -tf by autonomy + the q-free loss)."""
+    mass = jnp.diag(jnp.array([1.0, 1.0, 0.0]))
+    y0 = jnp.array([[1.0, 0.0, 0.0]])
+    k = jnp.array([[0.04, 3e7, 1e4]])
+    opts = Options(rtol=1e-8, atol=1e-11, adjoint_steps=512,
+                   max_steps=4096)
+
+    def loss(t0, tf):
+        yT = seulex_adjoint(_rob_dae, (t0, tf), y0, args=k, options=opts,
+                  mass=mass, n_alg=1)
+        return jnp.sum(yT ** 2)
+
+    g_t0, g_tf = jax.grad(loss, argnums=(0, 1))(0.0, 10.0)
+
+    def lfd(tfv):
+        s = solve_seulex(_rob_dae, jnp.zeros(1), jnp.full(1, tfv), y0, k, opts, mass=mass, _force_jac=True)
+        return float(jnp.sum(s.y ** 2))
+
+    eps = 1e-4
+    fd_tf = (lfd(10.0 + eps) - lfd(10.0 - eps)) / (2 * eps)
+    assert abs(g_tf - fd_tf) <= 1e-4 * abs(fd_tf) + 1e-10
+    # autonomous system: d/dt0 = -d/dtf
+    assert abs(g_t0 + fd_tf) <= 1e-4 * abs(fd_tf) + 1e-8
