@@ -295,8 +295,9 @@ def solve_adjoint(f: Callable, tspan, y0, method: str = "radau",
     mass=, jac=), 'dopri5' / 'dopri853' (discrete adjoint on the explicit
     family). 'rodas', 'bdf', and the dopri methods also take terminal
     events= — they return (y*, t*), both reverse-differentiable (the
-    neural-ODE-with-stopping-condition training path; the dopri methods
-    compose events with t_eval like radau). EVERY discrete adjoint
+    neural-ODE-with-stopping-condition training path), and events COMPOSE
+    with t_eval on every family like radau (zero-length post-trigger
+    segments; NaN samples strictly past t*). EVERY discrete adjoint
     ('rodas', 'seulex', 'bdf', and the dopri methods) also takes cost=
     (integral Lagrange objectives: q̄ pulled through each recorded step's
     replayed GL-3 quadrature increment on the family's own rebuilt

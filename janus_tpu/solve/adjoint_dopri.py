@@ -39,7 +39,8 @@ warm-started adaptive segments, the radau/rodas/seulex adjoint
 convention), terminal ``events=`` — ``(y*, t*)`` both
 reverse-differentiable via the vjp of the triggering step's replayed
 dense interpolant with a differentiable Newton re-polish of θ* (the
-rodas_adjoint event mechanics; events + t_eval stays on radau_adjoint) —
+rodas_adjoint event mechanics; events COMPOSE with t_eval — the seg_ev
+zero-length-segment convention, now shared by every discrete adjoint) —
 and integral costs (``cost=``: q̄ pulled through each step's replayed
 GL-3 increment on the rebuilt dense interpolant, bit-identical to the
 forward ``quad=`` accumulation). The reference's explicit family has

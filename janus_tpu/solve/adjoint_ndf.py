@@ -52,8 +52,9 @@ samples remain O(rtol)-accurate solve endpoints), and terminal ``events=``
 — ``(y*, t*)`` both reverse-differentiable via the vjp of the triggering
 step's backward-difference interpolant (linear in the replayed history
 array) with a differentiable Newton re-polish of θ* from the recorded
-root (the rodas_adjoint event mechanics; events + t_eval stays on
-radau_adjoint). ``stage_solver='gmres'/'tridiag'`` runs the backward IFT
+root (the rodas_adjoint event mechanics; events COMPOSE with t_eval —
+zero-length post-trigger segments, NaN samples past t*, the dopri/radau
+seg_ev convention). ``stage_solver='gmres'/'tridiag'`` runs the backward IFT
 solves MATRIX-FREE: (M − cJ)ᵀw = λ_d by batched GMRES whose operator
 applies Jᵀ·v as a vjp pull at the converged point (reverse mode is the
 natural direction for transposed operators) preconditioned by the
@@ -188,9 +189,11 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
     replayed history array ``_hist_update(D', d)``, so the pull composes
     with the corrector IFT and the rescale chain like the plain terminal
     cotangent — with θ* re-polished by a differentiable Newton step from
-    the recorded root (the rodas_adjoint event mechanics). Not combinable
-    with t_eval here; NOTE a no-trigger lane in an events batch integrates
-    the whole span — size ``adjoint_steps`` for it.
+    the recorded root (the rodas_adjoint event mechanics). Composes with
+    t_eval (the dopri/radau seg_ev convention): returns ``(ys, y*, t*)``
+    with samples strictly past t* NaN. NOTE a no-trigger lane in an
+    events batch integrates the whole span — size ``adjoint_steps`` for
+    it (per SEGMENT in t_eval mode).
 
     cost: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
     (or ``[M, Q]``). Appends ``q = ∫ l dt`` (``solve_bdf(quad=...)``, the
@@ -224,16 +227,10 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
                          "jac=")
     from janus_tpu.solve.events import normalize_events
     specs = normalize_events(events)
-    if specs:
-        if not all(e.terminal for e in specs):
-            raise ValueError("ndf_adjoint(events=...) requires every event "
-                             "terminal (non-terminal recordings have no "
-                             "gradient contract)")
-        if t_eval is not None:
-            raise ValueError("ndf_adjoint: events + t_eval is not supported "
-                             "on the discrete adjoint; use radau_adjoint "
-                             "(continuous) for event-truncated trajectory "
-                             "losses")
+    if specs and not all(e.terminal for e in specs):
+        raise ValueError("ndf_adjoint(events=...) requires every event "
+                         "terminal (non-terminal recordings have no "
+                         "gradient contract)")
     cap = opts.adjoint_steps
     jac_user = jac
 
@@ -612,6 +609,59 @@ def ndf_adjoint(f: Callable, tspan, y0, args=None,
     t_lo = jnp.concatenate([jnp.full((1,), t0_in, dtype), t_eval[:-1]])
     t_hi = t_eval
     h_carry0 = jnp.zeros(t0b.shape, dtype)     # 0 ⇒ automatic initial step
+
+    if specs:
+        # events + t_eval: chain the sample segments per lane; a triggered
+        # lane's later segments are ZERO-LENGTH solves t* → t* (identity;
+        # boundary cotangents cancel — the event pull in the triggering
+        # segment carries the whole gradient); samples strictly past t*
+        # are NaN. Each live segment still RESTARTS the difference array
+        # (the multistep chaining convention). The radau/dopri adjoint
+        # convention (adjoint_dopri.py).
+        m = y0b.shape[0]
+        done0 = jnp.zeros((m,), bool)
+        tstar0 = jnp.full((m,), t0_in, dtype)
+        nan = jnp.asarray(jnp.nan, dtype)
+        if use_cost:
+            q0 = jnp.zeros(jax.eval_shape(
+                lambda: cost(t0b, y0b, args)).shape, dtype)
+
+        def seg_ev(carry, bounds):
+            if use_cost:
+                y, h, done, tstar, q = carry
+            else:
+                y, h, done, tstar = carry
+            ta, tb = bounds
+            ta_l = jnp.where(done, tstar, jnp.full((m,), ta, dtype))
+            tb_l = jnp.where(done, tstar, jnp.full((m,), tb, dtype))
+            outs = run(ta_l, tb_l, y, args, h)
+            if use_cost:
+                y2, t2, h2, idx2, q2 = outs
+            else:
+                y2, t2, h2, idx2 = outs
+            trig = (idx2 >= 0) & ~done
+            tstar2 = jnp.where(trig, t2, tstar)
+            done2 = done | trig
+            # a trigger strictly inside the segment invalidates the
+            # segment's endpoint sample; a trigger exactly at tb keeps it
+            dead = done | (trig & (t2 != tb_l))
+            sample = jnp.where(dead[:, None], nan, y2)
+            if use_cost:
+                return (y2, h2, done2, tstar2, q + q2), sample
+            return (y2, h2, done2, tstar2), sample
+
+        if use_cost:
+            (yF, _, doneF, tstarF, q), ys = jax.lax.scan(
+                seg_ev, (y0b, h_carry0, done0, tstar0, q0), (t_lo, t_hi))
+        else:
+            (yF, _, doneF, tstarF), ys = jax.lax.scan(
+                seg_ev, (y0b, h_carry0, done0, tstar0), (t_lo, t_hi))
+        ys = jnp.swapaxes(ys, 0, 1)                    # [M, T, D]
+        t_term = jnp.where(doneF, tstarF,
+                           jnp.broadcast_to(t_eval[-1], (m,)))
+        if use_cost:
+            return ys, yF, t_term, q
+        return ys, yF, t_term
 
     if use_cost:
         q0 = jnp.zeros(jax.eval_shape(

@@ -43,8 +43,9 @@ Scope: terminal mode, ``t_eval=`` trajectory sampling (chained segments),
 terminal ``events=`` — ``(y*, t*)`` both reverse-differentiable via
 the vjp of the triggering step's replayed CONTRO-cubic endpoint with a
 differentiable Newton re-polish of θ* — and integral costs (``cost=``,
-q̄ pulled through each step's replayed GL-3 increment; events + t_eval
-stays on radau_adjoint); mass matrices supported including singular index-1 DAE
+q̄ pulled through each step's replayed GL-3 increment) — and events
+COMPOSE with t_eval (zero-length post-trigger segments, NaN samples past
+t* — the dopri/radau seg_ev convention); mass matrices supported including singular index-1 DAE
 masses for the y0/args gradients (the step map is well-defined whenever the
 forward solve is; algebraic-slot y0 cotangents are the true derivatives of
 the discrete scheme). t0/tf cotangents use the continuous boundary formulas
@@ -182,8 +183,10 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
     endpoint with θ* re-polished by a differentiable Newton step from the
     recorded root (the implicit-function correction falls out of AD —
     starting at a converged root, one polished iteration's derivative
-    equals the IFT derivative to O(residual)). Not combinable with t_eval
-    here (use radau_adjoint for event-truncated dense losses).
+    equals the IFT derivative to O(residual)). Composes with t_eval (the
+    dopri/radau seg_ev convention): returns ``(ys, y*, t*)`` with samples
+    strictly past t* NaN — a triggered lane's later segments collapse to
+    zero-length t* → t* solves whose boundary cotangents cancel.
 
     cost: optional running-cost integrand ``l(t[M], y[M,D], args) -> [M]``
     (or ``[M, Q]``). Appends ``q = ∫ l dt`` (``solve_rodas(quad=...)``, the
@@ -209,16 +212,10 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
                          "Pallas LU has no AD rules — use pallas_lu=False")
     from janus_tpu.solve.events import normalize_events
     specs = normalize_events(events)
-    if specs:
-        if not all(e.terminal for e in specs):
-            raise ValueError("rodas_adjoint(events=...) requires every "
-                             "event terminal (non-terminal recordings have "
-                             "no gradient contract)")
-        if t_eval is not None:
-            raise ValueError("rodas_adjoint: events + t_eval is not "
-                             "supported on the discrete adjoint; use "
-                             "radau_adjoint (continuous) for event-"
-                             "truncated trajectory losses")
+    if specs and not all(e.terminal for e in specs):
+        raise ValueError("rodas_adjoint(events=...) requires every "
+                         "event terminal (non-terminal recordings have "
+                         "no gradient contract)")
     cap = opts.adjoint_steps
     jac_user = jac
 
@@ -464,6 +461,60 @@ def rodas_adjoint(f: Callable, tspan, y0, args=None,
     t_lo = jnp.concatenate([jnp.full((1,), t0_in, dtype), t_eval[:-1]])
     t_hi = t_eval
     h_carry0 = jnp.zeros(t0b.shape, dtype)     # 0 ⇒ automatic initial step
+
+    if specs:
+        # events + t_eval: chain the sample segments per lane; once a lane
+        # triggers, its later segments are ZERO-LENGTH solves t* → t* (the
+        # identity — their boundary cotangents cancel, so the event pull
+        # applied in the triggering segment's backward pass carries the
+        # whole gradient). Samples past t* are NaN (the forward solvers'
+        # truncation convention); the sample exactly AT t* (a trigger on a
+        # segment boundary) stays valid. The radau/dopri adjoint
+        # convention (solve/adjoint.py seg_ev, adjoint_dopri.py).
+        m = y0b.shape[0]
+        done0 = jnp.zeros((m,), bool)
+        tstar0 = jnp.full((m,), t0_in, dtype)
+        nan = jnp.asarray(jnp.nan, dtype)
+        if use_cost:
+            q0 = jnp.zeros(jax.eval_shape(
+                lambda: cost(t0b, y0b, args)).shape, dtype)
+
+        def seg_ev(carry, bounds):
+            if use_cost:
+                y, h, done, tstar, q = carry
+            else:
+                y, h, done, tstar = carry
+            ta, tb = bounds
+            ta_l = jnp.where(done, tstar, jnp.full((m,), ta, dtype))
+            tb_l = jnp.where(done, tstar, jnp.full((m,), tb, dtype))
+            outs = run(ta_l, tb_l, y, args, h)
+            if use_cost:
+                y2, t2, h2, idx2, q2 = outs
+            else:
+                y2, t2, h2, idx2 = outs
+            trig = (idx2 >= 0) & ~done
+            tstar2 = jnp.where(trig, t2, tstar)
+            done2 = done | trig
+            # a trigger strictly inside the segment invalidates the
+            # segment's endpoint sample; a trigger exactly at tb keeps it
+            dead = done | (trig & (t2 != tb_l))
+            sample = jnp.where(dead[:, None], nan, y2)
+            if use_cost:
+                return (y2, h2, done2, tstar2, q + q2), sample
+            return (y2, h2, done2, tstar2), sample
+
+        if use_cost:
+            (yF, _, doneF, tstarF, q), ys = jax.lax.scan(
+                seg_ev, (y0b, h_carry0, done0, tstar0, q0), (t_lo, t_hi))
+        else:
+            (yF, _, doneF, tstarF), ys = jax.lax.scan(
+                seg_ev, (y0b, h_carry0, done0, tstar0), (t_lo, t_hi))
+        ys = jnp.swapaxes(ys, 0, 1)                    # [M, T, D]
+        t_term = jnp.where(doneF, tstarF,
+                           jnp.broadcast_to(t_eval[-1], (m,)))
+        if use_cost:
+            return ys, yF, t_term, q
+        return ys, yF, t_term
 
     if use_cost:
         q0 = jnp.zeros(jax.eval_shape(

@@ -313,10 +313,6 @@ def test_ndf_adjoint_events_guards():
     with pytest.raises(ValueError, match="terminal"):
         ndf_adjoint(vdp_rhs, (0.0, 1.0), jnp.zeros((1, 2)), args=1.0,
                     events=ev_nt)
-    ev = Event(lambda t, y, a: y[..., 0], terminal=True)
-    with pytest.raises(ValueError, match="t_eval"):
-        ndf_adjoint(vdp_rhs, (0.0, 1.0), jnp.zeros((1, 2)), args=1.0,
-                    events=ev, t_eval=jnp.array([0.5, 1.0]))
 
 
 @pytest.mark.parametrize("ss", ["gmres", "tridiag"])
@@ -483,3 +479,44 @@ def test_dae_boundary_time_gradients_n_alg():
     assert abs(g_tf - fd_tf) <= 1e-4 * abs(fd_tf) + 1e-10
     # autonomous system: d/dt0 = -d/dtf
     assert abs(g_t0 + fd_tf) <= 1e-4 * abs(fd_tf) + 1e-8
+
+
+def test_events_plus_t_eval_trajectory_fitting():
+    """events + t_eval on the discrete adjoint (the dopri seg_ev
+    convention): samples past t* are NaN, a triggered lane's later
+    segments collapse to zero-length solves, and the masked-fit gradient
+    matches central FD of the same composed loss."""
+    from janus_tpu.solve.events import Event
+
+    mu = jnp.array([2.0, 2.0])
+    y0 = jnp.array([[2.0, 0.0], [2.0, 0.5]])
+    thr = jnp.array([1.2, -50.0])       # lane 0 triggers; lane 1 never
+    ev = Event(lambda t, y, a: y[..., 0] - thr, terminal=True,
+               direction=-1.0)
+    opts = Options(rtol=1e-9, atol=1e-12, adjoint_steps=2048,
+                   max_steps=8192)
+    ts = jnp.array([0.5, 1.0, 1.5, 2.0])
+
+    def loss(y0_, mu_):
+        ys, yF, tt = ndf_adjoint(vdp_rhs, (0.0, 2.0), y0_, args=mu_,
+                          options=opts, t_eval=ts, events=ev)
+        fit = jnp.where(jnp.isfinite(ys), ys ** 2, 0.0)
+        return jnp.sum(fit) + jnp.sum(yF[:, 1] ** 2) + 2.0 * jnp.sum(tt)
+
+    ys, yF, tt = ndf_adjoint(vdp_rhs, (0.0, 2.0), y0, args=mu,
+                      options=opts, t_eval=ts, events=ev)
+    assert float(tt[0]) < 2.0 and float(tt[1]) == 2.0
+    assert bool(jnp.all(jnp.isnan(ys[0, 3]))) \
+        and bool(jnp.all(jnp.isfinite(ys[0, :3]))) \
+        and bool(jnp.all(jnp.isfinite(ys[1])))
+
+    g = jax.grad(loss, argnums=(0, 1))(y0, mu)
+    lv = jax.jit(loss)
+    eps = 1e-6
+    for i in range(2):
+        e = jnp.zeros((2, 2)).at[i, 0].set(eps)
+        fd = (lv(y0 + e, mu) - lv(y0 - e, mu)) / (2 * eps)
+        assert abs(g[0][i, 0] - fd) <= 2e-5 * max(abs(fd), 1.0)
+        e = jnp.zeros(2).at[i].set(eps)
+        fd = (lv(y0, mu + e) - lv(y0, mu - e)) / (2 * eps)
+        assert abs(g[1][i] - fd) <= 2e-5 * max(abs(fd), 1.0)
