@@ -7,7 +7,13 @@ the LQR config is BASELINE.json config 3."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.integrate import solve_ivp as ss
+
+# slow tier (re-tiered from the measured round-5 fast-tier survey:
+# jacfwd-through-solve compiles, 262 s measured; the deeper L3 coverage
+# — the PMP files — was already slow-marked)
+pytestmark = pytest.mark.slow
 
 from janus_tpu.control import (
     newton_solve, psitc, homotopy, augmented_lagrangian,

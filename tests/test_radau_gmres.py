@@ -13,6 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# slow tier (re-tiered from the measured round-5 fast-tier survey:
+# matrix-free stage-solve compiles are the fast tier's heaviest file (851 s measured))
+pytestmark = pytest.mark.slow
+
 from janus_tpu.linalg.gmres import gmres_batched, tridiag_solve_complex
 from janus_tpu.solve import Options, SUCCESS, solve_ivp
 from janus_tpu.solve.radau import solve_radau

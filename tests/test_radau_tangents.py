@@ -13,6 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# slow tier (re-tiered from the measured round-5 fast-tier survey:
+# IND tangent-sweep compiles (287 s measured); fast-tier sensitivity signal lives in test_radau + the adjoint smokes)
+pytestmark = pytest.mark.slow
+
 from janus_tpu.models.problems import vdp_rhs, vdp_jac
 from janus_tpu.solve import Options, SUCCESS
 from janus_tpu.solve.radau import solve_radau

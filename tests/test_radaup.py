@@ -6,6 +6,10 @@ import numpy as np
 import pytest
 from scipy.integrate import solve_ivp as ss
 
+# slow tier (re-tiered from the measured round-5 fast-tier survey:
+# variable-order ladder compiles (510 s measured); fast-tier radaup signal lives in test_method_zoo_linear)
+pytestmark = pytest.mark.slow
+
 from janus_tpu.solve import solve_ivp, Options, SUCCESS
 from janus_tpu.models.problems import vdp_rhs, harmonic_rhs
 

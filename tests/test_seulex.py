@@ -10,6 +10,10 @@ import numpy as np
 import pytest
 from scipy.integrate import solve_ivp as ss
 
+# slow tier (re-tiered from the measured round-5 fast-tier survey:
+# extrapolation-ladder compiles (570 s measured); fast-tier seulex signal lives in test_stiff_methods/test_method_zoo_linear)
+pytestmark = pytest.mark.slow
+
 from janus_tpu.solve import solve_ivp, Options, SUCCESS, EVENT_TERMINATED
 from janus_tpu.solve.events import Event
 from janus_tpu.models.problems import vdp_rhs, robertson_rhs, harmonic_rhs

@@ -68,10 +68,16 @@ def test_bench_config_sharded_equals_single_device():
 
 def test_adjoint_gradient_sharded_equals_single_device():
     """Continuous-adjoint gradients under a dp-sharded batch must equal the
-    single-device gradients EXACTLY: the backward sweep is per-lane (the
-    only collectives are partition-invariant boolean any() gates), and with
-    per-lane parameters no cross-lane float reduction exists whose order
-    could change with the partition."""
+    single-device gradients to the last ulp: the backward sweep is per-lane
+    (the only collectives are partition-invariant boolean any() gates), and
+    with per-lane parameters no cross-lane float reduction exists whose
+    order could change with the partition. NOTE the bound is ~1 ulp, not
+    bitwise: XLA:CPU's SPMD partitioner may pick different elementwise
+    fusion/FMA contraction inside a shard than in the unpartitioned
+    program (measured: 2/128 elements differ by exactly 1 ulp, 2.2e-16
+    relative, on a host where the round-3 bitwise assertion no longer
+    held — same graph, different fusion; the per-lane independence claim
+    is about REDUCTION order and survives)."""
     from janus_tpu.solve.adjoint import radau_adjoint
 
     m = 64
@@ -90,6 +96,8 @@ def test_adjoint_gradient_sharded_equals_single_device():
 
     y0s, muss = shard_batch(y0, mesh), shard_batch(mus, mesh)
     gy_sh, gm_sh = jax.block_until_ready(g(y0s, muss))
-    np.testing.assert_array_equal(np.asarray(gy_sh), np.asarray(gy_ref))
-    np.testing.assert_array_equal(np.asarray(gm_sh), np.asarray(gm_ref))
+    np.testing.assert_allclose(np.asarray(gy_sh), np.asarray(gy_ref),
+                               rtol=1e-14, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(gm_sh), np.asarray(gm_ref),
+                               rtol=1e-14, atol=1e-15)
     jax.clear_caches()
